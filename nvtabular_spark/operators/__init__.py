@@ -1,0 +1,35 @@
+"""Operator library — full inventory per SURVEY.md §2."""
+
+from .base import Operator, StatOperator, TransformContext
+from .categorify import Categorify, embedding_size, get_embedding_sizes
+from .column_similarity import ColumnSimilarity
+from .data_stats import DataStats
+from .difference_lag import DifferenceLag
+from .fill import FillMedian, FillMissing
+from .groupby import Groupby
+from .hash_ops import HashBucket, HashedCross
+from .joins import JoinExternal, JoinGroupby
+from .lambdaop import LambdaOp
+from .list_ops import ListSlice, ValueCount
+from .math_ops import Bucketize, Clip, LogOp
+from .normalize import Normalize, NormalizeMinMax
+from .rowops import (AddMetadata, AddProperties, AddTags, DropLowCardinality,
+                     Dropna, Filter, ReduceDtypeSize, Rename, TagAsItemFeatures,
+                     TagAsItemID, TagAsUserFeatures, TagAsUserID)
+from .target_encoding import TargetEncoding
+from .temporal import (AsOfJoin, Lag, Lead, RollingAgg, RollingBackfill,
+                       Sessionize)
+
+__all__ = [
+    "Operator", "StatOperator", "TransformContext",
+    "Categorify", "embedding_size", "get_embedding_sizes",
+    "ColumnSimilarity", "DataStats", "DifferenceLag",
+    "FillMedian", "FillMissing", "Groupby", "HashBucket", "HashedCross",
+    "JoinExternal", "JoinGroupby", "LambdaOp", "ListSlice", "ValueCount",
+    "Bucketize", "Clip", "LogOp", "Normalize", "NormalizeMinMax",
+    "AddMetadata", "AddProperties", "AddTags", "DropLowCardinality",
+    "Dropna", "Filter", "ReduceDtypeSize", "Rename",
+    "TagAsItemFeatures", "TagAsItemID", "TagAsUserFeatures", "TagAsUserID",
+    "TargetEncoding",
+    "AsOfJoin", "Lag", "Lead", "RollingAgg", "RollingBackfill", "Sessionize",
+]

@@ -1,0 +1,187 @@
+"""Operator base classes.
+
+Reference semantics: nvtabular/ops/operator.py:24-27 (stateless
+``Operator`` with ``column_mapping``/``output_dtype``) and
+nvtabular/ops/stat_operator.py:16 (two-phase ``StatOperator`` with
+``fit``/``fit_finalize``/``clear``).
+
+Spark-first re-expression: ``transform`` receives a *TransformContext*
+(mapping of public column names to the actual namespaced columns of the
+single threaded DataFrame) and returns a new DataFrame with the output
+columns added. Everything stays lazy; Catalyst fuses consecutive ops
+into one whole-stage-codegen'd projection. ``fit`` on a StatOperator
+runs one (small) Spark aggregation job and stores driver-side state that
+``transform`` turns into literal expressions or broadcast joins.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.graph import ColumnSelector, Node, _to_node
+
+
+class TransformContext:
+    """Name mapping for one node's transform/fit call.
+
+    * ``selector`` — public input names (with grouping for joint/combo).
+    * ``inputs``   — public input name → actual column name in ``df``.
+    * ``outputs``  — public output name → actual column name to create.
+    * raw workflow-input columns (op dependencies such as a target or
+      sort key) are always present in ``df`` under their own names.
+    """
+
+    def __init__(self, selector: ColumnSelector, inputs: Dict[str, str],
+                 outputs: Dict[str, str]):
+        self.selector = selector
+        self.inputs = inputs
+        self.outputs = outputs
+
+    @property
+    def input_names(self) -> List[str]:
+        return list(self.selector.names)
+
+    def actual(self, public: str) -> str:
+        return self.inputs[public]
+
+    def col(self, public: str) -> Column:
+        return F.col(self.inputs[public])
+
+    def out(self, public: str) -> str:
+        return self.outputs[public]
+
+    def pairs(self) -> List[tuple]:
+        """(public_in, actual_in) in selector order."""
+        return [(p, self.inputs[p]) for p in self.selector.names]
+
+
+class Operator:
+    """A stateless transform. Subclasses usually override either
+    :meth:`expr` (per-column expression — the common case, keeps the
+    whole op inside Catalyst codegen) or :meth:`transform` (DataFrame
+    level: joins, filters, aggregations)."""
+
+    #: False for ops that drop/aggregate rows (Filter, Dropna, Groupby)
+    row_preserving: bool = True
+
+    # -- naming -----------------------------------------------------------
+    def output_column_names(self, selector: ColumnSelector) -> List[str]:
+        return list(selector.names)
+
+    def dependencies(self) -> List[str]:
+        """Raw input columns required beyond the selector (e.g. a target
+        column). These bypass namespacing — always read from the source."""
+        return []
+
+    # -- execution ---------------------------------------------------------
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        outs = self.output_column_names(ctx.selector)
+        ins = ctx.input_names
+        if len(outs) == len(ins):
+            mapping = dict(zip(outs, ins))
+        else:
+            raise NotImplementedError(
+                f"{type(self).__name__} must override transform()"
+            )
+        cols = {}
+        for out_pub in outs:
+            in_pub = mapping[out_pub]
+            cols[ctx.out(out_pub)] = self.expr(
+                F.col(ctx.actual(in_pub)), in_pub, df, ctx
+            )
+        return df.withColumns(cols)
+
+    def expr(self, col: Column, name: str, df: DataFrame,
+             ctx: TransformContext) -> Column:
+        raise NotImplementedError(
+            f"{type(self).__name__} implements neither expr() nor transform()"
+        )
+
+    # -- algebra -----------------------------------------------------------
+    def __rrshift__(self, other) -> Node:
+        return _to_node(other) >> self
+
+    # -- serialization (see plans/serializer.py) ----------------------------
+    def save_params(self) -> dict:
+        """JSON-safe constructor params. Default: public __init__ attrs."""
+        return {
+            k: v for k, v in vars(self).items()
+            if not k.startswith("_") and _json_safe(v)
+        }
+
+    @classmethod
+    def load_params(cls, params: dict) -> "Operator":
+        import inspect
+        sig = inspect.signature(cls.__init__)
+        accepted = {k: v for k, v in params.items() if k in sig.parameters}
+        try:
+            op = cls(**accepted)
+        except TypeError:
+            op = cls.__new__(cls)
+            if isinstance(op, StatOperator):
+                StatOperator.__init__(op)
+        for k, v in params.items():
+            setattr(op, k, v)
+        return op
+
+    def save_state(self) -> dict:
+        """JSON-safe fitted state (small stats). Overridden by stat ops."""
+        return {}
+
+    def load_state(self, state: dict) -> None:
+        pass
+
+    def artifacts(self) -> Dict[str, DataFrame]:
+        """Large fitted state as Spark DataFrames (written to parquet on
+        save; e.g. Categorify vocabularies — mirrors reference
+        ``unique.<col>.parquet`` files, categorify.py:719-822)."""
+        return {}
+
+    def load_artifacts(self, spark, paths: Dict[str, str]) -> None:
+        pass
+
+    # -- schema sidecar ------------------------------------------------------
+    def output_tags(self) -> List[str]:
+        return []
+
+    def output_properties(self) -> dict:
+        return {}
+
+
+class StatOperator(Operator):
+    """Two-phase operator (reference stat_operator.py:16): ``fit`` runs
+    Spark aggregation action(s) and stores small driver-side state;
+    ``transform`` is then stateless."""
+
+    def __init__(self):
+        self.fitted = False
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def clear(self) -> None:
+        self.fitted = False
+
+    def _require_fitted(self):
+        if not getattr(self, "fitted", False):
+            raise RuntimeError(
+                f"{type(self).__name__} used before fit(); call workflow.fit() first"
+            )
+
+    def save_params(self) -> dict:
+        params = super().save_params()
+        params.pop("fitted", None)
+        return params
+
+
+def _json_safe(v) -> bool:
+    if isinstance(v, (str, int, float, bool, type(None))):
+        return True
+    if isinstance(v, (list, tuple)):
+        return all(_json_safe(x) for x in v)
+    if isinstance(v, dict):
+        return all(isinstance(k, str) and _json_safe(x) for k, x in v.items())
+    return False

@@ -1,0 +1,399 @@
+"""Categorify — categorical → contiguous integer ids.
+
+Reference: nvtabular/ops/categorify.py:58-1916. Encoding contract
+(categorify.py:52-71, verified against tests/unit/ops/test_categorify.py:128-195):
+
+* ``0``                      — reserved for padding, never emitted
+* ``1``                      — null/NaN
+* ``[2, 2 + nb)``            — OOV (hash buckets; nb = num_buckets or 1)
+* ``[2 + nb, ...)``          — vocabulary, ordered by frequency DESC,
+                               value ASC tie-break
+
+``freq_threshold`` drops rare values to OOV (ref :774-785); ``max_size``
+caps the vocab at ``max_size - 2 - nb`` top rows (ref :186-198,768-782);
+``encode_type='joint'`` shares one vocab across a column group
+(ref :972-981); ``'combo'`` encodes value-combinations as one new
+column ``A_B`` (ref :266-272,539-553); list columns encode element-wise
+(ref :1694-1705); user ``vocabs`` bypass fit (ref :421-454).
+
+Spark-first design: the reference's ~600-line hand-built tree reduction
+(`_top/_mid/_bottom_level_groupby`, :955-1137,1344-1540) is ONE
+``df.groupBy(col).count()`` — Catalyst plans the partial/final hash
+aggregation and AQE picks shuffle parallelism. Contiguous ids come from
+:func:`~nvtabular_spark.functions.ids.with_global_index` (distributed
+zipWithIndex, no single-partition sort). The vocab is materialized to
+parquet (≙ reference ``unique.<col>.parquet``, :719-822) and applied as
+a broadcast hash left-join (≙ reference ``_encode``, :1558-1807).
+List columns are encoded by a dict-broadcast Arrow pandas_udf — at
+10^12-row scale this avoids the explode→join→regroup shuffle entirely;
+an ``explode`` strategy is available when the vocab exceeds memory.
+
+Dask-specific knobs (``split_out``, ``split_every``, ``cat_cache``,
+``on_host``, ``search_sorted``) are intentionally absent: AQE +
+broadcast variables replace them (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Dict, List, Optional, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType
+
+from .base import StatOperator, TransformContext
+from ..functions.hashing import hash64
+from ..functions.ids import with_global_index
+from ..plans.graph import ColumnSelector
+from ..sources.artifacts import materialize
+
+PAD_OFFSET = 0
+NULL_OFFSET = 1
+OOV_OFFSET = 2
+
+
+def embedding_size(cardinality: int, multiplier: float = 1.6,
+                   minimum: int = 16, maximum: int = 512) -> int:
+    """Reference heuristic (categorify.py:687-688):
+    ``min(max(16, round(1.6 * n**0.56)), 512)``."""
+    return int(min(max(minimum, round(multiplier * cardinality ** 0.56)), maximum))
+
+
+def _md5_bucket_py(value, num_buckets: int) -> int:
+    """Python twin of hashing.hash64(family='md5') % nb — used inside the
+    list-column pandas_udf so scalar and list paths agree bit-for-bit."""
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return int(h[:15], 16) % num_buckets
+
+
+class Categorify(StatOperator):
+    def __init__(self, freq_threshold: Union[int, Dict[str, int]] = 0,
+                 encode_type: str = "joint",
+                 num_buckets: Union[None, int, Dict[str, int]] = None,
+                 max_size: Union[int, Dict[str, int]] = 0,
+                 vocabs: Optional[dict] = None,
+                 dtype: str = "int",
+                 out_path: Optional[str] = None,
+                 name_sep: str = "_",
+                 hash_family: str = "xxhash64",
+                 broadcast: bool = True,
+                 list_strategy: str = "udf"):
+        super().__init__()
+        if encode_type not in ("joint", "combo"):
+            raise ValueError("encode_type must be 'joint' or 'combo'")
+        self.freq_threshold = freq_threshold
+        self.encode_type = encode_type
+        self.num_buckets = num_buckets
+        self.max_size = max_size
+        self.vocabs = vocabs
+        self.dtype = dtype
+        self.out_path = out_path
+        self.name_sep = name_sep
+        self.hash_family = hash_family
+        self.broadcast = broadcast
+        self.list_strategy = list_strategy
+        self._vocab_dfs: Dict[str, DataFrame] = {}
+        self._paths: Dict[str, str] = {}
+        self._sizes: Dict[str, int] = {}
+
+    # -- option resolution ---------------------------------------------------
+    def _opt(self, option, key: str, default):
+        if isinstance(option, dict):
+            return option.get(key, default)
+        return option if option is not None else default
+
+    def _nb_slots(self, key: str) -> int:
+        nb = self._opt(self.num_buckets, key, None)
+        return int(nb) if nb else 1
+
+    def _oov_buckets(self, key: str) -> Optional[int]:
+        nb = self._opt(self.num_buckets, key, None)
+        return int(nb) if nb else None
+
+    def _start_index(self, key: str) -> int:
+        return OOV_OFFSET + self._nb_slots(key)
+
+    # -- grouping -------------------------------------------------------------
+    def _groups(self, selector: ColumnSelector) -> List[tuple]:
+        return [g if isinstance(g, tuple) else (g,)
+                for g in selector.grouped_names]
+
+    def _group_key(self, cols: tuple) -> str:
+        return self.name_sep.join(cols)
+
+    def output_column_names(self, selector: ColumnSelector):
+        out: List[str] = []
+        for g in self._groups(selector):
+            if self.encode_type == "combo" and len(g) > 1:
+                out.append(self._group_key(g))
+            else:
+                out.extend(g)
+        return out
+
+    # -- fit --------------------------------------------------------------------
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        self._vocab_dfs, self._paths, self._sizes = {}, {}, {}
+        for g in self._groups(ctx.selector):
+            key = self._group_key(g)
+            if self.vocabs and key in self.vocabs:
+                vocab = self._user_vocab(df.sparkSession, key, self.vocabs[key])
+            elif self.encode_type == "combo" and len(g) > 1:
+                vocab = self._fit_combo(ctx, df, g)
+            else:
+                vocab = self._fit_joint(ctx, df, g)
+            self._vocab_dfs[key], self._paths[key] = materialize(
+                vocab, f"unique.{key}.parquet", self.out_path)
+            self._sizes[key] = self._vocab_dfs[key].count() + self._start_index(key)
+        self.fitted = True
+
+    def _values_of(self, ctx: TransformContext, df: DataFrame,
+                   col: str) -> Column:
+        act = ctx.inputs.get(col, col)
+        c = F.col(act)
+        if isinstance(df.schema[act].dataType, ArrayType):
+            return F.explode(c)
+        return c
+
+    def _fit_joint(self, ctx, df: DataFrame, cols: tuple) -> DataFrame:
+        key = self._group_key(cols)
+        parts = []
+        for col in cols:
+            v = self._values_of(ctx, df, col)
+            if len(cols) > 1:
+                v = v.cast("string")  # shared vocab across columns → common type
+            parts.append(df.select(v.alias("value")))
+        values = parts[0]
+        for p in parts[1:]:
+            values = values.unionAll(p)
+        counts = (values.filter(F.col("value").isNotNull())
+                  .groupBy("value")
+                  .agg(F.count(F.lit(1)).alias("value_count")))
+        return self._rank_vocab(counts, key, value_cols=["value"])
+
+    def _fit_combo(self, ctx, df: DataFrame, cols: tuple) -> DataFrame:
+        key = self._group_key(cols)
+        acts = [ctx.inputs.get(c, c) for c in cols]
+        counts = (df.select(*[F.col(a).alias(f"value_{i}")
+                              for i, a in enumerate(acts)])
+                  .filter(F.expr(" AND ".join(
+                      f"value_{i} IS NOT NULL" for i in range(len(acts)))))
+                  .groupBy(*[f"value_{i}" for i in range(len(acts))])
+                  .agg(F.count(F.lit(1)).alias("value_count")))
+        return self._rank_vocab(counts, key,
+                                value_cols=[f"value_{i}" for i in range(len(cols))])
+
+    def _rank_vocab(self, counts: DataFrame, key: str,
+                    value_cols: List[str]) -> DataFrame:
+        thr = int(self._opt(self.freq_threshold, key, 0) or 0)
+        if thr > 1:
+            counts = counts.filter(F.col("value_count") >= thr)
+        max_size = int(self._opt(self.max_size, key, 0) or 0)
+        order = [F.col("value_count").desc()] + [F.col(c).asc() for c in value_cols]
+        if max_size:
+            cap = max_size - self._start_index(key)
+            if cap <= 0:
+                raise ValueError(
+                    f"max_size={max_size} too small for reserved slots "
+                    f"({self._start_index(key)})")
+            counts = counts.orderBy(*order).limit(cap)
+        ranked = with_global_index(counts, order, index_col="code",
+                                   start=self._start_index(key))
+        return ranked.select(*value_cols, "value_count", "code")
+
+    def _user_vocab(self, spark, key: str, vocab) -> DataFrame:
+        if isinstance(vocab, DataFrame):
+            if "code" not in vocab.columns:
+                vocab = with_global_index(
+                    vocab, [F.col(vocab.columns[0]).asc()], index_col="code",
+                    start=self._start_index(key))
+                vocab = vocab.select(F.col(vocab.columns[0]).alias("value"),
+                                     F.lit(0).alias("value_count"), "code")
+            return vocab
+        start = self._start_index(key)
+        pdf = pd.DataFrame({
+            "value": list(vocab),
+            "value_count": [0] * len(vocab),
+            "code": list(range(start, start + len(vocab))),
+        })
+        return spark.createDataFrame(pdf)
+
+    # -- transform ----------------------------------------------------------------
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        self._require_fitted()
+        for g in self._groups(ctx.selector):
+            key = self._group_key(g)
+            vocab = self._vocab_dfs[key]
+            if self.encode_type == "combo" and len(g) > 1:
+                df = self._encode_combo(ctx, df, g, key, vocab)
+            else:
+                for col in g:
+                    df = self._encode_column(ctx, df, col, key, vocab,
+                                             cast_string=len(g) > 1)
+        return df
+
+    def _oov_expr(self, key: str, value: Column) -> Column:
+        nb = self._oov_buckets(key)
+        if not nb:
+            return F.lit(OOV_OFFSET)
+        return (F.pmod(hash64(value, self.hash_family), F.lit(nb))
+                + F.lit(OOV_OFFSET))
+
+    def _encode_column(self, ctx, df: DataFrame, col: str, key: str,
+                       vocab: DataFrame, cast_string: bool) -> DataFrame:
+        act = ctx.inputs.get(col, col)
+        out = ctx.out(col)
+        if isinstance(df.schema[act].dataType, ArrayType):
+            return self._encode_list(ctx, df, act, out, key, vocab, cast_string)
+        cv, cc = f"__cv__{out}", f"__cc__{out}"
+        v = vocab.select(F.col("value").alias(cv), F.col("code").alias(cc))
+        if self.broadcast:
+            v = F.broadcast(v)
+        left = F.col(act).cast("string") if cast_string else F.col(act)
+        joined = df.join(v, left == F.col(cv), "left")
+        code = (F.when(F.col(act).isNull(), F.lit(NULL_OFFSET))
+                .otherwise(F.coalesce(F.col(cc), self._oov_expr(key, left)))
+                .cast(self.dtype))
+        return joined.withColumn(out, code).drop(cv, cc)
+
+    def _encode_combo(self, ctx, df: DataFrame, cols: tuple, key: str,
+                      vocab: DataFrame) -> DataFrame:
+        acts = [ctx.inputs.get(c, c) for c in cols]
+        out = ctx.out(key)
+        sel = [F.col(f"value_{i}").alias(f"__cv{i}__{out}")
+               for i in range(len(cols))] + [F.col("code").alias(f"__cc__{out}")]
+        v = vocab.select(*sel)
+        if self.broadcast:
+            v = F.broadcast(v)
+        cond = None
+        for i, a in enumerate(acts):
+            c = F.col(a) == F.col(f"__cv{i}__{out}")
+            cond = c if cond is None else (cond & c)
+        joined = df.join(v, cond, "left")
+        any_null = None
+        for a in acts:
+            n = F.col(a).isNull()
+            any_null = n if any_null is None else (any_null | n)
+        combo_str = F.concat_ws(self.name_sep,
+                                *[F.col(a).cast("string") for a in acts])
+        code = (F.when(any_null, F.lit(NULL_OFFSET))
+                .otherwise(F.coalesce(F.col(f"__cc__{out}"),
+                                      self._oov_expr(key, combo_str)))
+                .cast(self.dtype))
+        drops = [f"__cv{i}__{out}" for i in range(len(cols))] + [f"__cc__{out}"]
+        return joined.withColumn(out, code).drop(*drops)
+
+    def _encode_list(self, ctx, df: DataFrame, act: str, out: str, key: str,
+                     vocab: DataFrame, cast_string: bool) -> DataFrame:
+        if self.list_strategy == "explode":
+            return self._encode_list_explode(df, act, out, key, vocab, cast_string)
+        # dict-broadcast pandas_udf — Arrow batches, no shuffle
+        rows = vocab.select("value", "code").collect()
+        mapping = {r["value"]: r["code"] for r in rows}
+        if cast_string:
+            mapping = {str(k): v for k, v in mapping.items()}
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast(mapping)
+        nb = self._oov_buckets(key)
+        null_code, oov0 = NULL_OFFSET, OOV_OFFSET
+        cs = cast_string
+
+        @pandas_udf(ArrayType(_spark_int_type(self.dtype)))
+        def encode(s: pd.Series) -> pd.Series:
+            m = bc.value
+
+            def enc_one(arr):
+                if arr is None:
+                    return None
+                res = []
+                for x in arr:
+                    if x is None or (isinstance(x, float) and math.isnan(x)):
+                        res.append(null_code)
+                        continue
+                    k = str(x) if cs else x
+                    c = m.get(k)
+                    if c is None:
+                        # list-element OOV hashing uses the md5 family so the
+                        # Python path matches functions.hashing exactly
+                        c = (oov0 + _md5_bucket_py(k, nb)) if nb else oov0
+                    res.append(c)
+                return res
+
+            return s.map(enc_one)
+
+        return df.withColumn(out, encode(F.col(act)))
+
+    def _encode_list_explode(self, df, act, out, key, vocab, cast_string):
+        """Exact-join strategy for vocabularies too large to broadcast:
+        posexplode → join → re-collect by original row. One extra
+        shuffle, arbitrary vocab size (≙ reference split_out>1 path,
+        categorify.py:1644-1664)."""
+        rid = "__rid__" + out
+        pos, val = "__pos__" + out, "__val__" + out
+        exploded = (df.withColumn(rid, F.monotonically_increasing_id())
+                    .select(rid, F.posexplode_outer(F.col(act)).alias(pos, val)))
+        cv, cc = f"__cv__{out}", f"__cc__{out}"
+        v = vocab.select(F.col("value").alias(cv), F.col("code").alias(cc))
+        left = F.col(val).cast("string") if cast_string else F.col(val)
+        enc = exploded.join(v, left == F.col(cv), "left").withColumn(
+            "__code__",
+            F.when(F.col(val).isNull(), F.lit(NULL_OFFSET))
+            .otherwise(F.coalesce(F.col(cc), self._oov_expr(key, left)))
+            .cast(self.dtype))
+        regrouped = (enc.groupBy(rid)
+                     .agg(F.transform(
+                         F.sort_array(F.collect_list(F.struct(F.col(pos), F.col("__code__")))),
+                         lambda x: x["__code__"]).alias(out)))
+        base = df.withColumn(rid, F.monotonically_increasing_id())
+        return base.join(regrouped, rid, "left").drop(rid)
+
+    # -- schema / serialization -----------------------------------------------------
+    def output_tags(self):
+        return ["categorical"]
+
+    def output_properties(self):
+        props = {}
+        for key, size in self._sizes.items():
+            props[key] = {
+                "cardinality": size,
+                "embedding_size": embedding_size(size),
+                "cat_path": self._paths.get(key),
+            }
+        return props
+
+    def artifacts(self):
+        return dict(self._vocab_dfs)
+
+    def load_artifacts(self, spark, paths):
+        self._vocab_dfs = {k: spark.read.parquet(p) for k, p in paths.items()}
+        self._paths = dict(paths)
+        self._sizes = {k: v.count() + self._start_index(k)
+                       for k, v in self._vocab_dfs.items()}
+        self.fitted = True
+
+    def save_state(self):
+        return {"sizes": self._sizes}
+
+    def clear(self):
+        super().clear()
+        self._vocab_dfs, self._paths, self._sizes = {}, {}, {}
+
+
+def _spark_int_type(dtype: str):
+    from pyspark.sql.types import (ByteType, IntegerType, LongType, ShortType)
+    return {"tinyint": ByteType(), "smallint": ShortType(), "int": IntegerType(),
+            "bigint": LongType(), "long": LongType()}.get(dtype, IntegerType())
+
+
+def get_embedding_sizes(workflow) -> Dict[str, tuple]:
+    """Reference API parity (nvtabular ``get_embedding_sizes``): map of
+    categorical output column → (cardinality, embedding dim)."""
+    out = {}
+    for node in workflow.plan.order:
+        if isinstance(node.op, Categorify):
+            for key, size in node.op._sizes.items():
+                out[key] = (size, embedding_size(size))
+    return out

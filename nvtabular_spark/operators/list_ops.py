@@ -1,0 +1,90 @@
+"""List ("multi-hot") column ops: ListSlice, ValueCount.
+
+Reference: nvtabular/ops/list_slice.py:29-228 (slicing with negative
+indices + optional pad-to-fixed-length; GPU path is numba kernels over
+Arrow offsets/elements — here it's pure ``F.slice``/``F.concat``
+expressions, fully inside codegen) and value_counts.py:26-75 (min/max
+list length → schema value_count).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .base import Operator, StatOperator, TransformContext
+
+
+class ListSlice(Operator):
+    """Slice every list to ``[start, end)`` (python semantics, negative
+    indices allowed), optionally right-pad to the slice length with
+    ``pad_value`` (reference list_slice.py:29-144)."""
+
+    def __init__(self, start: int, end: Optional[int] = None,
+                 pad: bool = False, pad_value: float = 0):
+        if end is None:
+            start, end = 0, start
+        self.start = start
+        self.end = end
+        self.pad = pad
+        self.pad_value = pad_value
+
+    def expr(self, col: Column, name, df, ctx):
+        n = F.size(col)
+        start, end = self.start, self.end
+        # python-slice → 1-based F.slice(start, length)
+        s = F.lit(start + 1) if start >= 0 else F.greatest(
+            n + F.lit(start + 1), F.lit(1))
+        e = F.least(F.lit(end), n) if end >= 0 else n + F.lit(end)
+        length = F.greatest(e - s + F.lit(1), F.lit(0))
+        sliced = F.slice(col, s, length)
+        if not self.pad:
+            return sliced
+        max_len = (end - start) if (end >= 0) == (start >= 0) else None
+        if max_len is None or max_len <= 0:
+            raise ValueError("pad=True requires start/end with the same sign")
+        elem_t = df.schema[ctx.actual(name)].dataType.elementType.simpleString()
+        pad_arr = F.array_repeat(F.lit(self.pad_value).cast(elem_t), max_len)
+        return F.slice(F.concat(sliced, pad_arr), 1, max_len)
+
+    def output_tags(self):
+        return ["list"]
+
+
+class ValueCount(StatOperator):
+    """fit: min/max list length per column → schema ``value_count``
+    properties; transform: identity (value_counts.py:26-75)."""
+
+    def __init__(self):
+        super().__init__()
+        self.counts: Dict[str, dict] = {}
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        aggs = []
+        for pub, act in ctx.pairs():
+            aggs += [F.min(F.size(F.col(act))).alias(f"{pub}__min"),
+                     F.max(F.size(F.col(act))).alias(f"{pub}__max")]
+        row = df.agg(*aggs).collect()[0]
+        self.counts = {
+            pub: {"min": row[f"{pub}__min"], "max": row[f"{pub}__max"]}
+            for pub, _ in ctx.pairs()
+        }
+        self.fitted = True
+
+    def expr(self, col, name, df, ctx):
+        return col
+
+    def output_properties(self):
+        return {"value_count": self.counts}
+
+    def save_state(self):
+        return {"counts": self.counts}
+
+    def load_state(self, state):
+        self.counts = state["counts"]
+        self.fitted = True
+
+    def output_tags(self):
+        return ["list"]

@@ -1,0 +1,132 @@
+"""Normalize (z-score) and NormalizeMinMax.
+
+Reference: nvtabular/ops/normalize.py:33-124 (fit mean/std via
+``_custom_moments`` — moments.py:28-116: tree-reduced count/sum/sum²
+with ddof=1 finalize) and :127-213 (min-max; ``dif == 0`` → ``x/(2x)``).
+
+Spark-first: the reference's hand-built tree reduction collapses to one
+``df.agg`` — Catalyst plans partial+final HashAggregate automatically,
+which IS the tree reduction. We aggregate count/sum/sum² explicitly for
+exact ddof=1 parity with moments.py:89-116.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .base import StatOperator, TransformContext
+
+
+class Normalize(StatOperator):
+    """z-score: ``(x - mean) / std`` with sample std (ddof=1); columns
+    with std == 0 pass through centered (guard mirrors
+    normalize.py:86-90)."""
+
+    def __init__(self, out_dtype: str = "double"):
+        super().__init__()
+        self.out_dtype = out_dtype
+        self.means: Dict[str, float] = {}
+        self.stds: Dict[str, float] = {}
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        aggs = []
+        for pub, act in ctx.pairs():
+            c = F.col(act).cast("double")
+            c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ missing
+            aggs += [
+                F.count(c).alias(f"{pub}__n"),
+                F.sum(c).alias(f"{pub}__s"),
+                F.sum(c * c).alias(f"{pub}__s2"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        for pub, _ in ctx.pairs():
+            n = row[f"{pub}__n"] or 0
+            s = row[f"{pub}__s"] or 0.0
+            s2 = row[f"{pub}__s2"] or 0.0
+            mean = s / n if n else 0.0
+            # ddof=1 finalize, exactly moments.py:89-116
+            var = (s2 - s * s / n) / (n - 1) if n > 1 else 0.0
+            self.means[pub] = float(mean)
+            self.stds[pub] = math.sqrt(max(var, 0.0))
+        self.fitted = True
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        self._require_fitted()
+        cols = {}
+        for pub, act in ctx.pairs():
+            c = F.col(act).cast("double")
+            std = self.stds[pub]
+            expr = (c - F.lit(self.means[pub]))
+            if std > 0:
+                expr = expr / F.lit(std)
+            cols[ctx.out(pub)] = expr.cast(self.out_dtype)
+        return df.withColumns(cols)
+
+    def save_state(self):
+        return {"means": self.means, "stds": self.stds}
+
+    def load_state(self, state):
+        self.means, self.stds = state["means"], state["stds"]
+        self.fitted = True
+
+    def clear(self):
+        super().clear()
+        self.means, self.stds = {}, {}
+
+    def output_tags(self):
+        return ["continuous"]
+
+
+class NormalizeMinMax(StatOperator):
+    """``(x - min) / (max - min)``; when max == min the reference yields
+    x/(2x) = 0.5 (normalize.py:196-204)."""
+
+    def __init__(self, out_dtype: str = "double"):
+        super().__init__()
+        self.out_dtype = out_dtype
+        self.mins: Dict[str, float] = {}
+        self.maxs: Dict[str, float] = {}
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        aggs = []
+        for pub, act in ctx.pairs():
+            c = F.col(act).cast("double")
+            c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ missing
+            aggs += [F.min(c).alias(f"{pub}__min"), F.max(c).alias(f"{pub}__max")]
+        row = df.agg(*aggs).collect()[0]
+        for pub, _ in ctx.pairs():
+            self.mins[pub] = float(row[f"{pub}__min"] or 0.0)
+            self.maxs[pub] = float(row[f"{pub}__max"] or 0.0)
+        self.fitted = True
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        self._require_fitted()
+        cols = {}
+        for pub, act in ctx.pairs():
+            c = F.col(act).cast("double")
+            lo, hi = self.mins[pub], self.maxs[pub]
+            dif = hi - lo
+            if dif != 0:
+                expr = (c - F.lit(lo)) / F.lit(dif)
+            else:
+                expr = F.when(c == 0, F.lit(0.0)).otherwise(F.lit(0.5))
+            cols[ctx.out(pub)] = expr.cast(self.out_dtype)
+        return df.withColumns(cols)
+
+    def save_state(self):
+        return {"mins": self.mins, "maxs": self.maxs}
+
+    def load_state(self, state):
+        self.mins, self.maxs = state["mins"], state["maxs"]
+        self.fitted = True
+
+    def clear(self):
+        super().clear()
+        self.mins, self.maxs = {}, {}
+
+    def output_tags(self):
+        return ["continuous"]

@@ -1,0 +1,271 @@
+"""Row/projection ops: Rename, Filter, Dropna, AddMetadata family,
+ReduceDtypeSize, DropLowCardinality.
+
+Reference: rename.py:20-78, filter.py:28-62, dropna.py:21-37,
+add_metadata.py:21-72, reduce_dtype_size.py:27-86,
+drop_low_cardinality.py:21-89.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .base import Operator, StatOperator, TransformContext
+from ..plans.graph import ColumnSelector
+
+
+class Rename(Operator):
+    """Rename via callable, postfix, or fixed name (reference
+    rename.py:20-78; ``name`` requires a single input column)."""
+
+    def __init__(self, f: Optional[Callable] = None, postfix: Optional[str] = None,
+                 name: Optional[str] = None):
+        if not (f or postfix or name):
+            raise ValueError("Rename requires one of f/postfix/name")
+        self.f = f
+        self.postfix = postfix
+        self.name = name
+
+    def _rename(self, c: str) -> str:
+        if self.f:
+            return self.f(c)
+        if self.postfix:
+            return f"{c}{self.postfix}"
+        return self.name  # type: ignore[return-value]
+
+    def output_column_names(self, selector: ColumnSelector):
+        if self.name and len(selector.names) != 1:
+            raise ValueError("Rename(name=...) needs exactly one input column")
+        return [self._rename(c) for c in selector.names]
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        cols = {ctx.out(self._rename(pub)): F.col(act) for pub, act in ctx.pairs()}
+        return df.withColumns(cols)
+
+    def save_params(self):
+        if self.f is not None:
+            from ..plans.serializer import callable_ref
+            return {"f": callable_ref(self.f), "postfix": self.postfix,
+                    "name": self.name}
+        return {"f": None, "postfix": self.postfix, "name": self.name}
+
+    @classmethod
+    def load_params(cls, params):
+        f = params.get("f")
+        if isinstance(f, dict):
+            from ..plans.serializer import resolve_callable
+            f = resolve_callable(f)
+        return cls(f=f, postfix=params.get("postfix"), name=params.get("name"))
+
+
+class Filter(Operator):
+    """Row filter (reference filter.py:28-62). Accepts either a Spark
+    Column / SQL-string predicate (fast path, stays in codegen) or a
+    callable ``DataFrame -> Column`` evaluated against the selected
+    columns."""
+
+    row_preserving = False
+
+    def __init__(self, f):
+        self.f = f
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        if isinstance(self.f, str):
+            # SQL predicate over *public* names: remap to actual names
+            pred_df = df.withColumns(
+                {pub: F.col(act) for pub, act in ctx.pairs() if pub != act})
+            df = pred_df.filter(self.f)
+        elif isinstance(self.f, Column):
+            df = df.filter(self.f)
+        else:
+            # callable receives a proxy frame with public column names
+            proxy = df.select(*[F.col(act).alias(pub) for pub, act in ctx.pairs()])
+            pred = self.f(proxy)
+            if not isinstance(pred, Column):
+                raise TypeError(
+                    "Filter callable must return a pyspark Column predicate")
+            # re-resolve predicate against df's actual names via expr string
+            df = df.filter(_remap_predicate(pred, ctx))
+        cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
+        return df.withColumns(cols)
+
+    def save_params(self):
+        if isinstance(self.f, str):
+            return {"f": self.f}
+        if isinstance(self.f, Column):
+            raise ValueError(
+                "Filter built from a live Column is not serializable; use a "
+                "SQL string predicate")
+        from ..plans.serializer import callable_ref
+        return {"f": callable_ref(self.f)}
+
+    @classmethod
+    def load_params(cls, params):
+        f = params["f"]
+        if isinstance(f, dict):
+            from ..plans.serializer import resolve_callable
+            f = resolve_callable(f)
+        return cls(f)
+
+
+def _remap_predicate(pred: Column, ctx: TransformContext) -> str:
+    """Rewrite public names inside a predicate's SQL form to actual
+    columns (best-effort; prefer string/Column predicates)."""
+    sql = pred._jc.toString()  # e.g. "(x > 1)"
+    for pub, act in sorted(ctx.pairs(), key=lambda p: -len(p[0])):
+        sql = sql.replace(pub, act)
+    return sql
+
+
+class Dropna(Operator):
+    """Drop rows with nulls in the selected columns (dropna.py:21-37)."""
+
+    row_preserving = False
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = df.dropna(subset=[act for _, act in ctx.pairs()])
+        cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
+        return df.withColumns(cols)
+
+
+class AddMetadata(Operator):
+    """Data no-op; annotates the sidecar schema with tags/properties
+    (reference add_metadata.py:21-72)."""
+
+    def __init__(self, tags=None, properties=None):
+        self.tags = list(tags or [])
+        self.properties = dict(properties or {})
+
+    def expr(self, col, name, df, ctx):
+        return col
+
+    def output_tags(self):
+        return self.tags
+
+    def output_properties(self):
+        return self.properties
+
+
+class AddTags(AddMetadata):
+    def __init__(self, tags=None):
+        super().__init__(tags=tags)
+
+
+class AddProperties(AddMetadata):
+    def __init__(self, properties=None):
+        super().__init__(properties=properties)
+
+
+class TagAsUserID(AddMetadata):
+    def __init__(self):
+        super().__init__(tags=["user_id", "user", "categorical"])
+
+
+class TagAsItemID(AddMetadata):
+    def __init__(self):
+        super().__init__(tags=["item_id", "item", "categorical"])
+
+
+class TagAsUserFeatures(AddMetadata):
+    def __init__(self):
+        super().__init__(tags=["user"])
+
+
+class TagAsItemFeatures(AddMetadata):
+    def __init__(self):
+        super().__init__(tags=["item"])
+
+
+_INT_STEPS = [("tinyint", -128, 127), ("smallint", -32768, 32767),
+              ("int", -2147483648, 2147483647), ("bigint", None, None)]
+
+
+class ReduceDtypeSize(StatOperator):
+    """fit: global min/max per column; transform: cast ints to the
+    smallest fitting integer type, floats to ``float_dtype``
+    (reference reduce_dtype_size.py:27-86)."""
+
+    def __init__(self, float_dtype: str = "float"):
+        super().__init__()
+        self.float_dtype = float_dtype
+        self.ranges: Dict[str, tuple] = {}
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        aggs = []
+        for pub, act in ctx.pairs():
+            aggs += [F.min(act).alias(f"{pub}__min"), F.max(act).alias(f"{pub}__max")]
+        row = df.agg(*aggs).collect()[0]
+        self.ranges = {pub: (row[f"{pub}__min"], row[f"{pub}__max"])
+                       for pub, _ in ctx.pairs()}
+        self.fitted = True
+
+    def _target_dtype(self, df: DataFrame, act: str, pub: str) -> Optional[str]:
+        dt = df.schema[act].dataType.simpleString()
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            lo, hi = self.ranges.get(pub, (None, None))
+            if lo is None or hi is None:
+                return None
+            for name, tlo, thi in _INT_STEPS:
+                if tlo is None or (lo >= tlo and hi <= thi):
+                    return name if name != dt else None
+            return None
+        if dt in ("double", "float"):
+            return self.float_dtype if dt != self.float_dtype else None
+        return None
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        self._require_fitted()
+        cols = {}
+        for pub, act in ctx.pairs():
+            target = self._target_dtype(df, act, pub)
+            cols[ctx.out(pub)] = F.col(act).cast(target) if target else F.col(act)
+        return df.withColumns(cols)
+
+    def save_state(self):
+        return {"ranges": {k: [v[0], v[1]] for k, v in self.ranges.items()}}
+
+    def load_state(self, state):
+        self.ranges = {k: (v[0], v[1]) for k, v in state["ranges"].items()}
+        self.fitted = True
+
+
+class DropLowCardinality(StatOperator):
+    """Drops categorical columns whose distinct count < min_cardinality
+    (reference drop_low_cardinality.py:21-89; there it is schema-driven
+    from Categorify metadata — here we measure with
+    approx_count_distinct, exact on small data)."""
+
+    def __init__(self, min_cardinality: int = 2, exact: bool = True):
+        super().__init__()
+        self.min_cardinality = min_cardinality
+        self.exact = exact
+        self.kept: List[str] = []
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        fn = F.count_distinct if self.exact else F.approx_count_distinct
+        aggs = [fn(F.col(act)).alias(pub) for pub, act in ctx.pairs()]
+        row = df.agg(*aggs).collect()[0]
+        self.kept = [pub for pub, _ in ctx.pairs()
+                     if (row[pub] or 0) >= self.min_cardinality]
+        self.fitted = True
+
+    def output_column_names(self, selector: ColumnSelector):
+        if getattr(self, "fitted", False):
+            return [c for c in selector.names if c in self.kept]
+        return list(selector.names)
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        self._require_fitted()
+        cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()
+                if pub in self.kept}
+        return df.withColumns(cols)
+
+    def save_state(self):
+        return {"kept": self.kept}
+
+    def load_state(self, state):
+        self.kept = state["kept"]
+        self.fitted = True

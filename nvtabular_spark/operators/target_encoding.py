@@ -1,0 +1,210 @@
+"""TargetEncoding — smoothed out-of-fold target mean per category.
+
+Reference: nvtabular/ops/target_encoding.py:35-439. Formula
+(:54-61,340-349)::
+
+    TE = (sum_y_other_folds + p_smooth * mean_global)
+       / (count_other_folds + p_smooth)
+
+fit computes groupby (count,sum) per [group] AND per [fold]+[group]
+(:180-213) plus the global target mean (:174-176); transform does the
+leave-one-fold-out arithmetic and a broadcast left join, filling unseen
+groups with the global mean (:301-384). Output columns are
+``TE_<group>_<target>`` (:297-299).
+
+Fold assignment: the reference draws folds with a numpy RNG per
+partition (:427-439) which is not reproducible across engines; its own
+tests only assert fold self-consistency (test_target_encode.py:71-84).
+Our contract is deterministic: ``fold = pmod(hash64(fold_col, seed),
+kfold)`` over a user-named id column — reproducible across runs,
+partitionings, and engines (SURVEY.md §7 risk 3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .base import StatOperator, TransformContext
+from ..functions.hashing import hash64
+from ..plans.graph import ColumnSelector
+from ..sources.artifacts import materialize
+
+
+class TargetEncoding(StatOperator):
+    def __init__(self, target: Union[str, List[str]], fold_col: str,
+                 kfold: int = 3, fold_seed: int = 42, p_smooth: float = 20,
+                 target_mean: Optional[float] = None, out_dtype: str = "double",
+                 name_sep: str = "_", out_path: Optional[str] = None,
+                 fold_is_precomputed: bool = False, broadcast: bool = True,
+                 hash_family: str = "xxhash64", drop_folds: bool = True):
+        super().__init__()
+        self.targets = [target] if isinstance(target, str) else list(target)
+        self.fold_col = fold_col
+        self.kfold = kfold
+        self.fold_seed = fold_seed
+        self.p_smooth = p_smooth
+        self.target_mean = target_mean
+        self.out_dtype = out_dtype
+        self.name_sep = name_sep
+        self.out_path = out_path
+        self.fold_is_precomputed = fold_is_precomputed
+        self.broadcast = broadcast
+        self.hash_family = hash_family
+        self.drop_folds = drop_folds
+        self.means: Dict[str, float] = {}
+        self._all_dfs: Dict[str, DataFrame] = {}
+        self._fold_dfs: Dict[str, DataFrame] = {}
+
+    def dependencies(self):
+        return self.targets + [self.fold_col]
+
+    def _fold_expr(self) -> Column:
+        if self.fold_is_precomputed:
+            return F.col(self.fold_col).cast("int")
+        return F.pmod(hash64(F.col(self.fold_col), self.hash_family,
+                             seed=self.fold_seed),
+                      F.lit(self.kfold)).cast("int")
+
+    def _groups(self, selector: ColumnSelector) -> List[tuple]:
+        return [g if isinstance(g, tuple) else (g,)
+                for g in selector.grouped_names]
+
+    def _te_name(self, g: tuple, target: str) -> str:
+        return f"TE_{self.name_sep.join(g)}_{target}"
+
+    def output_column_names(self, selector: ColumnSelector):
+        out = list(selector.names)
+        for g in self._groups(selector):
+            for t in self.targets:
+                out.append(self._te_name(g, t))
+        if not self.drop_folds:
+            out.append("__fold__")
+        return out
+
+    # -- fit ------------------------------------------------------------------
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        self._all_dfs, self._fold_dfs, self.means = {}, {}, {}
+        # global target means (≙ _custom_moments, reference :174-176)
+        if self.target_mean is not None:
+            for t in self.targets:
+                self.means[t] = float(self.target_mean)
+        else:
+            row = df.agg(*[F.mean(F.col(t).cast("double")).alias(t)
+                           for t in self.targets]).collect()[0]
+            self.means = {t: float(row[t]) for t in self.targets}
+
+        dff = df.withColumn("__fold__", self._fold_expr())
+        for g in self._groups(ctx.selector):
+            key = self.name_sep.join(g)
+            acts = [ctx.inputs.get(c, c) for c in g]
+            keys_all = [F.col(a).alias(f"__te_{c}") for a, c in zip(acts, g)]
+            aggs = []
+            for t in self.targets:
+                tc = F.col(t).cast("double")
+                aggs += [F.count(tc).alias(f"__cnt_{t}"),
+                         F.sum(tc).alias(f"__sum_{t}")]
+            g_all = dff.groupBy(*keys_all).agg(*aggs)
+            aggs_f = []
+            for t in self.targets:
+                tc = F.col(t).cast("double")
+                aggs_f += [F.count(tc).alias(f"__cnt_{t}"),
+                           F.sum(tc).alias(f"__sum_{t}")]
+            g_fold = dff.groupBy(*(keys_all + [F.col("__fold__")])).agg(*aggs_f)
+            self._all_dfs[key], _ = materialize(
+                g_all, f"te_all_{key}", self.out_path)
+            self._fold_dfs[key], _ = materialize(
+                g_fold, f"te_fold_{key}", self.out_path)
+        self.fitted = True
+
+    # -- transform ----------------------------------------------------------------
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        self._require_fitted()
+        df = df.withColumn("__fold__", self._fold_expr())
+        for g in self._groups(ctx.selector):
+            key = self.name_sep.join(g)
+            acts = [ctx.inputs.get(c, c) for c in g]
+            alls, folds = self._all_dfs[key], self._fold_dfs[key]
+
+            a_sel = [F.col(f"__te_{c}") for c in g] + \
+                [F.col(f"__cnt_{t}").alias(f"__acnt_{t}") for t in self.targets] + \
+                [F.col(f"__sum_{t}").alias(f"__asum_{t}") for t in self.targets]
+            f_sel = [F.col(f"__te_{c}") for c in g] + [F.col("__fold__").alias("__ffold__")] + \
+                [F.col(f"__cnt_{t}").alias(f"__fcnt_{t}") for t in self.targets] + \
+                [F.col(f"__sum_{t}").alias(f"__fsum_{t}") for t in self.targets]
+            a_df, f_df = alls.select(*a_sel), folds.select(*f_sel)
+            if self.broadcast:
+                a_df, f_df = F.broadcast(a_df), F.broadcast(f_df)
+
+            cond_a = None
+            for a, c in zip(acts, g):
+                e = df[a].eqNullSafe(a_df[f"__te_{c}"])
+                cond_a = e if cond_a is None else (cond_a & e)
+            df = df.join(a_df, cond_a, "left").drop(*[f"__te_{c}" for c in g])
+
+            cond_f = None
+            for a, c in zip(acts, g):
+                e = df[a].eqNullSafe(f_df[f"__te_{c}"])
+                cond_f = e if cond_f is None else (cond_f & e)
+            cond_f = cond_f & (df["__fold__"] == f_df["__ffold__"])
+            df = df.join(f_df, cond_f, "left").drop(
+                *[f"__te_{c}" for c in g], "__ffold__")
+
+            p = float(self.p_smooth)
+            new_cols = {}
+            for t in self.targets:
+                mean = self.means[t]
+                cnt = (F.coalesce(F.col(f"__acnt_{t}"), F.lit(0))
+                       - F.coalesce(F.col(f"__fcnt_{t}"), F.lit(0)))
+                ssum = (F.coalesce(F.col(f"__asum_{t}"), F.lit(0.0))
+                        - F.coalesce(F.col(f"__fsum_{t}"), F.lit(0.0)))
+                te = (ssum + F.lit(p * mean)) / (cnt + F.lit(p))
+                te = F.when(F.col(f"__acnt_{t}").isNull(), F.lit(mean)).otherwise(te)
+                new_cols[ctx.out(self._te_name(g, t))] = te.cast(self.out_dtype)
+            drops = [f"__acnt_{t}" for t in self.targets] + \
+                    [f"__asum_{t}" for t in self.targets] + \
+                    [f"__fcnt_{t}" for t in self.targets] + \
+                    [f"__fsum_{t}" for t in self.targets]
+            df = df.withColumns(new_cols).drop(*drops)
+
+        passthrough = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
+        if not self.drop_folds:
+            passthrough[ctx.out("__fold__")] = F.col("__fold__")
+        df = df.withColumns(passthrough)
+        return df.drop("__fold__") if self.drop_folds else df
+
+    def artifacts(self):
+        out = {}
+        for k, v in self._all_dfs.items():
+            out[f"all::{k}"] = v
+        for k, v in self._fold_dfs.items():
+            out[f"fold::{k}"] = v
+        return out
+
+    def load_artifacts(self, spark, paths):
+        for name, p in paths.items():
+            kind, key = name.split("::", 1)
+            tgt = self._all_dfs if kind == "all" else self._fold_dfs
+            tgt[key] = spark.read.parquet(p)
+        self.fitted = True
+
+    def save_params(self):
+        p = super().save_params()
+        p.pop("means", None)
+        p["target"] = self.targets  # init-arg name for load round-trip
+        return p
+
+    def save_state(self):
+        return {"means": self.means}
+
+    def load_state(self, state):
+        self.means = state["means"]
+
+    def clear(self):
+        super().clear()
+        self._all_dfs, self._fold_dfs, self.means = {}, {}, {}
+
+    def output_tags(self):
+        return ["continuous"]

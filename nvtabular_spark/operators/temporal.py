@@ -1,0 +1,297 @@
+"""Point-in-time / windowed feature ops (north_rule extensions).
+
+NOT in the reference (closest analog: DifferenceLag,
+difference_lag.py:23-105); required by BASELINE.json.north_rule:
+as-of join, lag/lead, rolling backfill, timestamp-gap sessionization —
+all with ZERO temporal leakage (no feature reads rows at t' >= t).
+
+Spark-first formulations (SURVEY.md §2.11):
+
+* **AsOfJoin** — union-tag trick: tag both sides, union, then
+  ``last(value, ignorenulls=True) OVER (PARTITION BY entity ORDER BY
+  ts, side ROWS UNBOUNDED PRECEDING .. -1|0)``. One shuffle on the
+  entity key, no range-explosion, skew handled by AQE + optional
+  salting. Strict mode (``allow_exact_matches=False``) ends the frame
+  at -1 with right rows ordered *before* left at equal ts → only
+  ``t' < t`` is visible (zero leakage by construction).
+* **Lag / Lead / RollingAgg** — plain window functions; RollingAgg
+  frames end at -1 row (strictly before current).
+* **RollingBackfill** — forward/backward fill via
+  ``last/first(ignorenulls=True)``; forward-fill only reads the past.
+* **Sessionize** — gap = ts - lag(ts) > threshold; session id =
+  running sum of boundary flags (classic sessionization).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .base import Operator, TransformContext
+from ..plans.graph import ColumnSelector
+
+
+class AsOfJoin(Operator):
+    """For each left row (entity, ts), attach the latest right-side
+    value at ``t' < t`` (strict, default) or ``t' <= t``.
+
+    ``right``: DataFrame with [entity, ts, value columns...].
+    Selected (left) columns pass through unchanged; right value columns
+    are appended with optional ``suffix``.
+    """
+
+    def __init__(self, right: DataFrame, on: Union[str, List[str]],
+                 ts_col: str, right_ts_col: Optional[str] = None,
+                 value_cols: Optional[List[str]] = None,
+                 allow_exact_matches: bool = False, suffix: str = ""):
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.ts_col = ts_col
+        self.right_ts_col = right_ts_col or ts_col
+        self._right = right
+        self.value_cols = value_cols or [
+            c for c in right.columns
+            if c not in set(self.on) | {self.right_ts_col}]
+        self.allow_exact_matches = allow_exact_matches
+        self.suffix = suffix
+
+    def dependencies(self):
+        return self.on + [self.ts_col]
+
+    def output_column_names(self, selector: ColumnSelector):
+        return list(selector.names) + [f"{c}{self.suffix}"
+                                       for c in self.value_cols]
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        right = self._right
+        rid = "__asof_rid__"
+        df = df.withColumn(rid, F.monotonically_increasing_id())
+
+        left_tagged = df.select(
+            *[F.col(c) for c in self.on],
+            F.col(self.ts_col).alias("__ts__"),
+            F.lit(1).alias("__side__"),   # left sorts AFTER right at equal ts
+            F.col(rid),
+            *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
+              for c in self.value_cols],
+        )
+        right_tagged = right.select(
+            *[F.col(c) for c in self.on],
+            F.col(self.right_ts_col).alias("__ts__"),
+            F.lit(0).alias("__side__"),
+            F.lit(None).cast("long").alias(rid),
+            *[F.col(c).alias(f"__rv_{c}") for c in self.value_cols],
+        )
+        unioned = left_tagged.unionByName(right_tagged)
+
+        # Frame (unbounded, -1) excludes the current (left) row. The tie
+        # order at equal ts decides leakage:
+        #  * exact matches allowed (t' <= t): right(0) sorts BEFORE
+        #    left(1) → equal-ts right rows fall inside the -1 frame.
+        #  * strict (t' < t): left(1) sorts first → equal-ts right rows
+        #    fall OUTSIDE the frame; only t' < t is visible. Equal-ts
+        #    left rows that slip into the frame carry null right-values,
+        #    so last(ignorenulls) never reads them.
+        side_order = (F.col("__side__") if self.allow_exact_matches
+                      else F.col("__side__").desc())
+        w = (Window.partitionBy(*self.on)
+             .orderBy(F.col("__ts__"), side_order)
+             .rowsBetween(Window.unboundedPreceding, -1))
+
+        filled = unioned.select(
+            F.col(rid),
+            F.col("__side__"),
+            *[F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w)
+              .alias(f"__rv_{c}") for c in self.value_cols],
+        ).filter(F.col("__side__") == 1).drop("__side__")
+
+        joined = df.join(filled, rid, "left")
+        cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
+        for c in self.value_cols:
+            cols[ctx.out(f"{c}{self.suffix}")] = F.col(f"__rv_{c}")
+        return joined.withColumns(cols).drop(
+            rid, *[f"__rv_{c}" for c in self.value_cols])
+
+    def artifacts(self):
+        return {"right": self._right}
+
+    def load_artifacts(self, spark, paths):
+        self._right = spark.read.parquet(paths["right"])
+
+    def save_params(self):
+        return {"on": self.on, "ts_col": self.ts_col,
+                "right_ts_col": self.right_ts_col,
+                "value_cols": self.value_cols,
+                "allow_exact_matches": self.allow_exact_matches,
+                "suffix": self.suffix}
+
+    @classmethod
+    def load_params(cls, params):
+        op = cls.__new__(cls)
+        for k, v in params.items():
+            setattr(op, k, v)
+        op._right = None
+        return op
+
+
+class Lag(Operator):
+    """``lag(x, k)`` over an entity-time window; NULL at boundaries.
+    Strictly past-looking for k >= 1 → zero leakage."""
+
+    def __init__(self, partition_cols: Union[str, List[str]],
+                 order_by: Union[str, List[str]], shifts: Union[int, List[int]] = 1):
+        self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
+        self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        self.shifts = [shifts] if isinstance(shifts, int) else list(shifts)
+
+    def dependencies(self):
+        return self.partition_cols + self.order_by
+
+    def output_column_names(self, selector: ColumnSelector):
+        return [f"{c}_lag_{s}" for c in selector.names for s in self.shifts]
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
+        cols = {}
+        for pub, act in ctx.pairs():
+            for s in self.shifts:
+                cols[ctx.out(f"{pub}_lag_{s}")] = F.lag(F.col(act), s).over(w)
+        return df.withColumns(cols)
+
+
+class Lead(Operator):
+    """``lead(x, k)`` — future-looking by definition; intended for label
+    construction, never for features at serving time."""
+
+    def __init__(self, partition_cols: Union[str, List[str]],
+                 order_by: Union[str, List[str]], shifts: Union[int, List[int]] = 1):
+        self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
+        self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        self.shifts = [shifts] if isinstance(shifts, int) else list(shifts)
+
+    def dependencies(self):
+        return self.partition_cols + self.order_by
+
+    def output_column_names(self, selector: ColumnSelector):
+        return [f"{c}_lead_{s}" for c in selector.names for s in self.shifts]
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
+        cols = {}
+        for pub, act in ctx.pairs():
+            for s in self.shifts:
+                cols[ctx.out(f"{pub}_lead_{s}")] = F.lead(F.col(act), s).over(w)
+        return df.withColumns(cols)
+
+
+class RollingBackfill(Operator):
+    """Fill nulls from neighbours within an entity-time window.
+    ``direction='forward'`` (default) carries the last past non-null
+    value forward — reads only ``t' <= t``, no leakage.
+    ``direction='backward'`` reads the future (use for offline label
+    cleanup only)."""
+
+    def __init__(self, partition_cols: Union[str, List[str]],
+                 order_by: Union[str, List[str]], direction: str = "forward"):
+        if direction not in ("forward", "backward"):
+            raise ValueError("direction must be 'forward' or 'backward'")
+        self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
+        self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        self.direction = direction
+
+    def dependencies(self):
+        return self.partition_cols + self.order_by
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        base = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
+        cols = {}
+        for pub, act in ctx.pairs():
+            if self.direction == "forward":
+                w = base.rowsBetween(Window.unboundedPreceding, 0)
+                cols[ctx.out(pub)] = F.last(F.col(act), ignorenulls=True).over(w)
+            else:
+                w = base.rowsBetween(0, Window.unboundedFollowing)
+                cols[ctx.out(pub)] = F.first(F.col(act), ignorenulls=True).over(w)
+        return df.withColumns(cols)
+
+
+class Sessionize(Operator):
+    """Session ids from timestamp gaps: a new session starts when
+    ``ts - lag(ts) > gap`` seconds. Applied to the timestamp column;
+    outputs ``<ts>_session_id`` (0-based per entity). Uses only past
+    rows → zero leakage."""
+
+    def __init__(self, partition_cols: Union[str, List[str]], gap: float):
+        self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
+        self.gap = gap
+
+    def dependencies(self):
+        return list(self.partition_cols)
+
+    def output_column_names(self, selector: ColumnSelector):
+        return [f"{c}_session_id" for c in selector.names]
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        cols = {}
+        for pub, act in ctx.pairs():
+            ts = F.col(act).cast("double")
+            w = Window.partitionBy(*self.partition_cols).orderBy(F.col(act))
+            prev = F.lag(ts).over(w)
+            boundary = F.when(prev.isNull(), F.lit(0)) \
+                .when(ts - prev > F.lit(float(self.gap)), F.lit(1)) \
+                .otherwise(F.lit(0))
+            wsum = (Window.partitionBy(*self.partition_cols)
+                    .orderBy(F.col(act))
+                    .rowsBetween(Window.unboundedPreceding, 0))
+            cols[ctx.out(f"{pub}_session_id")] = F.sum(boundary).over(wsum) \
+                .cast("long")
+        return df.withColumns(cols)
+
+
+class RollingAgg(Operator):
+    """Rolling aggregates over the strictly-past window (frame ends at
+    -1 row): e.g. trailing mean/sum/count of the previous ``n`` events
+    per entity. Zero temporal leakage by construction."""
+
+    _FNS = {"sum": F.sum, "mean": F.mean, "min": F.min, "max": F.max,
+            "count": F.count}
+
+    def __init__(self, partition_cols: Union[str, List[str]],
+                 order_by: Union[str, List[str]],
+                 window_rows: Optional[int] = None,
+                 aggs: Union[str, List[str]] = "mean"):
+        self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
+        self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        self.window_rows = window_rows
+        self.aggs = [aggs] if isinstance(aggs, str) else list(aggs)
+
+    def dependencies(self):
+        return self.partition_cols + self.order_by
+
+    def output_column_names(self, selector: ColumnSelector):
+        n = self.window_rows or "all"
+        return [f"{c}_rolling_{a}_{n}" for c in selector.names
+                for a in self.aggs]
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        start = Window.unboundedPreceding if self.window_rows is None \
+            else -self.window_rows
+        w = (Window.partitionBy(*self.partition_cols)
+             .orderBy(*self.order_by)
+             .rowsBetween(start, -1))   # -1: strictly before current row
+        n = self.window_rows or "all"
+        cols = {}
+        for pub, act in ctx.pairs():
+            for a in self.aggs:
+                fn = self._FNS[a]
+                out = fn(F.col(act)).over(w)
+                if a == "count":
+                    out = out.cast("long")
+                cols[ctx.out(f"{pub}_rolling_{a}_{n}")] = out
+        return df.withColumns(cols)

@@ -1,0 +1,106 @@
+"""DAG → DataFrame compiler.
+
+Replaces the reference's Dask executor (workflow.py:31,74,254 and the
+per-partition ``map_partitions`` transform described in
+architecture.md:16-17). Instead of hand-scheduling partition tasks, we
+walk the node DAG once and emit a *single lazily-composed DataFrame*:
+
+* selection nodes    → references to raw input columns
+* expression ops     → ``withColumns`` (fused by whole-stage codegen)
+* stat-backed ops    → broadcast joins / literal expressions
+* branch concat ``+``→ just a merged name-map (all branches share the
+                       one threaded DataFrame; Catalyst prunes columns
+                       no branch uses)
+
+Each op node writes its outputs under namespaced actual column names
+(``_n{i}__{name}``) so sibling branches can transform the same input
+column independently — the final ``select`` restores public names. The
+extra projections are free: Catalyst's CollapseProject folds them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import Node, postorder, input_column_names
+
+
+class CompiledPlan:
+    def __init__(self, root: Node):
+        self.root = root
+        self.order: List[Node] = postorder(root)
+        self.node_index: Dict[int, int] = {
+            id(n): i for i, n in enumerate(self.order)
+        }
+
+    def input_columns(self) -> List[str]:
+        return input_column_names(self.root)
+
+    def run(self, df: DataFrame, fit: bool = False,
+            refit: bool = False) -> DataFrame:
+        """Thread ``df`` through the DAG. With ``fit=True``, fit each
+        StatOperator (in topological order, on its upstream-transformed
+        input) before applying its transform — mirroring the reference
+        executor's phase-based fitting (workflow.py:195-210)."""
+        from ..operators.base import Operator, StatOperator, TransformContext
+
+        available = set(df.columns)
+        maps: Dict[int, Dict[str, str]] = {}
+        df_work = df
+
+        for node in self.order:
+            idx = self.node_index[id(node)]
+            if node.is_selection:
+                missing = [c for c in node.selector.names if c not in available]
+                if missing:
+                    raise KeyError(
+                        f"Input columns {missing} not found in DataFrame "
+                        f"(have {sorted(available)})"
+                    )
+                maps[id(node)] = {c: c for c in node.selector.names}
+                continue
+
+            parent_map: Dict[str, str] = {}
+            for p in node.parents:
+                for pub, act in maps[id(p)].items():
+                    if pub in parent_map and parent_map[pub] != act:
+                        raise ValueError(
+                            f"Duplicate column '{pub}' from sibling branches at "
+                            f"{node.label}; use Rename to disambiguate"
+                        )
+                    parent_map[pub] = act
+
+            if node.op is None:
+                out_map = dict(parent_map)
+                if node.removed:
+                    for c in node.removed:
+                        out_map.pop(c, None)
+                if node.subset is not None:
+                    out_map = {c: out_map[c] for c in node.subset}
+                maps[id(node)] = out_map
+                continue
+
+            op: Operator = node.op
+            selector = node.input_group_selector()
+            ctx = TransformContext(selector, parent_map, {})
+
+            if isinstance(op, StatOperator) and (fit or refit):
+                if refit or not op.fitted:
+                    op.fit(ctx, df_work)
+                    op.fitted = True
+
+            # outputs are computed *after* fit — some stat ops (e.g.
+            # DropLowCardinality) only know their outputs once fitted
+            out_publics = op.output_column_names(selector)
+            ctx.outputs = {p: f"_n{idx}__{p}" for p in out_publics}
+
+            df_work = op.transform(ctx, df_work)
+            maps[id(node)] = ctx.outputs
+
+        final_map = maps[id(self.root)]
+        return df_work.select(
+            *[F.col(act).alias(pub) for pub, act in final_map.items()]
+        )

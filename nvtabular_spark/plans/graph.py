@@ -1,0 +1,239 @@
+"""Operator-DAG algebra: ColumnSelector and Node.
+
+Re-expresses the reference's ``merlin.dag`` node algebra
+(/root/reference/nvtabular/workflow/node.py:16-18,
+/root/reference/docs/source/resources/architecture.md:23-35):
+``["a", "b"] >> Op()`` starts a chain, ``node_a + node_b`` concatenates
+branch outputs column-wise, ``node - ["c"]`` removes columns,
+``node["a"]`` subsets.
+
+The DAG here is purely *logical*; execution is compiled to a single
+lazily-composed ``pyspark.sql.DataFrame`` by :mod:`..plans.compiler`,
+so Catalyst — not this graph — is the physical plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Union
+
+
+class ColumnSelector:
+    """A flat list of column names selected from the workflow input.
+
+    Mirrors ``merlin.dag.ColumnSelector`` (reference
+    nvtabular/__init__.py:22). Grouped (nested-list) selectors are kept
+    as tuples so multi-column ops (Categorify joint/combo) can see the
+    grouping, matching reference categorify.py:266-272.
+    """
+
+    def __init__(self, names: Union[str, Sequence, "ColumnSelector", None] = None):
+        self.names: List = []
+        self.subgroups: List[ColumnSelector] = []
+        if names is None:
+            return
+        if isinstance(names, ColumnSelector):
+            self.names = list(names.names)
+            self.subgroups = list(names.subgroups)
+            return
+        if isinstance(names, str):
+            names = [names]
+        for n in names:
+            if isinstance(n, (list, tuple)):
+                sub = ColumnSelector(list(n))
+                self.subgroups.append(sub)
+                self.names.extend(sub.names)
+            else:
+                self.names.append(n)
+
+    @property
+    def grouped_names(self) -> List:
+        """Names with grouping preserved: scalars plus tuples for groups."""
+        grouped: List = []
+        seen_in_group = {n for g in self.subgroups for n in g.names}
+        for g in self.subgroups:
+            grouped.append(tuple(g.names))
+        for n in self.names:
+            if n not in seen_in_group:
+                grouped.append(n)
+        return grouped
+
+    def __add__(self, other):
+        out = ColumnSelector(self)
+        other = ColumnSelector(other)
+        out.names.extend(other.names)
+        out.subgroups.extend(other.subgroups)
+        return out
+
+    def __iter__(self):
+        return iter(self.names)
+
+    def __len__(self):
+        return len(self.names)
+
+    def __eq__(self, other):
+        return isinstance(other, ColumnSelector) and other.names == self.names
+
+    def __repr__(self):
+        return f"ColumnSelector({self.names!r})"
+
+
+def _to_node(value) -> "Node":
+    from ..operators.base import Operator  # circular-safe
+
+    if isinstance(value, Node):
+        return value
+    if isinstance(value, Operator):
+        raise TypeError(
+            "An Operator must be applied to columns: use ['col'] >> op"
+        )
+    if isinstance(value, (str, list, tuple, ColumnSelector)):
+        return Node(selector=ColumnSelector(value))
+    raise TypeError(f"Cannot convert {type(value)} to a workflow Node")
+
+
+class Node:
+    """One DAG node = (selector | operator) + parents.
+
+    Mirrors the reference WorkflowNode (workflow/node.py:16-18). A node
+    either *selects* raw input columns (``selector`` set, ``op`` None) or
+    *applies* an operator to the concatenated outputs of its parents.
+    """
+
+    def __init__(self, op=None, parents: Optional[List["Node"]] = None,
+                 selector: Optional[ColumnSelector] = None):
+        self.op = op
+        self.parents: List[Node] = parents or []
+        self.selector = selector
+        self.removed: List[str] = []   # names dropped via `-`
+        self.subset: Optional[List[str]] = None  # names kept via `[...]`
+
+    # -- algebra ----------------------------------------------------------
+    def __rshift__(self, op) -> "Node":
+        from ..operators.base import Operator
+
+        if not isinstance(op, Operator):
+            raise TypeError(f">> expects an Operator, got {type(op)}")
+        return Node(op=op, parents=[self])
+
+    def __add__(self, other) -> "Node":
+        other = _to_node(other)
+        # flatten nested concat nodes for a tidier graph
+        parts: List[Node] = []
+        for n in (self, other):
+            if n.op is None and n.selector is None and not n.removed and n.subset is None:
+                parts.extend(n.parents)
+            else:
+                parts.append(n)
+        return Node(parents=parts)  # op=None, selector=None → concat node
+
+    __radd__ = __add__
+
+    def __sub__(self, cols) -> "Node":
+        out = Node(parents=[self])
+        out.removed = list(ColumnSelector(cols).names)
+        return out
+
+    def __getitem__(self, cols) -> "Node":
+        out = Node(parents=[self])
+        out.subset = list(ColumnSelector(cols).names)
+        return out
+
+    # -- introspection ----------------------------------------------------
+    @property
+    def is_selection(self) -> bool:
+        return self.selector is not None
+
+    @property
+    def is_concat(self) -> bool:
+        return self.op is None and self.selector is None and not self.removed \
+            and self.subset is None
+
+    @property
+    def label(self) -> str:
+        if self.is_selection:
+            return f"select{self.selector.names}"
+        if self.op is not None:
+            return type(self.op).__name__
+        if self.removed:
+            return f"-{self.removed}"
+        if self.subset is not None:
+            return f"[{self.subset}]"
+        return "+"
+
+    def input_group_selector(self) -> ColumnSelector:
+        """Selector (with grouping) feeding this node's op."""
+        if self.is_selection:
+            return self.selector
+        sel = ColumnSelector()
+        for p in self.parents:
+            if p.is_selection:
+                sel = sel + p.selector
+            else:
+                sel = sel + ColumnSelector(p.output_columns())
+        return sel
+
+    def input_columns(self) -> List[str]:
+        return list(self.input_group_selector().names)
+
+    def output_columns(self) -> List[str]:
+        if self.is_selection:
+            return list(self.selector.names)
+        cols = self.input_columns()
+        if self.op is not None:
+            out = self.op.output_column_names(self.input_group_selector())
+        else:
+            out = cols
+        if self.removed:
+            out = [c for c in out if c not in self.removed]
+        if self.subset is not None:
+            missing = [c for c in self.subset if c not in out]
+            if missing:
+                raise KeyError(f"Columns {missing} not in node outputs {out}")
+            out = [c for c in out if c in self.subset]
+        dupes = {c for c in out if out.count(c) > 1}
+        if dupes:
+            raise ValueError(
+                f"Node {self.label} produces duplicate columns {sorted(dupes)}; "
+                "use Rename to disambiguate branches"
+            )
+        return out
+
+    def __repr__(self):
+        return f"<Node {self.label}>"
+
+
+def postorder(root: Node) -> List[Node]:
+    """Topologically-ordered node list (parents before children)."""
+    seen: dict = {}
+    order: List[Node] = []
+
+    def visit(n: Node):
+        if id(n) in seen:
+            return
+        seen[id(n)] = True
+        for p in n.parents:
+            visit(p)
+        order.append(n)
+
+    visit(root)
+    return order
+
+
+def input_column_names(root: Node) -> List[str]:
+    """All raw input columns the DAG reads (selection leaves + op
+    dependencies) — used for source column pruning, mirroring reference
+    workflow.py:239 ``to_ddf(columns=self._input_columns())``."""
+    cols: List[str] = []
+    for n in postorder(root):
+        if n.is_selection:
+            cols.extend(n.selector.names)
+        if n.op is not None:
+            cols.extend(n.op.dependencies())
+    # stable de-dup
+    seen = set()
+    out = []
+    for c in cols:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out

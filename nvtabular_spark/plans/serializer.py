@@ -1,0 +1,170 @@
+"""Workflow save/load — graph.json + parquet artifacts.
+
+Format mirrors the reference (workflow/graph_serializer.py:1077-1113,
+1011-1021): ``metadata.json`` (versions) + ``graph.json`` with
+topologically-ordered node records {id, op_class, op_params, op_state,
+parent_ids, selector} + ``artifacts/node_<id>/<name>/`` parquet dirs
+for file-based fitted state (≙ reference ``unique.<col>.parquet``
+copies, graph_serializer.py:257-276).
+
+Correctness contract: transform-after-load ≡ transform-before-save
+(reference test_workflow.py:691-725). Lambdas / ``__main__`` functions
+raise WorkflowSerializationError exactly like the reference
+(graph_serializer.py:71-88).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+from typing import Dict
+
+from .graph import ColumnSelector, Node
+
+FORMAT_VERSION = 1
+
+
+class WorkflowSerializationError(ValueError):
+    pass
+
+
+def callable_ref(f) -> dict:
+    """{module, qualname} for an importable named function; rejects
+    lambdas and __main__ functions (reference graph_serializer.py:71-88)."""
+    name = getattr(f, "__qualname__", getattr(f, "__name__", ""))
+    module = getattr(f, "__module__", "")
+    if "<lambda>" in name or "<locals>" in name:
+        raise WorkflowSerializationError(
+            f"Cannot serialize lambda/closure {name!r}; use an importable "
+            "named function")
+    if module in ("__main__", ""):
+        raise WorkflowSerializationError(
+            f"Cannot serialize function {name!r} from __main__; move it to "
+            "an importable module")
+    return {"module": module, "qualname": name}
+
+
+def resolve_callable(ref: dict):
+    mod = importlib.import_module(ref["module"])
+    obj = mod
+    for part in ref["qualname"].split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _op_registry() -> Dict[str, type]:
+    from .. import operators as ops_pkg
+    reg = {}
+    for name in dir(ops_pkg):
+        obj = getattr(ops_pkg, name)
+        if isinstance(obj, type):
+            reg[f"{obj.__module__}.{obj.__name__}"] = obj
+            reg[obj.__name__] = obj
+    return reg
+
+
+def save_workflow(workflow, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    plan = workflow.plan
+    records = []
+    for node in plan.order:
+        nid = plan.node_index[id(node)]
+        rec = {
+            "id": nid,
+            "parent_ids": [plan.node_index[id(p)] for p in node.parents],
+            "selector": list(node.selector.names) if node.selector else None,
+            "selector_groups": [list(g.names) for g in
+                                node.selector.subgroups] if node.selector else [],
+            "removed": node.removed,
+            "subset": node.subset,
+        }
+        if node.op is not None:
+            op = node.op
+            rec["op_class"] = f"{type(op).__module__}.{type(op).__name__}"
+            rec["op_params"] = op.save_params()
+            rec["op_state"] = op.save_state()
+            artifacts = op.artifacts()
+            if artifacts:
+                art_paths = {}
+                for name, adf in artifacts.items():
+                    rel = os.path.join("artifacts", f"node_{nid}",
+                                       name.replace("/", "_"))
+                    adf.write.mode("overwrite").parquet(os.path.join(path, rel))
+                    art_paths[name] = rel
+                rec["artifacts"] = art_paths
+        records.append(rec)
+
+    with open(os.path.join(path, "graph.json"), "w") as fh:
+        json.dump({"format_version": FORMAT_VERSION, "nodes": records}, fh,
+                  indent=2)
+    import pyspark
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "pyspark_version": pyspark.__version__,
+        "input_schema": workflow.input_schema.to_dict()
+        if workflow.input_schema else None,
+        "output_schema": workflow.output_schema.to_dict()
+        if workflow.output_schema else None,
+    }
+    with open(os.path.join(path, "metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def load_workflow(path: str, spark=None):
+    from .workflow import Workflow
+    from .schema import Schema
+
+    with open(os.path.join(path, "graph.json")) as fh:
+        graph = json.load(fh)
+    if graph.get("format_version") != FORMAT_VERSION:
+        raise WorkflowSerializationError(
+            f"Unsupported workflow format {graph.get('format_version')}")
+
+    registry = _op_registry()
+    nodes: Dict[int, Node] = {}
+    for rec in sorted(graph["nodes"], key=lambda r: r["id"]):
+        parents = [nodes[pid] for pid in rec["parent_ids"]]
+        if rec.get("selector") is not None:
+            sel = ColumnSelector(rec["selector"])
+            for g in rec.get("selector_groups", []):
+                sel.subgroups.append(ColumnSelector(g))
+            node = Node(selector=sel)
+        elif rec.get("op_class"):
+            cls = registry.get(rec["op_class"]) or \
+                registry.get(rec["op_class"].rsplit(".", 1)[-1])
+            if cls is None:
+                mod_name, cls_name = rec["op_class"].rsplit(".", 1)
+                cls = getattr(importlib.import_module(mod_name), cls_name)
+            op = cls.load_params(rec.get("op_params", {}))
+            op.load_state(rec.get("op_state", {}))
+            if rec.get("artifacts"):
+                if spark is None:
+                    from pyspark.sql import SparkSession
+                    spark = SparkSession.getActiveSession()
+                    if spark is None:
+                        raise WorkflowSerializationError(
+                            "load_workflow needs a SparkSession for artifacts")
+                op.load_artifacts(spark, {
+                    name: os.path.join(path, rel)
+                    for name, rel in rec["artifacts"].items()})
+            if hasattr(op, "fitted"):
+                op.fitted = True  # reference marks loaded StatOperators fitted
+            node = Node(op=op, parents=parents)
+            node.removed = rec.get("removed") or []
+            node.subset = rec.get("subset")
+        else:
+            node = Node(parents=parents)
+            node.removed = rec.get("removed") or []
+            node.subset = rec.get("subset")
+        nodes[rec["id"]] = node
+
+    root = nodes[max(nodes)]
+    wf = Workflow(root)
+    with open(os.path.join(path, "metadata.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("input_schema"):
+        wf.input_schema = Schema.from_dict(meta["input_schema"])
+    if meta.get("output_schema"):
+        wf.output_schema = Schema.from_dict(meta["output_schema"])
+    return wf
