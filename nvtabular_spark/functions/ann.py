@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: broadcast the
+  (small) query set, one pass over the corpus, per-query top-k via
+  window. Dot products are ``F.zip_with`` + ``F.aggregate`` — pure
+  codegen, no UDF.
+* LSH-bucketed variant (random signed hyperplanes, deterministic from
+  md5 hashes) — the 100 TB path: bucket corpus once, probe only
+  matching buckets, rerank candidates exactly.
+* embedding cosine near-duplicates — self-join variant for dedup.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import hash64
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: Optional[str] = None,
+                     query_vec_col: Optional[str] = None,
+                     include_self: bool = False) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine_sim).
+    Queries are broadcast — corpus is scanned once, no shuffle before
+    the per-query top-k (which AQE keeps small)."""
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(qvec).alias("__qv__"))
+    joined = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("__cv__")) \
+        .crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = cosine(F.col("__qv__").cast("array<double>"),
+                 F.col("__cv__").cast("array<double>"))
+    scored = joined.withColumn("cosine_sim", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine_sim"))
+
+
+def hyperplane_bits(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane signature: plane p has ±1
+    components sign(md5hash(p#d) mod 2); bit p = (vec · plane_p) > 0."""
+    def plane_component(p: int):
+        # single-arg lambda: 2-arg would become (element, index) in
+        # F.transform and shadow the closure
+        return lambda d: (F.pmod(hash64(F.concat(F.lit(f"{p}#"),
+                                                 d.cast("string")), "md5"),
+                                 F.lit(2)) * 2 - 1).cast("double")
+
+    acc = F.lit(0)
+    for p in range(num_planes):
+        comp = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                           plane_component(p))
+        proj = F.aggregate(F.zip_with(vec.cast("array<double>"), comp,
+                                      lambda x, y: x * y),
+                           F.lit(0.0), lambda a, v: a + v)
+        acc = acc + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, num_planes: int = 8,
+             multiprobe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows whose hyperplane
+    bucket is within ``multiprobe_hamming`` bits of the query bucket,
+    reranked by exact cosine. At scale the corpus bucketing is computed
+    once and reused (write the bucketed table out)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv__"),
+                      hyperplane_bits(F.col(vec_col), dim, num_planes)
+                      .alias("__cb__"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv__"),
+                       hyperplane_bits(F.col(vec_col), dim, num_planes)
+                       .alias("__qb__"))
+    cand = c.join(F.broadcast(q),
+                  F.bit_count(F.col("__cb__").bitwiseXOR(F.col("__qb__")))
+                  <= multiprobe_hamming)
+    cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = cosine(F.col("__qv__").cast("array<double>"),
+                 F.col("__cv__").cast("array<double>"))
+    scored = cand.withColumn("cosine_sim", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine_sim"))
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = 64, num_planes: int = 8,
+                        exact: bool = False) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold. ``exact=True`` does
+    the O(n²) self-join (small corpora / verification); default buckets
+    by hyperplane signature first (pairs in the same bucket only) —
+    recall < 1, tune num_planes down for higher recall."""
+    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    if not exact:
+        base = base.withColumn(
+            "bucket", hyperplane_bits(F.col("v"), dim, num_planes))
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.doc") < F.col("b.doc")))
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.doc") < F.col("b.doc"))
+    sim = cosine(F.col("a.v").cast("array<double>"),
+                 F.col("b.v").cast("array<double>"))
+    return (pairs.select(F.col("a.doc").alias("id_a"),
+                         F.col("b.doc").alias("id_b"),
+                         sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))

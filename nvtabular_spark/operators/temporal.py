@@ -236,10 +236,18 @@ class Sessionize(Operator):
     def output_column_names(self, selector: ColumnSelector):
         return [f"{c}_session_id" for c in selector.names]
 
+    @staticmethod
+    def _seconds(df: DataFrame, act: str):
+        dt = df.schema[act].dataType.simpleString()
+        if dt.startswith("timestamp"):
+            # fractional epoch seconds (matches DuckDB epoch())
+            return F.unix_micros(F.col(act).cast("timestamp")) / F.lit(1e6)
+        return F.col(act).cast("double")
+
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         cols = {}
         for pub, act in ctx.pairs():
-            ts = F.col(act).cast("double")
+            ts = self._seconds(df, act)
             w = Window.partitionBy(*self.partition_cols).orderBy(F.col(act))
             prev = F.lag(ts).over(w)
             boundary = F.when(prev.isNull(), F.lit(0)) \

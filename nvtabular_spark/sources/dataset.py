@@ -1,0 +1,134 @@
+"""Dataset I/O helpers + deterministic synthetic generators.
+
+Reference parity:
+* ``Dataset(paths, engine, part_size)`` → ``read_dataset`` (parquet/csv;
+  Iceberg catalogs via ``spark.table`` when configured); partition
+  sizing maps to ``spark.sql.files.maxPartitionBytes``
+  (tests/conftest.py:226-242, troubleshooting.md:143-151).
+* ``Dataset.to_parquet(shuffle, out_files_per_proc)`` →
+  ``write_shuffled`` (bench/examples/MultiGPUBench.md:77-89).
+* ``Dataset.shuffle_by_keys`` → ``df.repartition(*keys)``.
+* ``tools/data_gen.DatasetGen`` → ``tokenized_sequences`` (the
+  north-rule table: doc_id, tokens:array<int32>, n_tok, source, plus
+  entity/ts/label columns per FIXTURES.md F1) — fully deterministic,
+  generated JVM-side from ``spark.range`` + hash columns (no Python
+  row loop, scales to any row count).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_dataset(spark: SparkSession, paths, engine: str = "parquet",
+                 part_size_mb: Optional[int] = None, **options) -> DataFrame:
+    if part_size_mb:
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       f"{part_size_mb}m")
+    if isinstance(paths, str):
+        paths = [paths]
+    if engine == "parquet":
+        return spark.read.options(**options).parquet(*paths)
+    if engine == "csv":
+        return spark.read.options(header="true", inferSchema="true",
+                                  **options).csv(paths)
+    if engine == "table":  # Iceberg/catalog table name
+        return spark.table(paths[0])
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def shuffle_by_keys(df: DataFrame, keys: List[str],
+                    npartitions: Optional[int] = None) -> DataFrame:
+    """Reference Dataset.shuffle_by_keys (groupby.py:33-40 precondition).
+    Rarely needed — Spark groupBy/window shuffles on its own keys."""
+    if npartitions:
+        return df.repartition(npartitions, *keys)
+    return df.repartition(*keys)
+
+
+def write_shuffled(df: DataFrame, path: str, shuffle: str = "per_partition",
+                   out_files: Optional[int] = None, seed: int = 42,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Training-set sink with intra-file row shuffle (reference
+    Shuffle.PER_PARTITION / PER_WORKER semantics):
+    * per_partition — rows shuffled within each output file
+    * full          — global random repartition + within-file shuffle
+    """
+    out = df
+    if shuffle == "full":
+        out = out.repartition(out_files or df.rdd.getNumPartitions(),
+                              F.rand(seed))
+    elif out_files:
+        out = out.repartition(out_files)
+    if shuffle in ("per_partition", "full"):
+        out = out.sortWithinPartitions(F.rand(seed))
+    out.write.mode(mode).format(fmt).save(path)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic generators (FIXTURES.md F1)
+# ---------------------------------------------------------------------------
+
+def tokenized_sequences(spark: SparkSession, n_rows: int, seed: int = 42,
+                        vocab_size: int = 50000, max_len: int = 256,
+                        n_entities: int = 1000,
+                        partitions: Optional[int] = None) -> DataFrame:
+    """The north-rule input table::
+
+        doc_id:string, tokens:array<int32>, n_tok:int32, source:string,
+        entity_id:string, ts:timestamp, label:int8, x:double, y:double
+
+    Deterministic for a given (n_rows, seed): every column derives from
+    xxhash64(row_id, seed). Token length ~ Zipf-ish via inverse-power of
+    a uniform hash; 2 hot entities own ~20% of rows (skew testing).
+    Pure JVM expressions — generating 10^9 rows is embarrassingly
+    parallel with zero Python cost.
+    """
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt)))  # noqa: E731
+
+    # Zipf-truncated length in [1, max_len]: u^3 concentrates near 0
+    u = (h("len") % 1000000) / 1000000.0
+    n_tok = (F.pow(u, F.lit(3.0)) * (max_len - 1) + 1).cast("int")
+
+    tokens = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: (F.abs(F.xxhash64(F.col("id"), i, F.lit(seed)))
+                   % vocab_size).cast("int"))
+
+    source = (F.when(h("src") % 100 < 70, "web")
+              .when(h("src") % 100 < 85, "books")
+              .when(h("src") % 100 < 95, "code")
+              .otherwise("wiki"))
+
+    # skew: ~20% of rows land on 2 hot entities
+    ent_hash = h("ent")
+    entity = (F.when(ent_hash % 10 == 0, F.lit("e_hot_0"))
+              .when(ent_hash % 10 == 1, F.lit("e_hot_1"))
+              .otherwise(F.concat(F.lit("e"),
+                                  (ent_hash % n_entities).cast("string"))))
+
+    ts = F.timestamp_seconds(
+        F.lit(1577836800)  # 2020-01-01
+        + (F.col("id") % 86400) * 37 + (h("jit") % 1800))
+
+    label = (h("lab") % 100 < (20 + (n_tok % 60))).cast("tinyint")
+    x = F.when(h("xn") % 100 == 0, F.lit(None).cast("double")) \
+        .otherwise(((h("x") % 1000000) / 1000000.0) * 10.0 - 5.0)
+    y = F.when(h("yn") % 100 == 1, F.lit(None).cast("double")) \
+        .otherwise(((h("y") % 1000000) / 1000000.0) * 2.0)
+
+    return df.select(
+        F.format_string("doc_%010d", F.col("id")).alias("doc_id"),
+        tokens.alias("tokens"),
+        n_tok.alias("n_tok"),
+        source.alias("source"),
+        entity.alias("entity_id"),
+        ts.alias("ts"),
+        label.alias("label"),
+        x.alias("x"),
+        y.alias("y"),
+    )

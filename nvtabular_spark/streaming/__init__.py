@@ -1,0 +1,3 @@
+from .transform import sessionize_stream, transform_stream, windowed_agg_stream
+
+__all__ = ["transform_stream", "windowed_agg_stream", "sessionize_stream"]
