@@ -1,0 +1,149 @@
+"""Headline benchmark.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "sequences_per_sec": ...}
+
+Workload (the north metric): end-to-end fit+transform of the
+Criteo-style preprocessing pipeline over the deterministic
+tokenized-sequence table (doc_id, tokens, n_tok, source, entity_id,
+ts, label, x, y) — Categorify on the categoricals, FillMissing→
+Normalize on the continuous, TargetEncoding on source, token
+slice/pad, lag + rolling + sessionize window features — materialized
+with a noop sink. Mirrors the reference benchmark
+(bench/examples/dask-nvtabular-criteo-benchmark.py:200-252: fit +
+transform + shuffled write, wall-clock printed).
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1) — parquet tables
+  SPARK_GRAFT_CPUS    (default 32)                   — local[N]
+  BENCH_ROWS          override synthetic row count
+  BENCH_WORKLOAD_ONLY =1 → skip per-query timings (used by scaling rig)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WORKLOAD_ONLY = os.environ.get("BENCH_WORKLOAD_ONLY") == "1"
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+N_ROWS = int(os.environ.get("BENCH_ROWS", str(int(10_000_000 * SF))))
+
+HEADLINE = ["groupby_agg", "join_groupby", "categorify_freq_oov",
+            "target_encoding", "asof_join", "sessionize", "rolling_agg",
+            "minhash_signature", "ngram_jaccard", "ann_cosine_topk",
+            "tokens_pipeline", "simhash"]
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master(f"local[{CPUS}]")
+         .config("spark.sql.shuffle.partitions", str(CPUS))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory",
+                 os.environ.get("BENCH_DRIVER_MEM", "8g"))
+         .config("spark.sql.session.timeZone", "UTC")
+         .appName("nvtabular-spark-bench").getOrCreate())
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def sink(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def tokenized_workload(spark, n_rows: int) -> dict:
+    """fit + transform + materialize; returns timings + throughput."""
+    import nvtabular_spark as nvt
+    from nvtabular_spark import ops
+    from nvtabular_spark.sources import tokenized_sequences
+
+    df = tokenized_sequences(spark, n_rows, seed=42, partitions=CPUS * 2)
+    # materialize the input once so generation cost isn't measured
+    import tempfile
+    src = os.path.join(tempfile.mkdtemp(prefix="nvtsbench_"), "seqs")
+    df.write.mode("overwrite").parquet(src)
+    data = spark.read.parquet(src)
+
+    pipeline = (
+        (["source", "entity_id"] >> ops.Categorify(freq_threshold=2,
+                                                   num_buckets=16))
+        + (["x", "y"] >> ops.FillMissing(0) >> ops.Normalize())
+        + (["source"] >> ops.TargetEncoding(
+            target="label", fold_col="doc_id", kfold=3, p_smooth=20)
+           >> ops.Rename(postfix="_te"))
+        + (["tokens"] >> ops.ListSlice(0, 64, pad=True, pad_value=0))
+        + (["n_tok"] >> ops.Lag("entity_id", "ts", 1))
+        + (["n_tok"] >> ops.RollingAgg("entity_id", "ts", window_rows=8,
+                                       aggs=["mean"]))
+        + (["ts"] >> ops.Sessionize("entity_id", gap=1800.0))
+        + ["doc_id", "n_tok", "ts", "label"]
+    )
+
+    t0 = time.time()
+    wf = nvt.Workflow(pipeline)
+    wf.fit(data)
+    fit_s = time.time() - t0
+
+    t1 = time.time()
+    sink(wf.transform(data))
+    transform_s = time.time() - t1
+    total = time.time() - t0
+    return {
+        "rows": n_rows,
+        "fit_sec": round(fit_s, 3),
+        "transform_sec": round(transform_s, 3),
+        "total_sec": round(total, 3),
+        "sequences_per_sec": round(n_rows / total, 1),
+    }
+
+
+def main():
+    spark = build_spark()
+    result = {
+        "metric": "tokenized_seq_fit_transform_wall",
+        "unit": "sec",
+        "sf": SF,
+        "cpus": CPUS,
+        "queries": {},
+    }
+
+    wl = tokenized_workload(spark, N_ROWS)
+    result["value"] = wl["total_sec"]
+    result["workload"] = wl
+    result["sequences_per_sec"] = wl["sequences_per_sec"]
+
+    if not WORKLOAD_ONLY:
+        import __spark_entry__ as entry
+        qs = entry.queries()
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            sink(fn(spark, SF_DIR))
+            result["queries"][name] = round(time.time() - t0, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

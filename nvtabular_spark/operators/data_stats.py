@@ -28,6 +28,8 @@ class DataStats(StatOperator):
         for pub, act in ctx.pairs():
             dt = df.schema[act].dataType
             c = F.col(act)
+            if dt.simpleString() in ("double", "float"):
+                c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ null
             aggs.append((F.sum(c.isNull().cast("long")) / total)
                         .alias(f"{pub}__null_frac"))
             if isinstance(dt, NumericType):

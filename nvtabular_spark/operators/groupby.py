@@ -79,6 +79,9 @@ class Groupby(Operator):
         for pub in self._value_cols(ctx.selector):
             act = ctx.actual(pub) if pub in ctx.inputs else pub
             c = F.col(act)
+            if df.schema[act].dataType.simpleString() in ("double", "float"):
+                # pandas/cudf agg semantics: NaN ≡ missing (skipped)
+                c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
             for a in self._aggs_for(pub):
                 name = ctx.out(f"{pub}{self.name_sep}{a}")
                 if a in _SIMPLE_AGGS:

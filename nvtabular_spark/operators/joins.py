@@ -166,10 +166,13 @@ class JoinGroupby(StatOperator):
             if "count" in self.stats:
                 aggs.append(F.count(F.lit(1)).cast("long").alias(names["count"]))
             for c in self.cont_cols:
+                cc = F.col(c)
+                if df.schema[c].dataType.simpleString() in ("double", "float"):
+                    cc = F.when(F.isnan(cc), F.lit(None)).otherwise(cc)
                 for s in self.stats:
                     if s == "count":
                         continue
-                    aggs.append(_STAT_FNS[s](F.col(c)).alias(names[f"{c}:{s}"]))
+                    aggs.append(_STAT_FNS[s](cc).alias(names[f"{c}:{s}"]))
             grouped = df.groupBy(
                 *[F.col(a).alias(f"__key_{k}") for a, k in zip(acts, keys)]
             ).agg(*aggs)

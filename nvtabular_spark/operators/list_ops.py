@@ -24,16 +24,36 @@ class ListSlice(Operator):
 
     def __init__(self, start: int, end: Optional[int] = None,
                  pad: bool = False, pad_value: float = 0):
-        if end is None:
+        # reference arg normalization (list_slice.py:64-71):
+        # ListSlice(10) → [0:10]; ListSlice(-10) → last 10; else [start:end]
+        if start > 0 and end is None:
             start, end = 0, start
         self.start = start
-        self.end = end
+        self.end = end          # None = to end of list
         self.pad = pad
         self.pad_value = pad_value
 
     def expr(self, col: Column, name, df, ctx):
         n = F.size(col)
         start, end = self.start, self.end
+        if end is None:
+            if not self.pad:
+                if start >= 0:
+                    return F.slice(col, start + 1, F.greatest(
+                        n - start, F.lit(0)))
+                return F.slice(col, F.greatest(n + F.lit(start + 1), F.lit(1)),
+                               F.lit(-start))
+            # pad requires a fixed target length
+            if start >= 0:
+                raise ValueError("pad=True with open end requires start < 0")
+            max_len = -start
+            sliced = F.slice(col, F.greatest(n + F.lit(start + 1), F.lit(1)),
+                             F.lit(max_len))
+            elem_t = df.schema[ctx.actual(name)].dataType.elementType \
+                .simpleString()
+            pad_arr = F.array_repeat(F.lit(self.pad_value).cast(elem_t),
+                                     max_len)
+            return F.slice(F.concat(sliced, pad_arr), 1, max_len)
         # python-slice → 1-based F.slice(start, length)
         s = F.lit(start + 1) if start >= 0 else F.greatest(
             n + F.lit(start + 1), F.lit(1))

@@ -210,12 +210,15 @@ class RollingBackfill(Operator):
         base = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
         cols = {}
         for pub, act in ctx.pairs():
+            c = F.col(act)
+            if df.schema[act].dataType.simpleString() in ("double", "float"):
+                c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ missing
             if self.direction == "forward":
                 w = base.rowsBetween(Window.unboundedPreceding, 0)
-                cols[ctx.out(pub)] = F.last(F.col(act), ignorenulls=True).over(w)
+                cols[ctx.out(pub)] = F.last(c, ignorenulls=True).over(w)
             else:
                 w = base.rowsBetween(0, Window.unboundedFollowing)
-                cols[ctx.out(pub)] = F.first(F.col(act), ignorenulls=True).over(w)
+                cols[ctx.out(pub)] = F.first(c, ignorenulls=True).over(w)
         return df.withColumns(cols)
 
 

@@ -28,8 +28,9 @@ def row_signature(df: DataFrame, cols: Optional[List[str]] = None):
     """(count, order-insensitive hash) aggregate expressions."""
     cols = cols or df.columns
     h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    # bit_xor: associative + commutative + overflow-free (ANSI-safe)
     return [F.count(F.lit(1)).alias("rows"),
-            F.sum(h).alias("value_hash")]
+            F.bit_xor(h).alias("value_hash")]
 
 
 def _manifest_path(output_path: str) -> str:

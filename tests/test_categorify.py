@@ -1,0 +1,129 @@
+"""Ports of the reference Categorify goldens
+(/root/reference/tests/unit/ops/test_categorify.py)."""
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+from nvtabular_spark.operators.categorify import embedding_size, get_embedding_sizes
+
+
+def test_joint_golden(author_df):
+    # reference test_categorify.py:163-195
+    cats = [["Author", "Engaging User"]] >> ops.Categorify(encode_type="joint")
+    out = nvt.Workflow(cats + ["Post"]).fit_transform(author_df) \
+        .orderBy("Post").toPandas()
+    assert out["Author"].tolist() == [4, 7, 3, 5]
+    assert out["Engaging User"].tolist() == [3, 3, 4, 6]
+
+
+def test_combo_golden(author_df):
+    cats = [["Author", "Engaging User"]] >> ops.Categorify(encode_type="combo")
+    out = nvt.Workflow(cats + ["Post"]).fit_transform(author_df) \
+        .orderBy("Post").toPandas()
+    # 4 distinct combos, all count 1 → value-asc: (A,B)=3,(B,A)=4,(C,D)=5,(E,B)=6
+    assert out["Author_Engaging User"].tolist() == [3, 6, 4, 5]
+
+
+def test_list_column_golden(list_df):
+    # reference test_categorify.py:128-157
+    out = nvt.Workflow((["Authors"] >> ops.Categorify()) + ["Post"]) \
+        .fit_transform(list_df).orderBy("Post").toPandas()
+    assert [list(x) for x in out["Authors"]] == [[3], [3, 6], [5, 4], [4]]
+
+
+def test_list_freq_threshold(list_df):
+    out = nvt.Workflow(
+        (["Authors"] >> ops.Categorify(freq_threshold=2)) + ["Post"]) \
+        .fit_transform(list_df).orderBy("Post").toPandas()
+    assert [list(x) for x in out["Authors"]] == [[3], [3, 2], [2, 4], [4]]
+
+
+def test_list_explode_strategy_matches_udf(list_df):
+    udf_out = nvt.Workflow(
+        (["Authors"] >> ops.Categorify(list_strategy="udf")) + ["Post"]) \
+        .fit_transform(list_df).orderBy("Post").toPandas()
+    ex_out = nvt.Workflow(
+        (["Authors"] >> ops.Categorify(list_strategy="explode")) + ["Post"]) \
+        .fit_transform(list_df).orderBy("Post").toPandas()
+    assert [list(x) for x in udf_out["Authors"]] == \
+        [list(x) for x in ex_out["Authors"]]
+
+
+def test_nulls_to_one(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"brand": ["A", None, "B", "A", None], "i": range(5)}))
+    out = nvt.Workflow((["brand"] >> ops.Categorify()) + ["i"]) \
+        .fit_transform(df).orderBy("i").toPandas()
+    # A(2)→3, B(1)→4, null→1
+    assert out["brand"].tolist() == [3, 1, 4, 3, 1]
+
+
+def test_max_size_caps_vocab(spark):
+    pdf = pd.DataFrame({"c": ["a"] * 5 + ["b"] * 4 + ["c"] * 3 + ["d"] * 2
+                        + ["e"], "i": range(15)})
+    df = spark.createDataFrame(pdf)
+    # max_size=5 → reserved 3 (pad,null,oov) → keep top-2 {a,b}
+    out = nvt.Workflow((["c"] >> ops.Categorify(max_size=5)) + ["i"]) \
+        .fit_transform(df).toPandas()
+    codes = dict(zip(pdf["c"], out.sort_values("i")["c"]))
+    assert codes["a"] == 3 and codes["b"] == 4
+    assert codes["c"] == 2 and codes["d"] == 2 and codes["e"] == 2
+
+
+def test_num_buckets_oov_range(spark):
+    pdf = pd.DataFrame({"c": [f"v{i}" for i in range(20)] + ["hot"] * 10,
+                        "i": range(30)})
+    df = spark.createDataFrame(pdf)
+    cat = ops.Categorify(freq_threshold=5, num_buckets=4)
+    out = nvt.Workflow((["c"] >> cat) + ["i"]).fit_transform(df).toPandas()
+    hot_code = out[out["i"] >= 20]["c"].unique().tolist()
+    assert hot_code == [6]  # start = 2 + 4
+    oov = out[out["i"] < 20]["c"]
+    assert oov.between(2, 5).all()
+
+
+def test_user_vocab_bypasses_fit(spark):
+    df = spark.createDataFrame(pd.DataFrame({"c": ["x", "y", "z"],
+                                             "i": [1, 2, 3]}))
+    cat = ops.Categorify(vocabs={"c": ["z", "y"]})
+    out = nvt.Workflow((["c"] >> cat) + ["i"]).fit_transform(df) \
+        .orderBy("i").toPandas()
+    # z→3, y→4 (given order), x OOV→2
+    assert out["c"].tolist() == [2, 4, 3]
+
+
+def test_freq_threshold_per_column_dict(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": ["x", "x", "y"], "b": ["p", "q", "q"], "i": [1, 2, 3]}))
+    cat = ops.Categorify(freq_threshold={"a": 2, "b": 0})
+    out = nvt.Workflow((["a", "b"] >> cat) + ["i"]).fit_transform(df) \
+        .orderBy("i").toPandas()
+    assert out["a"].tolist() == [3, 3, 2]   # y dropped to OOV
+    assert out["b"].tolist() == [4, 3, 3]   # q(2)→3, p(1)→4
+
+
+def test_embedding_size_rule():
+    # reference categorify.py:687-688
+    assert embedding_size(10) == 16
+    assert embedding_size(1000) == min(max(16, round(1.6 * 1000 ** 0.56)), 512)
+    assert embedding_size(10 ** 9) == 512
+
+
+def test_get_embedding_sizes(author_df):
+    cat = ops.Categorify()
+    wf = nvt.Workflow((["Author"] >> cat) + ["Post"])
+    wf.fit(author_df)
+    sizes = get_embedding_sizes(wf)
+    # 4 unique + 3 reserved slots
+    assert sizes["Author"][0] == 7
+
+
+def test_transform_is_broadcast_join(author_df):
+    """Scale guard: the vocab join must be a broadcast hash join, not a
+    shuffle join (reference broadcasts vocab to workers too)."""
+    wf = nvt.Workflow((["Author"] >> ops.Categorify()) + ["Post"])
+    plan = wf.fit_transform(author_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

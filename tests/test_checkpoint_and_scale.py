@@ -1,0 +1,98 @@
+"""Checkpoint/resume (north_rule) + scale-shape guards: broadcast
+plans, salting correctness, generator determinism."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+from nvtabular_spark.functions.skew import salted_agg
+from nvtabular_spark.sources import (load_manifest, run_partitioned,
+                                     tokenized_sequences)
+
+
+def test_checkpoint_resume_skips_done_buckets(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("e"), (F.col("id") % 7).cast("string"))
+        .alias("entity"))
+    out_path = str(tmp_path / "ckpt")
+    calls = []
+
+    def transform(part):
+        calls.append(1)
+        return part.withColumn("twice", F.col("id") * 2)
+
+    m1 = run_partitioned(df, out_path, "entity", 4, transform,
+                         lineage={"input": "range(1000)", "step": "x2"})
+    assert len(calls) == 4
+    assert all(m1[str(b)]["status"] == "done" for b in range(4))
+    assert sum(m1[str(b)]["rows"] for b in range(4)) == 1000
+    assert all("value_hash" in m1[str(b)] for b in range(4))
+    assert m1["0"]["lineage"]["step"] == "x2"
+
+    # simulate partial failure: mark bucket 2 incomplete, re-run
+    m = load_manifest(out_path)
+    del m["2"]
+    with open(os.path.join(out_path, "_manifest.json"), "w") as fh:
+        json.dump(m, fh)
+    calls.clear()
+    m2 = run_partitioned(df, out_path, "entity", 4, transform)
+    assert len(calls) == 1          # only the missing bucket re-ran
+    assert m2["2"]["rows"] == m1["2"]["rows"]
+    assert m2["2"]["value_hash"] == m1["2"]["value_hash"]
+
+    total = spark.read.parquet(os.path.join(out_path, "bucket=*")).count()
+    assert total == 1000
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 100).alias("v"))
+    plain = df.groupBy("k").agg(F.sum("v").alias("v_sum"),
+                                F.count("v").alias("v_count")) \
+        .orderBy("k").toPandas()
+    salted = salted_agg(df, ["k"], [("v", "sum"), ("v", "count")],
+                        buckets=8).orderBy("k").toPandas()
+    assert plain["v_sum"].tolist() == salted["v_sum"].tolist()
+    assert plain["v_count"].tolist() == salted["v_count"].tolist()
+
+
+def test_tokenized_sequences_deterministic(spark):
+    a = tokenized_sequences(spark, 500, seed=42).orderBy("doc_id").toPandas()
+    b = tokenized_sequences(spark, 500, seed=42, partitions=3) \
+        .orderBy("doc_id").toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert [list(x) for x in a["tokens"]] == [list(x) for x in b["tokens"]]
+    # invariant: n_tok == len(tokens)
+    assert (a["n_tok"] == a["tokens"].map(len)).all()
+    assert a["tokens"].map(lambda t: max(t) < 50000 and min(t) >= 0).all()
+    # skew: hot entities own a sizable share
+    share = (a["entity_id"].str.startswith("e_hot")).mean()
+    assert 0.10 < share < 0.35
+
+
+def test_join_groupby_transform_is_broadcast(spark):
+    rng = np.random.RandomState(1)
+    df = spark.createDataFrame(pd.DataFrame({
+        "cat": rng.choice(["a", "b"], 100), "v": rng.rand(100)}))
+    jg = ops.JoinGroupby(cont_cols=["v"], stats=["mean"])
+    out = nvt.Workflow(["cat"] >> jg).fit_transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_expression_ops_fuse_into_single_codegen_stage(spark):
+    """FillMissing→Clip→LogOp must stay one WholeStageCodegen projection
+    — no shuffle, no extra stages (the 100 TB pipeline-fusion guard)."""
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    chain = ["x"] >> ops.FillMissing() >> ops.Clip(min_value=0) \
+        >> ops.LogOp(out_dtype="double")
+    out = nvt.Workflow(chain).fit_transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan      # no shuffle anywhere
+    # codegen stages print as "*(n)"; everything must fuse into stage 1
+    assert "*(1)" in plan and "*(2)" not in plan

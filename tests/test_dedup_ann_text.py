@@ -1,0 +1,169 @@
+"""Training-data pipeline ops: dedup, ANN, text analysis, token
+byte-equality (BASELINE.json input_hint invariant)."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+from nvtabular_spark.functions import ann, dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",      # exact dup
+            "The quick brown fox jumps over the lazy dog!",     # case/punct dup
+            "the quick brown fox leaps over the lazy dog",      # near dup
+            "completely different text about spark engines here",
+            "short",
+        ],
+    }))
+
+
+def test_exact_dedup_normalized(spark, docs_df):
+    out = dedup.exact_duplicates(docs_df).orderBy("doc_id").toPandas()
+    # docs 0,1,2 share the normalized fingerprint; canonical = 0
+    assert out.loc[out["doc_id"].isin([0, 1, 2]), "canonical_id"] \
+        .tolist() == [0, 0, 0]
+    assert out["is_dup"].tolist() == [False, True, True, False, False, False]
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs_df):
+    sigs = docs_df.filter("doc_id < 2").select(
+        dedup.minhash_signature(F.col("text"), 8).alias("s")).toPandas()
+    assert list(sigs["s"][0]) == list(sigs["s"][1])
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = dedup.minhash_lsh_pairs(docs_df, num_hashes=8, bands=4) \
+        .toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got                       # identical docs always pair
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_hamming_near_dups(spark, docs_df):
+    pairs = dedup.simhash_near_dups(docs_df, bits=16, max_hamming=2) \
+        .toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got
+    d = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert d.loc[(0, 1)] == 0
+
+
+def test_ngram_jaccard_values(spark, docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.3,
+                                      max_posting=None).toPandas()
+    d = pairs.set_index(["id_a", "id_b"])["jaccard"]
+    assert d.loc[(0, 1)] == 1.0
+    # doc 3 differs in 1 word of 9 → shares 4 of 7 trigrams with doc 0
+    assert 0.3 < d.loc[(0, 3)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(50, 16).astype("float32")
+    vecs[1] = vecs[0] * 2.0                     # same direction as 0
+    return spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(50)),
+        "embedding": [v.tolist() for v in vecs]}))
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    out = ann.brute_force_topk(emb_df, emb_df.filter("vec_id = 0"), k=5) \
+        .toPandas()
+    pdf = emb_df.toPandas()
+    m = np.stack([np.array(v) for v in pdf["embedding"]]).astype("float64")
+    sims = m @ m[0] / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[0]))
+    order = [i for i in np.argsort(-sims) if i != 0][:5]
+    assert out.sort_values("rank")["neighbor_id"].tolist() == order
+    assert out.sort_values("rank")["neighbor_id"].iloc[0] == 1  # colinear vec
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    exact = ann.brute_force_topk(emb_df, emb_df.filter("vec_id < 5"), k=3) \
+        .toPandas()
+    approx = ann.lsh_topk(emb_df, emb_df.filter("vec_id < 5"), k=3, dim=16,
+                          num_planes=4, multiprobe_hamming=2).toPandas()
+    # rank-1 neighbor recall over the 5 queries should be high
+    e1 = exact[exact["rank"] == 1].set_index("query_id")["neighbor_id"]
+    a1 = approx[approx["rank"] == 1].set_index("query_id")["neighbor_id"]
+    hits = sum(int(a1.get(q, -1) == e1[q]) for q in e1.index)
+    assert hits >= 3
+
+
+def test_embedding_near_dups_exact(spark, emb_df):
+    pairs = ann.embedding_near_dups(emb_df, threshold=0.999, dim=16,
+                                    exact=True).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got
+
+
+def test_text_token_count_and_quality(spark, docs_df):
+    out = docs_df.select(
+        "doc_id", text.token_count(F.col("text")).alias("n"),
+        text.quality_score(F.col("text")).alias("q")).orderBy("doc_id") \
+        .toPandas()
+    assert out["n"].tolist() == [9, 9, 9, 9, 7, 1]
+    assert ((out["q"] >= 0) & (out["q"] <= 1)).all()
+
+
+def test_lang_id_stopword_heuristic(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": [
+        "the cat and the dog in a house",
+        "der Hund ist nicht mit der Katze",
+        "el perro y la casa es un lugar",
+        "xyzzy plugh qwerty",
+    ]}))
+    out = df.select(text.lang_id(F.col("t")).alias("l")).toPandas()
+    assert out["l"].tolist() == ["en", "de", "es", "en"]
+
+
+def test_tokens_byte_equality_through_pipeline(spark):
+    """input_hint invariant: token arrays byte-equal through the
+    pipeline (no float coercion, no reordering)."""
+    rng = np.random.RandomState(2)
+    toks = [rng.randint(0, 50000, rng.randint(1, 30)).astype("int32")
+            for _ in range(50)]
+    pdf = pd.DataFrame({"doc_id": range(50),
+                        "tokens": [t.tolist() for t in toks],
+                        "x": rng.randn(50)})
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow(
+        (["x"] >> ops.FillMissing() >> ops.Normalize())
+        + ["doc_id", "tokens"])
+    out = wf.fit_transform(df).orderBy("doc_id").toPandas()
+    for orig, got in zip(toks, out["tokens"]):
+        assert np.asarray(got, dtype="int32").tobytes() == orig.tobytes()
+    # and through a pandas_udf op (Arrow round trip)
+    cat = ops.Categorify(list_strategy="udf")
+    wf2 = nvt.Workflow((["tokens"] >> cat) + ["doc_id"])
+    out2 = wf2.fit_transform(df).orderBy("doc_id").toPandas()
+    assert all(len(a) == len(b) for a, b in zip(out2["tokens"], toks))
+
+
+def test_multimodal_plumbing(spark):
+    from nvtabular_spark.sources import multimodal as mm
+    base = spark.range(10).select(F.col("id").cast("string").alias("doc_id"))
+    with_bin = mm.attach_fake_binary(base, "doc_id", payload_bytes=64)
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    feats = mm.extract_image_features(with_bin, feature_dim=8).toPandas()
+    assert len(feats) == 10
+    assert all(len(f) == 8 for f in feats["features"])
+    # determinism across runs
+    feats2 = mm.extract_image_features(with_bin, feature_dim=8).toPandas()
+    a = feats.sort_values("doc_id")["features"].tolist()
+    b = feats2.sort_values("doc_id")["features"].tolist()
+    assert [list(x) for x in a] == [list(x) for x in b]
+    frames = mm.sample_video_frames(with_bin, every_n=2).toPandas()
+    assert (frames.groupby("doc_id").size() > 0).all()
+    # strict mode marks the stub boundary
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        mm.extract_image_features(with_bin, strict=True).collect()

@@ -1,0 +1,236 @@
+"""Stateless + stat ops vs pandas/numpy oracles
+(reference tests/unit/test_dask_nvt.py:144-181 pattern)."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+
+
+@pytest.fixture(scope="module")
+def num_pdf():
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({
+        "x": rng.randn(200) * 10,
+        "y": rng.rand(200) * 100,
+        "cat": rng.choice(["a", "b", "c"], 200),
+        "rid": np.arange(200, dtype="int64"),
+    })
+    pdf.loc[rng.choice(200, 10, replace=False), "x"] = None
+    return pdf
+
+
+def test_fillmissing_indicator(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow(
+        (["x"] >> ops.FillMissing(fill_val=-5, add_binary_cols=True)) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    exp = num_pdf["x"].fillna(-5)
+    np.testing.assert_allclose(out["x"], exp, rtol=1e-12)
+    assert out["x_filled"].tolist() == num_pdf["x"].isna().tolist()
+
+
+def test_fillmedian(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow((["x"] >> ops.FillMedian()) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    med = num_pdf["x"].median()
+    np.testing.assert_allclose(out["x"], num_pdf["x"].fillna(med), rtol=1e-12)
+
+
+def test_normalize_ddof1(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow((["y"] >> ops.Normalize()) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    exp = (num_pdf["y"] - num_pdf["y"].mean()) / num_pdf["y"].std(ddof=1)
+    np.testing.assert_allclose(out["y"], exp, rtol=1e-9)
+
+
+def test_normalize_minmax(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow((["y"] >> ops.NormalizeMinMax()) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    y = num_pdf["y"]
+    np.testing.assert_allclose(out["y"], (y - y.min()) / (y.max() - y.min()),
+                               rtol=1e-12)
+
+
+def test_logop_clip_list_and_scalar(spark):
+    pdf = pd.DataFrame({"v": [0.0, 1.0, 100.0], "l": [[0.0, 1.0], [2.0], []],
+                        "rid": [1, 2, 3]})
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow(
+        (["v"] >> ops.Clip(min_value=0.5) >> ops.LogOp(out_dtype="double"))
+        + (["l"] >> ops.LogOp(out_dtype="double") >> ops.Rename(postfix="_log"))
+        + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    np.testing.assert_allclose(out["v"], np.log1p([0.5, 1.0, 100.0]))
+    assert [list(np.round(x, 9)) for x in out["l_log"]] == \
+        [list(np.round(np.log1p(x), 9)) for x in pdf["l"]]
+
+
+def test_bucketize(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [-5.0, 0.0, 5.0, 15.0, 50.0],
+                                             "rid": range(5)}))
+    wf = nvt.Workflow((["v"] >> ops.Bucketize([0.0, 10.0, 20.0])) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    assert out["v"].tolist() == list(np.digitize([-5, 0, 5, 15, 50],
+                                                 [0, 10, 20]))
+
+
+def test_hashbucket_range_and_determinism(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow((["cat"] >> ops.HashBucket(num_buckets=7)) + ["rid"])
+    out1 = wf.fit_transform(df).orderBy("rid").toPandas()
+    out2 = wf.transform(df.repartition(5)).orderBy("rid").toPandas()
+    assert out1["cat"].between(0, 6).all()
+    assert out1["cat"].tolist() == out2["cat"].tolist()
+    # same input value → same bucket
+    m = pd.DataFrame({"cat": num_pdf["cat"], "b": out1["cat"]})
+    assert (m.groupby("cat")["b"].nunique() == 1).all()
+
+
+def test_hashed_cross(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow(
+        (["cat", "rid"] >> ops.HashedCross(num_buckets=13)) + ["rid"])
+    out = wf.fit_transform(df).toPandas()
+    assert "cat_X_rid" in out.columns
+    assert out["cat_X_rid"].between(0, 12).all()
+
+
+def test_listslice_negative_and_pad(spark):
+    pdf = pd.DataFrame({"l": [[1, 2, 3, 4, 5], [1], []], "rid": [1, 2, 3]})
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow(
+        (["l"] >> ops.ListSlice(-3) >> ops.Rename(name="last3"))
+        + (["l"] >> ops.ListSlice(0, 4, pad=True, pad_value=-1)
+           >> ops.Rename(name="pad4")) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    assert [list(x) for x in out["last3"]] == [[3, 4, 5], [1], []]
+    assert [list(x) for x in out["pad4"]] == \
+        [[1, 2, 3, 4], [1, -1, -1, -1], [-1, -1, -1, -1]]
+
+
+def test_lambdaop_pandas_udf(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+
+    def double_it(s):   # nested → cloudpickled by value, works on executors
+        return s * 2
+
+    wf = nvt.Workflow(
+        (["y"] >> ops.LambdaOp(double_it, dtype="double")) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    np.testing.assert_allclose(out["y"], num_pdf["y"] * 2, rtol=1e-12)
+
+
+def test_lambdaop_expr_mode(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow(
+        (["y"] >> ops.LambdaOp(lambda c: c + 1, is_expr=True)) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    np.testing.assert_allclose(out["y"], num_pdf["y"] + 1, rtol=1e-12)
+
+
+def test_dropna_filter(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow((["x"] >> ops.Dropna() >> ops.Filter("x > 0")) + ["rid"])
+    out = wf.fit_transform(df).toPandas()
+    exp = num_pdf[num_pdf["x"].notna() & (num_pdf["x"] > 0)]
+    assert len(out) == len(exp)
+    assert set(out["rid"]) == set(exp["rid"])
+
+
+def test_reduce_dtype_size(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "small": pd.array([1, 2, 100], dtype="int64"),
+        "big": pd.array([1, 2, 10 ** 10], dtype="int64"),
+        "f": [1.0, 2.0, 3.0]}))
+    wf = nvt.Workflow(["small", "big", "f"] >> ops.ReduceDtypeSize())
+    out = wf.fit_transform(df)
+    types = dict((f.name, f.dataType.simpleString()) for f in out.schema)
+    assert types["small"] == "tinyint"
+    assert types["big"] == "bigint"
+    assert types["f"] == "float"
+
+
+def test_drop_low_cardinality(spark, num_pdf):
+    pdf = num_pdf.assign(const="same")
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow(["cat", "const"] >> ops.DropLowCardinality(2))
+    out = wf.fit_transform(df)
+    assert out.columns == ["cat"]
+
+
+def test_value_count_and_datastats(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "l": [[1, 2], [1], [1, 2, 3]], "x": [1.0, 2.0, None]}))
+    vc = ops.ValueCount()
+    ds = ops.DataStats()
+    wf = nvt.Workflow((["l"] >> vc) + (["x"] >> ds))
+    wf.fit(df)
+    assert vc.counts["l"] == {"min": 1, "max": 3}
+    assert ds.stats["x"]["min"] == 1.0 and ds.stats["x"]["max"] == 2.0
+    assert abs(ds.stats["x"]["null_frac"] - 1 / 3) < 1e-9
+
+
+def test_groupby_list_aggs_sorted(spark, timeseries_df):
+    g = ops.Groupby(groupby_cols=["id"], sort_cols=["ts"],
+                    aggs={"x": ["list", "first", "last", "sum", "count"]})
+    out = nvt.Workflow(["x"] >> g).transform(timeseries_df).toPandas()
+    pdf = timeseries_df.toPandas().sort_values("ts")
+    for _, row in out.iterrows():
+        grp = pdf[pdf["id"] == row["id"]]["x"]
+        lst = [v for v in row["x_list"] if v == v or v is None]
+        # first/last equal list ends (reference test_groupyby.py:82-105)
+        if len(lst):
+            assert row["x_first"] == row["x_list"][0] or \
+                (pd.isna(row["x_first"]) and pd.isna(row["x_list"][0]))
+            assert row["x_last"] == row["x_list"][-1] or \
+                (pd.isna(row["x_last"]) and pd.isna(row["x_list"][-1]))
+        np.testing.assert_allclose(row["x_sum"], grp.dropna().sum(),
+                                   rtol=1e-9)
+
+
+def test_join_groupby_matches_pandas(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    jg = ops.JoinGroupby(cont_cols=["y"], stats=["count", "sum", "mean", "std"])
+    out = nvt.Workflow((["cat"] >> jg) + ["rid"]).fit_transform(df) \
+        .orderBy("rid").toPandas()
+    g = num_pdf.groupby("cat")["y"]
+    for stat, pd_fn in [("sum", g.sum()), ("mean", g.mean()),
+                        ("std", g.std(ddof=1))]:
+        exp = num_pdf["cat"].map(pd_fn)
+        np.testing.assert_allclose(out[f"cat_y_{stat}"], exp, rtol=1e-9)
+    np.testing.assert_allclose(out["cat_count"],
+                               num_pdf["cat"].map(g.count()), rtol=0)
+
+
+def test_join_external(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    ext = spark.createDataFrame(pd.DataFrame({
+        "key": ["a", "b", "c"], "payload": [10, 20, 30]}))
+    j = ops.JoinExternal(ext, on="cat", on_ext="key", how="left")
+    out = nvt.Workflow((["rid"] >> j)).transform(df).orderBy("rid").toPandas()
+    exp = num_pdf["cat"].map({"a": 10, "b": 20, "c": 30})
+    assert out["payload"].tolist() == exp.tolist()
+
+
+def test_difference_lag(spark, timeseries_df):
+    dl = ops.DifferenceLag(partition_cols="id", shift=[1, -1], order_by="ts")
+    out = nvt.Workflow((["x"] >> dl) + ["id", "ts"]) \
+        .transform(timeseries_df).toPandas()
+    pdf = timeseries_df.toPandas().sort_values(["id", "ts"])
+    exp1 = pdf.groupby("id")["x"].diff(1)
+    got = out.sort_values(["id", "ts"])["x_difference_lag_1"]
+    np.testing.assert_allclose(got.to_numpy(), exp1.to_numpy(), rtol=1e-9,
+                               equal_nan=True)
+
+
+def test_add_metadata_tags(spark, num_pdf):
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow(["cat"] >> ops.TagAsUserID())
+    wf.fit(df)
+    assert "user_id" in wf.output_schema["cat"].tags

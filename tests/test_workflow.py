@@ -1,0 +1,113 @@
+"""Workflow mechanics: DAG algebra, pruning, serialization round-trip
+(reference test_workflow.py:691-838)."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+from nvtabular_spark.plans.serializer import WorkflowSerializationError
+
+
+@pytest.fixture()
+def pipeline_df(spark):
+    rng = np.random.RandomState(5)
+    return spark.createDataFrame(pd.DataFrame({
+        "cat": rng.choice(["a", "b", "c"], 100),
+        "x": rng.randn(100),
+        "y": rng.rand(100),
+        "rid": np.arange(100, dtype="int64"),
+        "fold": (np.arange(100) % 3).astype("int32"),
+    }))
+
+
+def _pipeline():
+    return ((["cat"] >> ops.Categorify())
+            + (["x"] >> ops.FillMissing() >> ops.Normalize())
+            + (["cat"] >> ops.TargetEncoding(
+                target="y", fold_col="fold", fold_is_precomputed=True)
+               >> ops.Rename(postfix="_smoothed"))
+            + ["rid"])
+
+
+def test_save_load_round_trip(spark, pipeline_df, tmp_path):
+    """Reference contract: transform-after-load ≡ transform-before-save
+    (test_workflow.py:691-725)."""
+    wf = nvt.Workflow(_pipeline())
+    before = wf.fit_transform(pipeline_df).orderBy("rid").toPandas()
+    path = str(tmp_path / "wf")
+    wf.save(path)
+    wf2 = nvt.Workflow.load(path, spark)
+    after = wf2.transform(pipeline_df).orderBy("rid").toPandas()
+    pd.testing.assert_frame_equal(before, after)
+    assert os.path.exists(os.path.join(path, "graph.json"))
+    assert os.path.exists(os.path.join(path, "metadata.json"))
+
+
+def test_lambda_rejected_at_save(spark, pipeline_df, tmp_path):
+    wf = nvt.Workflow((["x"] >> ops.LambdaOp(lambda s: s + 1)) + ["rid"])
+    wf.fit(pipeline_df)
+    with pytest.raises(WorkflowSerializationError):
+        wf.save(str(tmp_path / "bad"))
+
+
+def test_input_column_pruning(spark, pipeline_df):
+    """Reference workflow.py:239 — only DAG-referenced columns are read."""
+    wf = nvt.Workflow(["cat"] >> ops.Categorify())
+    assert set(wf.input_columns()) == {"cat"}
+    wf2 = nvt.Workflow(_pipeline())
+    assert set(wf2.input_columns()) == {"cat", "x", "y", "rid", "fold"}
+
+
+def test_branch_subtraction_and_subset(spark, pipeline_df):
+    node = (["cat", "x", "rid"] >> ops.FillMissing()) - ["x"]
+    out = nvt.Workflow(node).fit_transform(pipeline_df)
+    assert out.columns == ["cat", "rid"]
+    node2 = (["cat", "x", "rid"] >> ops.FillMissing())["rid"]
+    out2 = nvt.Workflow(node2).fit_transform(pipeline_df)
+    assert out2.columns == ["rid"]
+
+
+def test_fit_is_idempotent_per_fit_call(spark, pipeline_df):
+    wf = nvt.Workflow(_pipeline())
+    a = wf.fit_transform(pipeline_df).orderBy("rid").toPandas()
+    b = wf.transform(pipeline_df).orderBy("rid").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_transform_new_data_uses_frozen_stats(spark, pipeline_df):
+    wf = nvt.Workflow((["x"] >> ops.Normalize()) + ["rid"])
+    wf.fit(pipeline_df)
+    op = wf.plan.order[1].op if wf.plan.order[1].op else wf.plan.order[0].op
+    new = spark.createDataFrame(pd.DataFrame({
+        "x": [1000.0], "rid": [0]}))
+    out = wf.transform(new).toPandas()
+    node_op = [n.op for n in wf.plan.order
+               if n.op and isinstance(n.op, ops.Normalize)][0]
+    exp = (1000.0 - node_op.means["x"]) / node_op.stds["x"]
+    np.testing.assert_allclose(out["x"].iloc[0], exp, rtol=1e-12)
+
+
+def test_output_schema_tags(spark, pipeline_df):
+    wf = nvt.Workflow(_pipeline())
+    wf.fit(pipeline_df)
+    assert "categorical" in wf.output_schema["cat"].tags
+    assert "continuous" in wf.output_schema["x"].tags
+
+
+def test_source_scan_prunes_columns(spark, tmp_path, pipeline_df):
+    """ReadSchema of the parquet scan must contain only DAG columns —
+    the 100 TB scan-cost guard."""
+    p = str(tmp_path / "t.parquet")
+    pipeline_df.write.parquet(p)
+    df = spark.read.parquet(p)
+    wf = nvt.Workflow(["cat"] >> ops.Categorify())
+    wf.fit(df)
+    plan = wf.transform(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert read_schema and "x" not in read_schema.group(1)
+    assert "cat" in read_schema.group(1)
