@@ -67,6 +67,11 @@ class Operator:
     #: False for ops that drop/aggregate rows (Filter, Dropna, Groupby)
     row_preserving: bool = True
 
+    #: True when transform is a pure per-row projection (expressions /
+    #: pandas_udf) — cheap enough to replay on the compiler's lean frame
+    #: for batched fits. False for joins, windows, aggregations.
+    cheap_transform: bool = True
+
     # -- naming -----------------------------------------------------------
     def output_column_names(self, selector: ColumnSelector) -> List[str]:
         return list(selector.names)
@@ -175,6 +180,37 @@ class StatOperator(Operator):
         params = super().save_params()
         params.pop("fitted", None)
         return params
+
+
+class AggStatOperator(StatOperator):
+    """A StatOperator whose whole fit is ONE row of aggregate
+    expressions. The compiler batches every pending AggStatOperator in
+    the DAG into a single ``df.agg(...)`` job (one scan of the input for
+    ALL of them) — the Spark-first equivalent of the reference's single
+    partition sweep computing all column statistics together
+    (moments.py:28-61). Set ``defer_ok = False`` when output column
+    names depend on the fitted state (must fit eagerly)."""
+
+    defer_ok: bool = True
+
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
+        """Return aggregate Column expressions with globally-unique
+        aliases (use :meth:`_alias`)."""
+        raise NotImplementedError
+
+    def consume_agg(self, row) -> None:
+        raise NotImplementedError
+
+    def _alias(self, name: str) -> str:
+        if not hasattr(self, "_agg_prefix"):
+            import uuid
+            self._agg_prefix = f"a{uuid.uuid4().hex[:8]}"
+        return f"{self._agg_prefix}__{name}"
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        row = df.agg(*self.agg_requests(ctx, df)).collect()[0]
+        self.consume_agg(row)
+        self.fitted = True
 
 
 def _json_safe(v) -> bool:

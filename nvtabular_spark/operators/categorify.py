@@ -71,6 +71,8 @@ def _md5_bucket_py(value, num_buckets: int) -> int:
 
 
 class Categorify(StatOperator):
+    cheap_transform = False  # broadcast-join-backed transform
+
     def __init__(self, freq_threshold: Union[int, Dict[str, int]] = 0,
                  encode_type: str = "joint",
                  num_buckets: Union[None, int, Dict[str, int]] = None,
@@ -136,15 +138,88 @@ class Categorify(StatOperator):
 
     # -- fit --------------------------------------------------------------------
     def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        """One-scan fit: all scalar column counts of a common dtype are
+        stacked (explode of a struct array — a flatMap, no extra scan)
+        into a single groupBy job whose result is materialized once;
+        per-group vocab ranking then runs on that small counts table.
+        Replaces the reference's per-column ``_groupby_to_disk`` task
+        graphs (categorify.py:1344-1540) with Catalyst-planned partial+
+        final aggregation."""
         self._vocab_dfs, self._paths, self._sizes = {}, {}, {}
-        for g in self._groups(ctx.selector):
+        groups = self._groups(ctx.selector)
+
+        # classify groups
+        stackable: list = []   # (key, col, tag, cast_string)
+        solo: list = []        # groups handled individually
+        for g in groups:
+            key = self._group_key(g)
+            if self.vocabs and key in self.vocabs:
+                continue
+            if self.encode_type == "combo" and len(g) > 1:
+                solo.append(g)
+                continue
+            cast_string = len(g) > 1
+            ok = True
+            for col in g:
+                act = ctx.inputs.get(col, col)
+                if isinstance(df.schema[act].dataType, ArrayType):
+                    ok = False   # list columns explode differently
+            if ok:
+                for col in g:
+                    stackable.append((key, col, f"{key}::{col}", cast_string))
+            else:
+                solo.append(g)
+
+        counts_by_key: Dict[str, DataFrame] = {}
+        if stackable:
+            # bucket by value dtype so the struct array is homogeneous
+            buckets: Dict[str, list] = {}
+            for key, col, tag, cast_string in stackable:
+                act = ctx.inputs.get(col, col)
+                dt = "string" if cast_string \
+                    else df.schema[act].dataType.simpleString()
+                buckets.setdefault(dt, []).append((key, col, tag, cast_string))
+            for dt, entries in buckets.items():
+                structs = []
+                for key, col, tag, cast_string in entries:
+                    act = ctx.inputs.get(col, col)
+                    v = F.col(act).cast("string") if cast_string else F.col(act)
+                    structs.append(F.struct(F.lit(tag).alias("__c__"),
+                                            v.alias("value")))
+                stacked = df.select(
+                    F.explode(F.array(*structs)).alias("kv")
+                ).select("kv.__c__", "kv.value") \
+                    .filter(F.col("value").isNotNull())
+                counts = stacked.groupBy("__c__", "value").agg(
+                    F.count(F.lit(1)).alias("value_count"))
+                counts_m, _ = materialize(counts, f"counts_{dt}",
+                                          self.out_path)
+                for key, col, tag, cast_string in entries:
+                    part = counts_m.filter(F.col("__c__") == tag) \
+                        .select("value", "value_count")
+                    if key in counts_by_key:   # joint group: merge members
+                        counts_by_key[key] = counts_by_key[key].unionAll(part)
+                    else:
+                        counts_by_key[key] = part
+            # joint groups with >1 member: same value across members sums
+            for g in groups:
+                key = self._group_key(g)
+                if key in counts_by_key and len(g) > 1:
+                    counts_by_key[key] = counts_by_key[key] \
+                        .groupBy("value") \
+                        .agg(F.sum("value_count").alias("value_count"))
+
+        for g in groups:
             key = self._group_key(g)
             if self.vocabs and key in self.vocabs:
                 vocab = self._user_vocab(df.sparkSession, key, self.vocabs[key])
+            elif key in counts_by_key:
+                vocab = self._rank_vocab(counts_by_key[key], key,
+                                         value_cols=["value"])
             elif self.encode_type == "combo" and len(g) > 1:
                 vocab = self._fit_combo(ctx, df, g)
             else:
-                vocab = self._fit_joint(ctx, df, g)
+                vocab = self._fit_list_or_single(ctx, df, g)
             self._vocab_dfs[key], self._paths[key] = materialize(
                 vocab, f"unique.{key}.parquet", self.out_path)
             self._sizes[key] = self._vocab_dfs[key].count() + self._start_index(key)
@@ -158,7 +233,9 @@ class Categorify(StatOperator):
             return F.explode(c)
         return c
 
-    def _fit_joint(self, ctx, df: DataFrame, cols: tuple) -> DataFrame:
+    def _fit_list_or_single(self, ctx, df: DataFrame, cols: tuple) -> DataFrame:
+        """Fallback path: list columns (element-wise explode) and joint
+        groups containing list columns."""
         key = self._group_key(cols)
         parts = []
         for col in cols:
@@ -172,7 +249,10 @@ class Categorify(StatOperator):
         counts = (values.filter(F.col("value").isNotNull())
                   .groupBy("value")
                   .agg(F.count(F.lit(1)).alias("value_count")))
-        return self._rank_vocab(counts, key, value_cols=["value"])
+        # materialize BEFORE ranking so the rank's per-partition count
+        # job reruns over the small counts table, not the full input
+        counts_m, _ = materialize(counts, f"counts.{key}", self.out_path)
+        return self._rank_vocab(counts_m, key, value_cols=["value"])
 
     def _fit_combo(self, ctx, df: DataFrame, cols: tuple) -> DataFrame:
         key = self._group_key(cols)
@@ -183,7 +263,8 @@ class Categorify(StatOperator):
                       f"value_{i} IS NOT NULL" for i in range(len(acts)))))
                   .groupBy(*[f"value_{i}" for i in range(len(acts))])
                   .agg(F.count(F.lit(1)).alias("value_count")))
-        return self._rank_vocab(counts, key,
+        counts_m, _ = materialize(counts, f"counts.{key}", self.out_path)
+        return self._rank_vocab(counts_m, key,
                                 value_cols=[f"value_{i}" for i in range(len(cols))])
 
     def _rank_vocab(self, counts: DataFrame, key: str,

@@ -13,49 +13,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, NumericType, StringType
 
-from .base import StatOperator, TransformContext
+from .base import AggStatOperator, TransformContext
 
 
-class DataStats(StatOperator):
+class DataStats(AggStatOperator):
     def __init__(self, exact_cardinality: bool = False):
         super().__init__()
         self.exact_cardinality = exact_cardinality
         self.stats: Dict[str, dict] = {}
 
-    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
         aggs = []
         total = F.count(F.lit(1))
+        self._pubs = [pub for pub, _ in ctx.pairs()]
+        self._dtypes = {pub: df.schema[act].dataType.simpleString()
+                        for pub, act in ctx.pairs()}
         for pub, act in ctx.pairs():
             dt = df.schema[act].dataType
             c = F.col(act)
             if dt.simpleString() in ("double", "float"):
                 c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ null
             aggs.append((F.sum(c.isNull().cast("long")) / total)
-                        .alias(f"{pub}__null_frac"))
+                        .alias(self._alias(f"{pub}::null_frac")))
             if isinstance(dt, NumericType):
-                aggs += [F.min(c).alias(f"{pub}__min"),
-                         F.max(c).alias(f"{pub}__max"),
-                         F.mean(c.cast("double")).alias(f"{pub}__mean"),
-                         F.stddev_samp(c.cast("double")).alias(f"{pub}__std")]
+                aggs += [F.min(c).alias(self._alias(f"{pub}::min")),
+                         F.max(c).alias(self._alias(f"{pub}::max")),
+                         F.mean(c.cast("double"))
+                         .alias(self._alias(f"{pub}::mean")),
+                         F.stddev_samp(c.cast("double"))
+                         .alias(self._alias(f"{pub}::std"))]
             elif isinstance(dt, StringType):
                 card = (F.count_distinct(c) if self.exact_cardinality
                         else F.approx_count_distinct(c))
-                aggs += [card.cast("long").alias(f"{pub}__cardinality"),
-                         F.min(F.length(c)).alias(f"{pub}__min"),
-                         F.max(F.length(c)).alias(f"{pub}__max"),
-                         F.mean(F.length(c)).alias(f"{pub}__mean")]
+                aggs += [card.cast("long")
+                         .alias(self._alias(f"{pub}::cardinality")),
+                         F.min(F.length(c)).alias(self._alias(f"{pub}::min")),
+                         F.max(F.length(c)).alias(self._alias(f"{pub}::max")),
+                         F.mean(F.length(c))
+                         .alias(self._alias(f"{pub}::mean"))]
             elif isinstance(dt, ArrayType):
-                aggs += [F.min(F.size(c)).alias(f"{pub}__min"),
-                         F.max(F.size(c)).alias(f"{pub}__max"),
-                         F.mean(F.size(c)).alias(f"{pub}__mean")]
-        row = df.agg(*aggs).collect()[0].asDict()
+                aggs += [F.min(F.size(c)).alias(self._alias(f"{pub}::min")),
+                         F.max(F.size(c)).alias(self._alias(f"{pub}::max")),
+                         F.mean(F.size(c)).alias(self._alias(f"{pub}::mean"))]
+        return aggs
+
+    def consume_agg(self, row) -> None:
+        d = row.asDict()
+        prefix = self._agg_prefix + "__"
         self.stats = {}
-        for pub, act in ctx.pairs():
-            st = {k.split("__", 1)[1]: v for k, v in row.items()
-                  if k.startswith(f"{pub}__")}
-            st["dtype"] = df.schema[act].dataType.simpleString()
+        for pub in self._pubs:
+            st = {k[len(prefix) + len(pub) + 2:]: v for k, v in d.items()
+                  if k.startswith(f"{prefix}{pub}::")}
+            st["dtype"] = self._dtypes[pub]
             self.stats[pub] = st
-        self.fitted = True
 
     def expr(self, col, name, df, ctx):
         return col

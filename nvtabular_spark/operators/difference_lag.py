@@ -20,6 +20,8 @@ from ..plans.graph import ColumnSelector
 
 
 class DifferenceLag(Operator):
+    cheap_transform = False  # window-backed
+
     def __init__(self, partition_cols: Union[str, List[str]],
                  shift: Union[int, List[int]] = 1,
                  order_by: Optional[Union[str, List[str]]] = None):

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.types import DoubleType, FloatType
 
-from .base import Operator, StatOperator, TransformContext
+from .base import AggStatOperator, Operator, StatOperator, TransformContext
 from ..plans.graph import ColumnSelector
 
 
@@ -54,13 +54,13 @@ class FillMissing(Operator):
         return ["continuous"]
 
 
-class FillMedian(StatOperator):
+class FillMedian(AggStatOperator):
     """fit: per-column median; transform: fillna(median).
 
     The reference uses an approximate quantile (fill.py:115-126); we use
     exact ``percentile`` by default for oracle parity, with
     ``approx=True`` switching to ``percentile_approx`` (single-pass
-    sketch — the right choice at 100 TB).
+    sketch — the right choice at 100 TB). Batchable fit.
     """
 
     def __init__(self, add_binary_cols: bool = False, approx: bool = False):
@@ -75,13 +75,14 @@ class FillMedian(StatOperator):
             out += [f"{c}_filled" for c in selector.names]
         return out
 
-    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
         fn = F.percentile_approx if self.approx else F.percentile
-        aggs = [fn(_null_if_nan(df, act), F.lit(0.5)).alias(pub)
+        self._pubs = [pub for pub, _ in ctx.pairs()]
+        return [fn(_null_if_nan(df, act), F.lit(0.5)).alias(self._alias(pub))
                 for pub, act in ctx.pairs()]
-        row = df.agg(*aggs).collect()[0]
-        self.medians = {pub: row[pub] for pub, _ in ctx.pairs()}
-        self.fitted = True
+
+    def consume_agg(self, row) -> None:
+        self.medians = {pub: row[self._alias(pub)] for pub in self._pubs}
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         self._require_fitted()

@@ -40,6 +40,8 @@ _ORDERED_AGGS = ("list", "first", "last")
 class Groupby(Operator):
     row_preserving = False
 
+    cheap_transform = False  # aggregation
+
     def __init__(self, groupby_cols: Union[str, List[str]],
                  sort_cols: Optional[Union[str, List[str]]] = None,
                  aggs: Union[str, List[str], Dict[str, list]] = "list",

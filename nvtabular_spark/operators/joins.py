@@ -41,6 +41,8 @@ class JoinExternal(Operator):
     default — at 100 TB the external dim table must not shuffle the
     fact side; set False to let AQE pick (e.g. when ext is huge)."""
 
+    cheap_transform = False  # join-backed
+
     def __init__(self, df_ext: DataFrame, on: Union[str, List[str]],
                  how: str = "left", on_ext: Optional[Union[str, List[str]]] = None,
                  columns_ext: Optional[List[str]] = None,
@@ -114,6 +116,8 @@ class JoinGroupby(StatOperator):
     parquet; transform: broadcast left-join stats onto rows. Output
     names ``<key>_<cont>_<stat>`` and ``<key>_count``
     (join_groupby.py:175-217, 252-261)."""
+
+    cheap_transform = False  # join-backed
 
     def __init__(self, cont_cols: Optional[List[str]] = None,
                  stats: Optional[List[str]] = None, out_path: Optional[str] = None,

@@ -14,7 +14,7 @@ from typing import Dict, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .base import Operator, StatOperator, TransformContext
+from .base import AggStatOperator, Operator, StatOperator, TransformContext
 
 
 class ListSlice(Operator):
@@ -73,25 +73,28 @@ class ListSlice(Operator):
         return ["list"]
 
 
-class ValueCount(StatOperator):
+class ValueCount(AggStatOperator):
     """fit: min/max list length per column → schema ``value_count``
-    properties; transform: identity (value_counts.py:26-75)."""
+    properties; transform: identity (value_counts.py:26-75). Batchable."""
 
     def __init__(self):
         super().__init__()
         self.counts: Dict[str, dict] = {}
 
-    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
+        self._pubs = [pub for pub, _ in ctx.pairs()]
         aggs = []
         for pub, act in ctx.pairs():
-            aggs += [F.min(F.size(F.col(act))).alias(f"{pub}__min"),
-                     F.max(F.size(F.col(act))).alias(f"{pub}__max")]
-        row = df.agg(*aggs).collect()[0]
+            aggs += [F.min(F.size(F.col(act))).alias(self._alias(f"{pub}__min")),
+                     F.max(F.size(F.col(act))).alias(self._alias(f"{pub}__max"))]
+        return aggs
+
+    def consume_agg(self, row) -> None:
         self.counts = {
-            pub: {"min": row[f"{pub}__min"], "max": row[f"{pub}__max"]}
-            for pub, _ in ctx.pairs()
+            pub: {"min": row[self._alias(f"{pub}__min")],
+                  "max": row[self._alias(f"{pub}__max")]}
+            for pub in self._pubs
         }
-        self.fitted = True
 
     def expr(self, col, name, df, ctx):
         return col

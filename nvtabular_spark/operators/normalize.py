@@ -18,13 +18,14 @@ from typing import Dict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .base import StatOperator, TransformContext
+from .base import AggStatOperator, StatOperator, TransformContext
 
 
-class Normalize(StatOperator):
+class Normalize(AggStatOperator):
     """z-score: ``(x - mean) / std`` with sample std (ddof=1); columns
     with std == 0 pass through centered (guard mirrors
-    normalize.py:86-90)."""
+    normalize.py:86-90). Batchable: its fit is one count/sum/sum² agg
+    (moments.py:28-116), fused with sibling stat ops into one job."""
 
     def __init__(self, out_dtype: str = "double"):
         super().__init__()
@@ -32,27 +33,29 @@ class Normalize(StatOperator):
         self.means: Dict[str, float] = {}
         self.stds: Dict[str, float] = {}
 
-    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
         aggs = []
+        self._pubs = [pub for pub, _ in ctx.pairs()]
         for pub, act in ctx.pairs():
             c = F.col(act).cast("double")
             c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ missing
             aggs += [
-                F.count(c).alias(f"{pub}__n"),
-                F.sum(c).alias(f"{pub}__s"),
-                F.sum(c * c).alias(f"{pub}__s2"),
+                F.count(c).alias(self._alias(f"{pub}__n")),
+                F.sum(c).alias(self._alias(f"{pub}__s")),
+                F.sum(c * c).alias(self._alias(f"{pub}__s2")),
             ]
-        row = df.agg(*aggs).collect()[0]
-        for pub, _ in ctx.pairs():
-            n = row[f"{pub}__n"] or 0
-            s = row[f"{pub}__s"] or 0.0
-            s2 = row[f"{pub}__s2"] or 0.0
+        return aggs
+
+    def consume_agg(self, row) -> None:
+        for pub in self._pubs:
+            n = row[self._alias(f"{pub}__n")] or 0
+            s = row[self._alias(f"{pub}__s")] or 0.0
+            s2 = row[self._alias(f"{pub}__s2")] or 0.0
             mean = s / n if n else 0.0
             # ddof=1 finalize, exactly moments.py:89-116
             var = (s2 - s * s / n) / (n - 1) if n > 1 else 0.0
             self.means[pub] = float(mean)
             self.stds[pub] = math.sqrt(max(var, 0.0))
-        self.fitted = True
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         self._require_fitted()
@@ -81,9 +84,9 @@ class Normalize(StatOperator):
         return ["continuous"]
 
 
-class NormalizeMinMax(StatOperator):
+class NormalizeMinMax(AggStatOperator):
     """``(x - min) / (max - min)``; when max == min the reference yields
-    x/(2x) = 0.5 (normalize.py:196-204)."""
+    x/(2x) = 0.5 (normalize.py:196-204). Batchable fit."""
 
     def __init__(self, out_dtype: str = "double"):
         super().__init__()
@@ -91,17 +94,20 @@ class NormalizeMinMax(StatOperator):
         self.mins: Dict[str, float] = {}
         self.maxs: Dict[str, float] = {}
 
-    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
         aggs = []
+        self._pubs = [pub for pub, _ in ctx.pairs()]
         for pub, act in ctx.pairs():
             c = F.col(act).cast("double")
             c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ missing
-            aggs += [F.min(c).alias(f"{pub}__min"), F.max(c).alias(f"{pub}__max")]
-        row = df.agg(*aggs).collect()[0]
-        for pub, _ in ctx.pairs():
-            self.mins[pub] = float(row[f"{pub}__min"] or 0.0)
-            self.maxs[pub] = float(row[f"{pub}__max"] or 0.0)
-        self.fitted = True
+            aggs += [F.min(c).alias(self._alias(f"{pub}__min")),
+                     F.max(c).alias(self._alias(f"{pub}__max"))]
+        return aggs
+
+    def consume_agg(self, row) -> None:
+        for pub in self._pubs:
+            self.mins[pub] = float(row[self._alias(f"{pub}__min")] or 0.0)
+            self.maxs[pub] = float(row[self._alias(f"{pub}__max")] or 0.0)
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         self._require_fitted()

@@ -13,7 +13,7 @@ from typing import Callable, Dict, List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .base import Operator, StatOperator, TransformContext
+from .base import AggStatOperator, Operator, StatOperator, TransformContext
 from ..plans.graph import ColumnSelector
 
 
@@ -183,24 +183,28 @@ _INT_STEPS = [("tinyint", -128, 127), ("smallint", -32768, 32767),
               ("int", -2147483648, 2147483647), ("bigint", None, None)]
 
 
-class ReduceDtypeSize(StatOperator):
+class ReduceDtypeSize(AggStatOperator):
     """fit: global min/max per column; transform: cast ints to the
     smallest fitting integer type, floats to ``float_dtype``
-    (reference reduce_dtype_size.py:27-86)."""
+    (reference reduce_dtype_size.py:27-86). Batchable fit."""
 
     def __init__(self, float_dtype: str = "float"):
         super().__init__()
         self.float_dtype = float_dtype
         self.ranges: Dict[str, tuple] = {}
 
-    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
+        self._pubs = [pub for pub, _ in ctx.pairs()]
         aggs = []
         for pub, act in ctx.pairs():
-            aggs += [F.min(act).alias(f"{pub}__min"), F.max(act).alias(f"{pub}__max")]
-        row = df.agg(*aggs).collect()[0]
-        self.ranges = {pub: (row[f"{pub}__min"], row[f"{pub}__max"])
-                       for pub, _ in ctx.pairs()}
-        self.fitted = True
+            aggs += [F.min(act).alias(self._alias(f"{pub}__min")),
+                     F.max(act).alias(self._alias(f"{pub}__max"))]
+        return aggs
+
+    def consume_agg(self, row) -> None:
+        self.ranges = {pub: (row[self._alias(f"{pub}__min")],
+                             row[self._alias(f"{pub}__max")])
+                       for pub in self._pubs}
 
     def _target_dtype(self, df: DataFrame, act: str, pub: str) -> Optional[str]:
         dt = df.schema[act].dataType.simpleString()
@@ -232,11 +236,15 @@ class ReduceDtypeSize(StatOperator):
         self.fitted = True
 
 
-class DropLowCardinality(StatOperator):
+class DropLowCardinality(AggStatOperator):
     """Drops categorical columns whose distinct count < min_cardinality
     (reference drop_low_cardinality.py:21-89; there it is schema-driven
     from Categorify metadata — here we measure with
-    approx_count_distinct, exact on small data)."""
+    approx_count_distinct, exact on small data).
+
+    Not deferrable: its output columns depend on the fitted result."""
+
+    defer_ok = False
 
     def __init__(self, min_cardinality: int = 2, exact: bool = True):
         super().__init__()
@@ -244,13 +252,15 @@ class DropLowCardinality(StatOperator):
         self.exact = exact
         self.kept: List[str] = []
 
-    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
         fn = F.count_distinct if self.exact else F.approx_count_distinct
-        aggs = [fn(F.col(act)).alias(pub) for pub, act in ctx.pairs()]
-        row = df.agg(*aggs).collect()[0]
-        self.kept = [pub for pub, _ in ctx.pairs()
-                     if (row[pub] or 0) >= self.min_cardinality]
-        self.fitted = True
+        self._pubs = [pub for pub, _ in ctx.pairs()]
+        return [fn(F.col(act)).alias(self._alias(pub))
+                for pub, act in ctx.pairs()]
+
+    def consume_agg(self, row) -> None:
+        self.kept = [pub for pub in self._pubs
+                     if (row[self._alias(pub)] or 0) >= self.min_cardinality]
 
     def output_column_names(self, selector: ColumnSelector):
         if getattr(self, "fitted", False):

@@ -34,6 +34,8 @@ from ..sources.artifacts import materialize
 
 
 class TargetEncoding(StatOperator):
+    cheap_transform = False  # broadcast-join-backed transform
+
     def __init__(self, target: Union[str, List[str]], fold_col: str,
                  kfold: int = 3, fold_seed: int = 42, p_smooth: float = 20,
                  target_mean: Optional[float] = None, out_dtype: str = "double",
@@ -86,37 +88,45 @@ class TargetEncoding(StatOperator):
 
     # -- fit ------------------------------------------------------------------
     def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        """Single-scan fit per group: only the per-(group, fold) groupBy
+        touches the input; the all-folds table AND the global target
+        mean are re-aggregated from that (small) materialized table —
+        the reference runs three separate passes (target_encoding.py:
+        174-213), we run one."""
         self._all_dfs, self._fold_dfs, self.means = {}, {}, {}
-        # global target means (≙ _custom_moments, reference :174-176)
-        if self.target_mean is not None:
-            for t in self.targets:
-                self.means[t] = float(self.target_mean)
-        else:
-            row = df.agg(*[F.mean(F.col(t).cast("double")).alias(t)
-                           for t in self.targets]).collect()[0]
-            self.means = {t: float(row[t]) for t in self.targets}
-
         dff = df.withColumn("__fold__", self._fold_expr())
-        for g in self._groups(ctx.selector):
+        for gi, g in enumerate(self._groups(ctx.selector)):
             key = self.name_sep.join(g)
             acts = [ctx.inputs.get(c, c) for c in g]
             keys_all = [F.col(a).alias(f"__te_{c}") for a, c in zip(acts, g)]
-            aggs = []
-            for t in self.targets:
-                tc = F.col(t).cast("double")
-                aggs += [F.count(tc).alias(f"__cnt_{t}"),
-                         F.sum(tc).alias(f"__sum_{t}")]
-            g_all = dff.groupBy(*keys_all).agg(*aggs)
             aggs_f = []
             for t in self.targets:
                 tc = F.col(t).cast("double")
                 aggs_f += [F.count(tc).alias(f"__cnt_{t}"),
                            F.sum(tc).alias(f"__sum_{t}")]
             g_fold = dff.groupBy(*(keys_all + [F.col("__fold__")])).agg(*aggs_f)
-            self._all_dfs[key], _ = materialize(
-                g_all, f"te_all_{key}", self.out_path)
             self._fold_dfs[key], _ = materialize(
                 g_fold, f"te_fold_{key}", self.out_path)
+
+            folded = self._fold_dfs[key]
+            g_all = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
+                *[F.sum(f"__cnt_{t}").alias(f"__cnt_{t}")
+                  for t in self.targets],
+                *[F.sum(f"__sum_{t}").alias(f"__sum_{t}")
+                  for t in self.targets])
+            self._all_dfs[key], _ = materialize(
+                g_all, f"te_all_{key}", self.out_path)
+
+            if gi == 0:
+                # global mean from the same small table — no extra scan
+                if self.target_mean is not None:
+                    self.means = {t: float(self.target_mean)
+                                  for t in self.targets}
+                else:
+                    row = folded.agg(
+                        *[(F.sum(f"__sum_{t}") / F.sum(f"__cnt_{t}"))
+                          .alias(t) for t in self.targets]).collect()[0]
+                    self.means = {t: float(row[t]) for t in self.targets}
         self.fitted = True
 
     # -- transform ----------------------------------------------------------------

@@ -42,6 +42,8 @@ class AsOfJoin(Operator):
     are appended with optional ``suffix``.
     """
 
+    cheap_transform = False  # union+window-backed
+
     def __init__(self, right: DataFrame, on: Union[str, List[str]],
                  ts_col: str, right_ts_col: Optional[str] = None,
                  value_cols: Optional[List[str]] = None,
@@ -139,6 +141,8 @@ class Lag(Operator):
     """``lag(x, k)`` over an entity-time window; NULL at boundaries.
     Strictly past-looking for k >= 1 → zero leakage."""
 
+    cheap_transform = False  # window-backed
+
     def __init__(self, partition_cols: Union[str, List[str]],
                  order_by: Union[str, List[str]], shifts: Union[int, List[int]] = 1):
         self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
@@ -164,6 +168,8 @@ class Lag(Operator):
 class Lead(Operator):
     """``lead(x, k)`` — future-looking by definition; intended for label
     construction, never for features at serving time."""
+
+    cheap_transform = False  # window-backed
 
     def __init__(self, partition_cols: Union[str, List[str]],
                  order_by: Union[str, List[str]], shifts: Union[int, List[int]] = 1):
@@ -193,6 +199,8 @@ class RollingBackfill(Operator):
     value forward — reads only ``t' <= t``, no leakage.
     ``direction='backward'`` reads the future (use for offline label
     cleanup only)."""
+
+    cheap_transform = False  # window-backed
 
     def __init__(self, partition_cols: Union[str, List[str]],
                  order_by: Union[str, List[str]], direction: str = "forward"):
@@ -227,6 +235,8 @@ class Sessionize(Operator):
     ``ts - lag(ts) > gap`` seconds. Applied to the timestamp column;
     outputs ``<ts>_session_id`` (0-based per entity). Uses only past
     rows → zero leakage."""
+
+    cheap_transform = False  # window-backed
 
     def __init__(self, partition_cols: Union[str, List[str]], gap: float):
         self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
@@ -271,6 +281,8 @@ class RollingAgg(Operator):
 
     _FNS = {"sum": F.sum, "mean": F.mean, "min": F.min, "max": F.max,
             "count": F.count}
+
+    cheap_transform = False  # window-backed
 
     def __init__(self, partition_cols: Union[str, List[str]],
                  order_by: Union[str, List[str]],

@@ -44,12 +44,55 @@ class CompiledPlan:
         """Thread ``df`` through the DAG. With ``fit=True``, fit each
         StatOperator (in topological order, on its upstream-transformed
         input) before applying its transform — mirroring the reference
-        executor's phase-based fitting (workflow.py:195-210)."""
-        from ..operators.base import Operator, StatOperator, TransformContext
+        executor's phase-based fitting (workflow.py:195-210).
+
+        Fit batching: every pending AggStatOperator is deferred and then
+        fused into ONE ``df.agg`` job (one scan fits them all) at the
+        next flush point — a node that consumes a deferred output, a
+        row-cardinality-changing op, or the end of the walk. This is
+        the Spark-first equivalent of the reference's single partition
+        sweep computing all column moments together (moments.py:28-61);
+        at 100 TB it is the difference between 1 and N input scans."""
+        from ..operators.base import (AggStatOperator, Operator,
+                                      StatOperator, TransformContext)
 
         available = set(df.columns)
         maps: Dict[int, Dict[str, str]] = {}
         df_work = df
+
+        # Lean frame: input + cheap (pure-expression) transforms only.
+        # Batched fit aggregations run against THIS frame, so they never
+        # drag broadcast joins or window shuffles of sibling branches
+        # into the stats job (Catalyst cannot prune a left join whose
+        # duplication factor is unknown).
+        df_lean = df
+        lean_cols = set(df.columns)
+
+        pending: list = []            # [(op, ctx)] deferred AggStatOperators
+        deferred_cols: set = set()    # actual output names not yet created
+
+        def apply_lean(op, ctx):
+            nonlocal df_lean, lean_cols
+            needs = set(ctx.inputs.values()) | set(op.dependencies())
+            if getattr(op, "cheap_transform", False) and needs <= lean_cols:
+                df_lean = op.transform(ctx, df_lean)
+                lean_cols |= set(ctx.outputs.values())
+
+        def flush():
+            nonlocal df_work
+            if not pending:
+                return
+            exprs = []
+            for op, ctx in pending:
+                exprs.extend(op._pending_exprs)
+            row = df_lean.agg(*exprs).collect()[0]
+            for op, ctx in pending:
+                op.consume_agg(row)
+                op.fitted = True
+                df_work = op.transform(ctx, df_work)
+                apply_lean(op, ctx)
+                deferred_cols.difference_update(ctx.outputs.values())
+            pending.clear()
 
         for node in self.order:
             idx = self.node_index[id(node)]
@@ -87,10 +130,30 @@ class CompiledPlan:
             selector = node.input_group_selector()
             ctx = TransformContext(selector, parent_map, {})
 
-            if isinstance(op, StatOperator) and (fit or refit):
-                if refit or not op.fitted:
-                    op.fit(ctx, df_work)
-                    op.fitted = True
+            # flush pending batched fits when this node needs a deferred
+            # column, or when it changes row cardinality (its row set
+            # must not affect the pending aggregations' input)
+            needs = set(parent_map.values()) | set(op.dependencies())
+            if pending and (needs & deferred_cols or not op.row_preserving):
+                flush()
+
+            needs_fit = isinstance(op, StatOperator) and (fit or refit) \
+                and (refit or not op.fitted)
+
+            if needs_fit and isinstance(op, AggStatOperator) and op.defer_ok \
+                    and needs <= lean_cols:
+                # defer: record agg expressions now, fuse the job later
+                op._pending_exprs = op.agg_requests(ctx, df_lean)
+                out_publics = op.output_column_names(selector)
+                ctx.outputs = {p: f"_n{idx}__{p}" for p in out_publics}
+                pending.append((op, ctx))
+                deferred_cols.update(ctx.outputs.values())
+                maps[id(node)] = ctx.outputs
+                continue
+
+            if needs_fit:
+                op.fit(ctx, df_work)
+                op.fitted = True
 
             # outputs are computed *after* fit — some stat ops (e.g.
             # DropLowCardinality) only know their outputs once fitted
@@ -98,8 +161,15 @@ class CompiledPlan:
             ctx.outputs = {p: f"_n{idx}__{p}" for p in out_publics}
 
             df_work = op.transform(ctx, df_work)
+            if op.row_preserving:
+                apply_lean(op, ctx)
+            else:
+                # row set changed: resync the lean frame (flush already ran)
+                df_lean = df_work
+                lean_cols = set(df_work.columns)
             maps[id(node)] = ctx.outputs
 
+        flush()
         final_map = maps[id(self.root)]
         return df_work.select(
             *[F.col(act).alias(pub) for pub, act in final_map.items()]

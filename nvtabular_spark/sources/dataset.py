@@ -68,6 +68,21 @@ def write_shuffled(df: DataFrame, path: str, shuffle: str = "per_partition",
     out.write.mode(mode).format(fmt).save(path)
 
 
+def inspect_dataset(df: DataFrame, exact_cardinality: bool = False) -> dict:
+    """Dataset stats → JSON-safe dict (reference
+    tools/dataset_inspector.py:38+): per-column dtype, min/max/mean/std,
+    null fraction, string cardinality — one aggregation job."""
+    from ..operators.data_stats import DataStats
+    from ..operators.base import TransformContext
+    from ..plans.graph import ColumnSelector
+
+    ds = DataStats(exact_cardinality=exact_cardinality)
+    sel = ColumnSelector(df.columns)
+    ctx = TransformContext(sel, {c: c for c in df.columns}, {})
+    ds.fit(ctx, df)
+    return {"num_rows": None, "columns": ds.stats}
+
+
 # ---------------------------------------------------------------------------
 # deterministic synthetic generators (FIXTURES.md F1)
 # ---------------------------------------------------------------------------
