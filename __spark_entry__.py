@@ -311,6 +311,24 @@ def q_ngram_jaccard(spark, sf_dir):
                                      max_posting=None)
 
 
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=3,
+                                   max_bucket=None)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_dups(docs, bits=16, max_hamming=4)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    out = ann.embedding_near_dups(emb, threshold=0.2, dim=64, exact=True)
+    return out.select("id_a", "id_b",
+                      F.round("cosine_sim", 6).alias("cos_r"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -393,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_stats": q_text_stats,
         "tokens_pipeline": q_tokens_pipeline,
@@ -664,6 +685,54 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sz sa ON i.id_a = sa.doc_id
             JOIN sz sb ON i.id_b = sb.doc_id
             WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""",
+        "minhash_lsh_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, {_NGRAMS3} AS sl
+              FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+              WHERE len(w) >= 3),
+            sig AS (
+              SELECT doc_id,
+                list_min(list_transform(sl, s -> {_md5h("s || '#0'")})) s0,
+                list_min(list_transform(sl, s -> {_md5h("s || '#1'")})) s1,
+                list_min(list_transform(sl, s -> {_md5h("s || '#2'")})) s2,
+                list_min(list_transform(sl, s -> {_md5h("s || '#3'")})) s3
+              FROM sh),
+            banded AS (
+              SELECT doc_id, 0 AS band,
+                     CAST(s0 AS VARCHAR) || ',' || CAST(s1 AS VARCHAR) AS key
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1,
+                     CAST(s2 AS VARCHAR) || ',' || CAST(s3 AS VARCHAR)
+              FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""",
+        "simhash_pairs": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, ' '),
+                                    t -> {_md5h('t')}) hs
+              FROM documents WHERE doc_id < 200),
+            s AS (SELECT doc_id, CAST({simhash_bits} AS BIGINT) sh FROM h),
+            banded AS (
+              SELECT doc_id, sh, c.chunk,
+                     (sh >> (c.chunk * 3)) & 7 AS key
+              FROM s, (SELECT unnest(range(5)) chunk) c),
+            pairs AS (
+              SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, a.sh sh_a, b.sh sh_b
+              FROM banded a JOIN banded b
+                ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+            FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 4""",
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                       FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.2""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings
                        WHERE vec_id < 5),

@@ -61,7 +61,7 @@ def build_spark():
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory",
-                 os.environ.get("BENCH_DRIVER_MEM", "8g"))
+                 os.environ.get("BENCH_DRIVER_MEM", "24g"))
          .config("spark.sql.session.timeZone", "UTC")
          .appName("nvtabular-spark-bench").getOrCreate())
     s.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,68 @@
+"""Structured Streaming surface: fitted-workflow stream transform
+(stream-static broadcast joins) and watermarked windowed aggregation."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+from nvtabular_spark.streaming import transform_stream, windowed_agg_stream
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame({
+        "cat": rng.choice(["a", "b", "c"], 200),
+        "x": rng.randn(200),
+        "ts": pd.date_range("2024-01-01", periods=200, freq="30s"),
+        "rid": np.arange(200, dtype="int64"),
+    })
+    p = str(tmp_path / "in")
+    spark.createDataFrame(pdf).write.parquet(p)
+    return p, pdf
+
+
+def test_fitted_workflow_transforms_a_stream(spark, stream_dir, tmp_path):
+    path, pdf = stream_dir
+    static = spark.read.parquet(path)
+    wf = nvt.Workflow((["cat"] >> ops.Categorify())
+                      + (["x"] >> ops.FillMissing() >> ops.Normalize())
+                      + ["rid"])
+    wf.fit(static)
+    expected = wf.transform(static).orderBy("rid").toPandas()
+
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    out = transform_stream(wf, stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("wf_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from wf_stream").orderBy("rid").toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expected.reset_index(drop=True))
+
+
+def test_windowed_agg_stream(spark, stream_dir):
+    path, pdf = stream_dir
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    agg = windowed_agg_stream(stream, "ts", ["cat"], window="10 minutes",
+                              watermark="1 hour",
+                              aggs=[F.count(F.lit(1)).alias("rows"),
+                                    F.sum("x").alias("x_sum")])
+    # complete mode: emit every window (append would hold back windows
+    # the watermark has not passed yet — correct late-data behavior)
+    q = (agg.writeStream.format("memory").queryName("win_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_stream").toPandas()
+    # batch oracle: same windows computed statically
+    exp = (static.groupBy(F.window("ts", "10 minutes").alias("window"), "cat")
+           .agg(F.count(F.lit(1)).alias("rows"), F.sum("x").alias("x_sum"))
+           .toPandas())
+    assert got["rows"].sum() == 200
+    assert len(got) == len(exp)
