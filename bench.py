@@ -78,11 +78,17 @@ def tokenized_workload(spark, n_rows: int) -> dict:
     from nvtabular_spark import ops
     from nvtabular_spark.sources import tokenized_sequences
 
-    df = tokenized_sequences(spark, n_rows, seed=42, partitions=CPUS * 2)
-    # materialize the input once so generation cost isn't measured
-    import tempfile
-    src = os.path.join(tempfile.mkdtemp(prefix="nvtsbench_"), "seqs")
-    df.write.mode("overwrite").parquet(src)
+    # materialize the input once so generation cost isn't measured;
+    # BENCH_INPUT reuses a pre-generated table (scaling runs feed both
+    # parallelism levels the identical bytes)
+    src = os.environ.get("BENCH_INPUT")
+    if not src or not os.path.exists(src):
+        df = tokenized_sequences(spark, n_rows, seed=42,
+                                 partitions=max(CPUS * 2, 32))
+        import tempfile
+        src = src or os.path.join(tempfile.mkdtemp(prefix="nvtsbench_"),
+                                  "seqs")
+        df.write.mode("overwrite").parquet(src)
     data = spark.read.parquet(src)
 
     pipeline = (

@@ -26,6 +26,8 @@ def with_global_index(df: DataFrame, order_cols: List, index_col: str = "__gidx_
     (plus ``start``) global index column, without a single-partition sort.
 
     ``order_cols``: list of Column expressions defining the total order.
+    The result carries ``.total_rows`` (int) — the per-partition count
+    job already knows it, so callers avoid a separate count() job.
     """
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     sorted_df = sorted_df.withColumn("__pid__", F.spark_partition_id())
@@ -40,15 +42,19 @@ def with_global_index(df: DataFrame, order_cols: List, index_col: str = "__gidx_
         acc += row["count"]
 
     if not offsets:
-        return df.withColumn(index_col, F.lit(start).cast("long")).limit(0)
+        out = df.withColumn(index_col, F.lit(start).cast("long")).limit(0)
+        out.total_rows = 0
+        return out
 
     offset_expr = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    return (
+    out = (
         sorted_df
         .withColumn(index_col,
                     (offset_expr[F.col("__pid__")] + F.col("__pos__") - 1)
                     .cast("long"))
         .drop("__pid__", "__pos__")
     )
+    out.total_rows = acc - start
+    return out

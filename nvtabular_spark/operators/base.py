@@ -159,7 +159,14 @@ class Operator:
 class StatOperator(Operator):
     """Two-phase operator (reference stat_operator.py:16): ``fit`` runs
     Spark aggregation action(s) and stores small driver-side state;
-    ``transform`` is then stateless."""
+    ``transform`` is then stateless.
+
+    ``defer_ok=True`` lets the compiler defer this op's fit and run it
+    CONCURRENTLY with other deferred fits (driver threads; Spark
+    interleaves the jobs). Set False when output column names depend on
+    the fitted state."""
+
+    defer_ok: bool = True
 
     def __init__(self):
         self.fitted = False

@@ -222,7 +222,10 @@ class Categorify(StatOperator):
                 vocab = self._fit_list_or_single(ctx, df, g)
             self._vocab_dfs[key], self._paths[key] = materialize(
                 vocab, f"unique.{key}.parquet", self.out_path)
-            self._sizes[key] = self._vocab_dfs[key].count() + self._start_index(key)
+            n_vocab = getattr(vocab, "total_rows", None)
+            if n_vocab is None:
+                n_vocab = self._vocab_dfs[key].count()
+            self._sizes[key] = n_vocab + self._start_index(key)
         self.fitted = True
 
     def _values_of(self, ctx: TransformContext, df: DataFrame,
@@ -283,7 +286,9 @@ class Categorify(StatOperator):
             counts = counts.orderBy(*order).limit(cap)
         ranked = with_global_index(counts, order, index_col="code",
                                    start=self._start_index(key))
-        return ranked.select(*value_cols, "value_count", "code")
+        out = ranked.select(*value_cols, "value_count", "code")
+        out.total_rows = ranked.total_rows   # avoid a later count() job
+        return out
 
     def _user_vocab(self, spark, key: str, vocab) -> DataFrame:
         if isinstance(vocab, DataFrame):

@@ -69,6 +69,7 @@ class CompiledPlan:
         lean_cols = set(df.columns)
 
         pending: list = []            # [(op, ctx)] deferred AggStatOperators
+        pending_heavy: list = []      # [(op, ctx, df)] deferred heavy fits
         deferred_cols: set = set()    # actual output names not yet created
 
         def apply_lean(op, ctx):
@@ -79,20 +80,55 @@ class CompiledPlan:
                 lean_cols |= set(ctx.outputs.values())
 
         def flush():
+            """Run every deferred fit: ONE fused agg job for the
+            batchable stats, and the heavy fits (Categorify/TE/
+            JoinGroupby groupBys) CONCURRENTLY from driver threads —
+            Spark interleaves their stages, so fit wall-clock ≈ the
+            longest single scan instead of the sum of scans."""
             nonlocal df_work
-            if not pending:
+            if not pending and not pending_heavy:
                 return
-            exprs = []
-            for op, ctx in pending:
-                exprs.extend(op._pending_exprs)
-            row = df_lean.agg(*exprs).collect()[0]
-            for op, ctx in pending:
-                op.consume_agg(row)
+            errors = []
+            from concurrent.futures import ThreadPoolExecutor
+
+            def run_batched():
+                exprs = []
+                for op, ctx in pending:
+                    exprs.extend(op._pending_exprs)
+                row = df_lean.agg(*exprs).collect()[0]
+                for op, ctx in pending:
+                    op.consume_agg(row)
+                    op.fitted = True
+
+            jobs = []
+            if pending:
+                jobs.append((run_batched, (), "batched-agg"))
+            for op, ctx, snap in pending_heavy:
+                jobs.append((op.fit, (ctx, snap), type(op).__name__))
+            if len(jobs) == 1:
+                jobs[0][0](*jobs[0][1])
+            else:
+                with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as ex:
+                    futs = [ex.submit(fn, *args) for fn, args, _ in jobs]
+                    for f, (_, _, name) in zip(futs, jobs):
+                        try:
+                            f.result()
+                        except Exception as e:  # re-raise with op context
+                            errors.append((name, e))
+            if errors:
+                raise errors[0][1]
+
+            # apply transforms in DAG order (all fitted now)
+            ordered = [(op, ctx) for op, ctx in pending] + \
+                      [(op, ctx) for op, ctx, _ in pending_heavy]
+            ordered.sort(key=lambda t: t[1]._defer_seq)
+            for op, ctx in ordered:
                 op.fitted = True
                 df_work = op.transform(ctx, df_work)
                 apply_lean(op, ctx)
                 deferred_cols.difference_update(ctx.outputs.values())
             pending.clear()
+            pending_heavy.clear()
 
         for node in self.order:
             idx = self.node_index[id(node)]
@@ -140,13 +176,18 @@ class CompiledPlan:
             needs_fit = isinstance(op, StatOperator) and (fit or refit) \
                 and (refit or not op.fitted)
 
-            if needs_fit and isinstance(op, AggStatOperator) and op.defer_ok \
-                    and needs <= lean_cols:
-                # defer: record agg expressions now, fuse the job later
-                op._pending_exprs = op.agg_requests(ctx, df_lean)
+            if needs_fit and getattr(op, "defer_ok", False):
                 out_publics = op.output_column_names(selector)
                 ctx.outputs = {p: f"_n{idx}__{p}" for p in out_publics}
-                pending.append((op, ctx))
+                ctx._defer_seq = idx
+                if isinstance(op, AggStatOperator) and needs <= lean_cols:
+                    # fuse into the single batched agg job
+                    op._pending_exprs = op.agg_requests(ctx, df_lean)
+                    pending.append((op, ctx))
+                else:
+                    # heavy fit (its own groupBy jobs): run concurrently
+                    # with the other deferred fits at the next flush
+                    pending_heavy.append((op, ctx, df_work))
                 deferred_cols.update(ctx.outputs.values())
                 maps[id(node)] = ctx.outputs
                 continue

@@ -68,6 +68,21 @@ def write_shuffled(df: DataFrame, path: str, shuffle: str = "per_partition",
     out.write.mode(mode).format(fmt).save(path)
 
 
+def write_bucketed(df: DataFrame, table: str, buckets: int,
+                   key: str, sort_cols: Optional[List[str]] = None,
+                   mode: str = "overwrite") -> None:
+    """Persist entity-bucketed, timestamp-sorted storage (the north-rule
+    layout: "entity-range-partitioned, timestamp-sorted partitions").
+
+    Reading the table back gives HashPartitioning(key) for free — every
+    window/as-of/sessionize over (key, ts) then plans WITHOUT an
+    Exchange (verified by tests/test_checkpoint_and_scale.py): at 100 TB
+    the entire windowed feature pass becomes shuffle-free, paying only a
+    bucket-local sort."""
+    (df.write.mode(mode).bucketBy(buckets, key)
+       .sortBy(key, *(sort_cols or [])).saveAsTable(table))
+
+
 def inspect_dataset(df: DataFrame, exact_cardinality: bool = False) -> dict:
     """Dataset stats → JSON-safe dict (reference
     tools/dataset_inspector.py:38+): per-column dtype, min/max/mean/std,

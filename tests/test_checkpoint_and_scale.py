@@ -85,6 +85,34 @@ def test_join_groupby_transform_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_bucketed_input_elides_window_shuffle(spark, tmp_path):
+    """north-rule storage layout: entity-bucketed + ts-sorted tables
+    make every windowed feature op shuffle-free (no Exchange)."""
+    import uuid
+    from nvtabular_spark.sources import tokenized_sequences, write_bucketed
+    table = f"seqs_bucketed_{uuid.uuid4().hex[:8]}"
+    df = tokenized_sequences(spark, 5000, seed=42)
+    write_bucketed(df, table, buckets=4, key="entity_id",
+                   sort_cols=["ts"])
+    t = spark.table(table)
+    lag = ops.Lag("entity_id", "ts", 1)
+    sz = ops.Sessionize("entity_id", gap=1800.0)
+    out = nvt.Workflow((["n_tok"] >> lag) + (["ts"] >> sz) + ["doc_id"]) \
+        .transform(t)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    # and the result is still correct vs the unbucketed path
+    base = nvt.Workflow((["n_tok"] >> ops.Lag("entity_id", "ts", 1))
+                        + ["doc_id"]).transform(df) \
+        .orderBy("doc_id").toPandas()
+    got = out.select("doc_id", "n_tok_lag_1").orderBy("doc_id").toPandas()
+    np.testing.assert_allclose(got["n_tok_lag_1"].to_numpy(dtype="float64"),
+                               base["n_tok_lag_1"].to_numpy(dtype="float64"),
+                               equal_nan=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_expression_ops_fuse_into_single_codegen_stage(spark):
     """FillMissing→Clip→LogOp must stay one WholeStageCodegen projection
     — no shuffle, no extra stages (the 100 TB pipeline-fusion guard)."""
