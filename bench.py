@@ -91,6 +91,14 @@ def tokenized_workload(spark, n_rows: int) -> dict:
         df.write.mode("overwrite").parquet(src)
     data = spark.read.parquet(src)
 
+    if os.environ.get("BENCH_BUCKETED") == "1":
+        # north-rule storage layout: entity-bucketed + ts-sorted table →
+        # the whole windowed feature pass plans WITHOUT an Exchange
+        from nvtabular_spark.sources import write_bucketed
+        write_bucketed(data, "bench_seqs_bucketed", buckets=CPUS * 2,
+                       key="entity_id", sort_cols=["ts"])
+        data = spark.table("bench_seqs_bucketed")
+
     pipeline = (
         (["source", "entity_id"] >> ops.Categorify(freq_threshold=2,
                                                    num_buckets=16))

@@ -49,6 +49,11 @@ class Workflow:
     def input_columns(self) -> List[str]:
         return self.plan.input_columns()
 
+    def explain(self, df: DataFrame, mode: str = "formatted") -> None:
+        """Print the physical plan of the compiled transform — the
+        feedback loop for shuffle/broadcast/pushdown review."""
+        self.transform(df).explain(mode)
+
     def clear_stats(self) -> None:
         from ..operators.base import StatOperator
         for node in self.plan.order:

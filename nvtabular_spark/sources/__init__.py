@@ -1,8 +1,10 @@
 from .artifacts import materialize
 from .checkpoint import load_manifest, run_partitioned, save_manifest
 from .dataset import (inspect_dataset, read_dataset, shuffle_by_keys,
-                      tokenized_sequences, write_bucketed, write_shuffled)
+                      synthetic_tabular, tokenized_sequences, write_bucketed,
+                      write_shuffled)
 
 __all__ = ["materialize", "load_manifest", "run_partitioned", "save_manifest",
            "inspect_dataset", "read_dataset", "shuffle_by_keys",
-           "tokenized_sequences", "write_bucketed", "write_shuffled"]
+           "synthetic_tabular", "tokenized_sequences", "write_bucketed",
+           "write_shuffled"]

@@ -102,6 +102,38 @@ def inspect_dataset(df: DataFrame, exact_cardinality: bool = False) -> dict:
 # deterministic synthetic generators (FIXTURES.md F1)
 # ---------------------------------------------------------------------------
 
+def synthetic_tabular(spark: SparkSession, n_rows: int, seed: int = 42,
+                      n_cats: int = 4, n_conts: int = 3,
+                      cat_cardinality: int = 1000, powerlaw: float = 1.5,
+                      multihot_max: int = 8,
+                      partitions: Optional[int] = None) -> DataFrame:
+    """Reference ``tools/data_gen.DatasetGen`` equivalent
+    (nvtabular/tools/data_gen.py:41-441): power-law categorical columns
+    ``cat_0..``, uniform continuous ``cont_0..``, a binary ``label`` and
+    one multi-hot ``mh_0`` column — deterministic, pure JVM expressions.
+    """
+    df = spark.range(0, n_rows, 1,
+                     partitions or spark.sparkContext.defaultParallelism)
+    h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt)))  # noqa: E731
+    cols = [F.col("id").alias("row_id")]
+    for i in range(n_cats):
+        u = (h(f"cat{i}") % 1000000) / 1000000.0
+        # inverse-CDF power-law over [0, cardinality)
+        rank = (F.pow(u, F.lit(powerlaw)) * cat_cardinality).cast("int")
+        cols.append(F.concat(F.lit(f"c{i}_"), rank.cast("string"))
+                    .alias(f"cat_{i}"))
+    for i in range(n_conts):
+        cols.append(((h(f"cont{i}") % 1000000) / 1000000.0 * 2 - 1)
+                    .alias(f"cont_{i}"))
+    n_mh = (h("mh") % multihot_max + 1).cast("int")
+    cols.append(F.transform(
+        F.sequence(F.lit(1), n_mh),
+        lambda j: (F.abs(F.xxhash64(F.col("id"), j, F.lit(seed)))
+                   % cat_cardinality).cast("int")).alias("mh_0"))
+    cols.append((h("label") % 100 < 25).cast("int").alias("label"))
+    return df.select(*cols)
+
+
 def tokenized_sequences(spark: SparkSession, n_rows: int, seed: int = 42,
                         vocab_size: int = 50000, max_len: int = 256,
                         n_entities: int = 1000,
