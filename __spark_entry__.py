@@ -88,6 +88,17 @@ def q_groupby_first_last(spark, sf_dir):
     return nvt.Workflow(["value"] >> g).transform(ev)
 
 
+def q_groupby_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = ops.Groupby(groupby_cols=["user_id"],
+                    aggs={"value": ["median", "nunique", "std", "var"]})
+    out = nvt.Workflow(["value"] >> g).transform(ev)
+    return out.select(
+        "user_id", "value_median", "value_nunique",
+        F.round("value_std", 4).alias("value_std"),
+        F.round("value_var", 4).alias("value_var"))
+
+
 def q_join_external(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select(
@@ -386,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "groupby_agg": q_groupby_agg,
         "groupby_first_last": q_groupby_first_last,
+        "groupby_stats": q_groupby_stats,
         "join_external": q_join_external,
         "join_groupby": q_join_groupby,
         "categorify": q_categorify,
@@ -482,6 +494,13 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN rn = n THEN value END) AS value_last,
                    COUNT(value) AS value_count
             FROM r GROUP BY user_id""",
+        "groupby_stats": """
+            SELECT user_id,
+                   quantile_cont(value, 0.5) AS value_median,
+                   COUNT(DISTINCT value) AS value_nunique,
+                   ROUND(stddev_samp(value), 4) AS value_std,
+                   ROUND(var_samp(value), 4) AS value_var
+            FROM events GROUP BY user_id""",
         "join_external": """
             SELECT o.o_orderkey, ROUND(o.o_totalprice, 4) AS o_totalprice,
                    c.c_mktsegment, c.c_nationkey

@@ -229,6 +229,37 @@ def test_difference_lag(spark, timeseries_df):
                                equal_nan=True)
 
 
+def test_column_similarity(spark):
+    feats = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    pdf = pd.DataFrame({"left_id": [0, 1, 2], "right_id": [2, 2, 2],
+                        "rid": [0, 1, 2]})
+    df = spark.createDataFrame(pdf)
+    for metric, exp in [
+        ("inner", [1.0, 1.0, 2.0]),
+        ("cosine", [np.sqrt(0.5), np.sqrt(0.5), 1.0]),
+    ]:
+        op = ops.ColumnSimilarity("right_id", feats, metric=metric)
+        out = nvt.Workflow((["left_id"] >> op) + ["rid"]) \
+            .transform(df).orderBy("rid").toPandas()
+        np.testing.assert_allclose(out["left_id_right_id_sim"], exp,
+                                   rtol=1e-9)
+
+
+def test_lambdaop_roundtrip(spark, num_pdf, tmp_path):
+    """Named importable functions survive save/load (reference
+    lambdaop.py:25-51 serialization contract)."""
+    from nvtabular_spark.functions.udfs import log1p
+    df = spark.createDataFrame(num_pdf)
+    wf = nvt.Workflow(
+        (["y"] >> ops.LambdaOp(log1p, dtype="double")) + ["rid"])
+    before = wf.fit_transform(df).orderBy("rid").toPandas()
+    p = str(tmp_path / "wf_lambda")
+    wf.save(p)
+    wf2 = nvt.Workflow.load(p, spark)
+    after = wf2.transform(df).orderBy("rid").toPandas()
+    pd.testing.assert_frame_equal(before, after)
+
+
 def test_add_metadata_tags(spark, num_pdf):
     df = spark.createDataFrame(num_pdf)
     wf = nvt.Workflow(["cat"] >> ops.TagAsUserID())
