@@ -60,14 +60,15 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cosine_sim"))
 
 
-def hyperplane_bits(vec: Column, dim: int, num_planes: int = 8) -> Column:
+def hyperplane_bits(vec: Column, dim: int, num_planes: int = 8,
+                    family: str = "md5") -> Column:
     """Deterministic random-hyperplane signature: plane p has ±1
     components sign(md5hash(p#d) mod 2); bit p = (vec · plane_p) > 0."""
     def plane_component(p: int):
         # single-arg lambda: 2-arg would become (element, index) in
         # F.transform and shadow the closure
         return lambda d: (F.pmod(hash64(F.concat(F.lit(f"{p}#"),
-                                                 d.cast("string")), "md5"),
+                                                 d.cast("string")), family),
                                  F.lit(2)) * 2 - 1).cast("double")
 
     acc = F.lit(0)

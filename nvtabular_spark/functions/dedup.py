@@ -41,7 +41,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def minhash_signature(col: Column, num_hashes: int = 8,
-                      shingle_n: int = 3) -> Column:
+                      shingle_n: int = 3, family: str = "md5") -> Column:
     """Array of ``num_hashes`` minhash values over word shingles.
     Hash i of shingle s = md5-family hash64(s + '#' + i) — deterministic
     and SQL-reproducible. Empty shingle set → nulls."""
@@ -50,7 +50,7 @@ def minhash_signature(col: Column, num_hashes: int = 8,
     def hasher(i: int):
         # NB: single-arg lambda — a 2-arg lambda would be interpreted by
         # F.transform as (element, index) and shadow the closure
-        return lambda s: hash64(F.concat(s, F.lit(f"#{i}")), "md5")
+        return lambda s: hash64(F.concat(s, F.lit(f"#{i}")), family)
 
     sigs = [F.array_min(F.transform(shingles, hasher(i)))
             for i in range(num_hashes)]
@@ -60,12 +60,13 @@ def minhash_signature(col: Column, num_hashes: int = 8,
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 8,
                       bands: int = 4, shingle_n: int = 3,
-                      max_bucket: Optional[int] = 1000) -> DataFrame:
+                      max_bucket: Optional[int] = 1000,
+                      family: str = "md5") -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH band. rows_per_band = num_hashes // bands."""
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, family)
     with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig")) \
         .filter(~F.exists("sig", lambda x: x.isNull()))
     banded = with_sig.select(
@@ -89,10 +90,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
 
 
-def simhash(col: Column, bits: int = 16) -> Column:
+def simhash(col: Column, bits: int = 16, family: str = "md5") -> Column:
     """SimHash over whitespace tokens (with multiplicity): bit b is set
     when the sum over tokens of (bit b of hash(token)) * 2 - 1 is > 0."""
-    tok_hashes = F.transform(words(col), lambda w: hash64(w, "md5"))
+    tok_hashes = F.transform(words(col), lambda w: hash64(w, family))
 
     def bit_contrib(b: int):
         # (h >> b) & 1 expressed as (h & (1<<b)) != 0 — hash values are
@@ -110,7 +111,7 @@ def simhash(col: Column, bits: int = 16) -> Column:
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", bits: int = 16,
-                      max_hamming: int = 2) -> DataFrame:
+                      max_hamming: int = 2, family: str = "md5") -> DataFrame:
     """Pairs whose simhashes differ in ≤ max_hamming bits. Candidate
     generation: split the simhash into (max_hamming+1) chunks — by
     pigeonhole, any pair within distance shares ≥1 exact chunk — then
@@ -118,7 +119,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     chunks = max_hamming + 1
     per = bits // chunks
     sh = df.select(F.col(id_col).alias("doc"),
-                   simhash(F.col(text_col), bits).alias("sh"))
+                   simhash(F.col(text_col), bits, family).alias("sh"))
     banded = sh.select(
         "doc", "sh",
         F.explode(F.array(*[

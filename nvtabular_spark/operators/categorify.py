@@ -387,28 +387,45 @@ class Categorify(StatOperator):
         null_code, oov0 = NULL_OFFSET, OOV_OFFSET
         cs = cast_string
 
+        import numpy as np
+
         @pandas_udf(ArrayType(_spark_int_type(self.dtype)))
         def encode(s: pd.Series) -> pd.Series:
+            """Vectorized: flatten all arrays in the Arrow batch, one
+            C-speed dict lookup over the flat values, python fallback
+            only on the (rare) OOV misses, then regroup by offsets."""
             m = bc.value
-
-            def enc_one(arr):
-                if arr is None:
-                    return None
-                res = []
-                for x in arr:
-                    if x is None or (isinstance(x, float) and math.isnan(x)):
-                        res.append(null_code)
-                        continue
-                    k = str(x) if cs else x
-                    c = m.get(k)
-                    if c is None:
-                        # list-element OOV hashing uses the md5 family so the
-                        # Python path matches functions.hashing exactly
-                        c = (oov0 + _md5_bucket_py(k, nb)) if nb else oov0
-                    res.append(c)
-                return res
-
-            return s.map(enc_one)
+            notnull = s.notna().to_numpy()
+            lists = s[notnull]
+            if len(lists) == 0:
+                return pd.Series([None] * len(s), dtype=object)
+            lengths = np.fromiter((len(a) for a in lists), dtype="int64",
+                                  count=len(lists))
+            if lengths.sum():
+                flat = pd.Series(np.concatenate(
+                    [np.asarray(a, dtype=object) for a in lists]))
+            else:
+                flat = pd.Series([], dtype=object)
+            isnull_el = flat.isna().to_numpy()
+            keys = flat.astype(str) if cs else flat
+            mapped = keys.map(m)
+            miss = mapped.isna().to_numpy() & ~isnull_el
+            if miss.any():
+                if nb:
+                    # md5-family OOV hashing — matches functions.hashing
+                    mapped.iloc[miss] = [
+                        oov0 + _md5_bucket_py(k, nb)
+                        for k in keys.iloc[miss]]
+                else:
+                    mapped.iloc[miss] = oov0
+            codes = mapped.to_numpy()
+            codes[isnull_el] = null_code
+            codes = codes.astype("int64")
+            groups = np.split(codes, np.cumsum(lengths)[:-1])
+            result = pd.Series([None] * len(s), dtype=object)
+            result.iloc[np.flatnonzero(notnull)] = \
+                [g.tolist() for g in groups]
+            return result
 
         return df.withColumn(out, encode(F.col(act)))
 
