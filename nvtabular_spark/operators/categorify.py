@@ -83,7 +83,8 @@ class Categorify(StatOperator):
                  name_sep: str = "_",
                  hash_family: str = "xxhash64",
                  broadcast: bool = True,
-                 list_strategy: str = "udf"):
+                 list_strategy: str = "udf",
+                 single_table: bool = False):
         super().__init__()
         if encode_type not in ("joint", "combo"):
             raise ValueError("encode_type must be 'joint' or 'combo'")
@@ -98,6 +99,7 @@ class Categorify(StatOperator):
         self.hash_family = hash_family
         self.broadcast = broadcast
         self.list_strategy = list_strategy
+        self.single_table = single_table
         self._vocab_dfs: Dict[str, DataFrame] = {}
         self._paths: Dict[str, str] = {}
         self._sizes: Dict[str, int] = {}
@@ -310,15 +312,21 @@ class Categorify(StatOperator):
     # -- transform ----------------------------------------------------------------
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         self._require_fitted()
+        offset = 0  # single_table: each column shifted past the previous
         for g in self._groups(ctx.selector):
             key = self._group_key(g)
             vocab = self._vocab_dfs[key]
             if self.encode_type == "combo" and len(g) > 1:
-                df = self._encode_combo(ctx, df, g, key, vocab)
+                df = self._encode_combo(ctx, df, g, key, vocab, offset)
+                if self.single_table:
+                    offset += self._sizes[key] - 1
             else:
                 for col in g:
                     df = self._encode_column(ctx, df, col, key, vocab,
-                                             cast_string=len(g) > 1)
+                                             cast_string=len(g) > 1,
+                                             offset=offset)
+                    if self.single_table:
+                        offset += self._sizes[key] - 1
         return df
 
     def _oov_expr(self, key: str, value: Column) -> Column:
@@ -329,11 +337,13 @@ class Categorify(StatOperator):
                 + F.lit(OOV_OFFSET))
 
     def _encode_column(self, ctx, df: DataFrame, col: str, key: str,
-                       vocab: DataFrame, cast_string: bool) -> DataFrame:
+                       vocab: DataFrame, cast_string: bool,
+                       offset: int = 0) -> DataFrame:
         act = ctx.inputs.get(col, col)
         out = ctx.out(col)
         if isinstance(df.schema[act].dataType, ArrayType):
-            return self._encode_list(ctx, df, act, out, key, vocab, cast_string)
+            return self._encode_list(ctx, df, act, out, key, vocab,
+                                     cast_string, offset)
         cv, cc = f"__cv__{out}", f"__cc__{out}"
         v = vocab.select(F.col("value").alias(cv), F.col("code").alias(cc))
         if self.broadcast:
@@ -341,12 +351,13 @@ class Categorify(StatOperator):
         left = F.col(act).cast("string") if cast_string else F.col(act)
         joined = df.join(v, left == F.col(cv), "left")
         code = (F.when(F.col(act).isNull(), F.lit(NULL_OFFSET))
-                .otherwise(F.coalesce(F.col(cc), self._oov_expr(key, left)))
-                .cast(self.dtype))
-        return joined.withColumn(out, code).drop(cv, cc)
+                .otherwise(F.coalesce(F.col(cc), self._oov_expr(key, left))))
+        if offset:
+            code = code + F.lit(offset)
+        return joined.withColumn(out, code.cast(self.dtype)).drop(cv, cc)
 
     def _encode_combo(self, ctx, df: DataFrame, cols: tuple, key: str,
-                      vocab: DataFrame) -> DataFrame:
+                      vocab: DataFrame, offset: int = 0) -> DataFrame:
         acts = [ctx.inputs.get(c, c) for c in cols]
         out = ctx.out(key)
         sel = [F.col(f"value_{i}").alias(f"__cv{i}__{out}")
@@ -367,14 +378,19 @@ class Categorify(StatOperator):
                                 *[F.col(a).cast("string") for a in acts])
         code = (F.when(any_null, F.lit(NULL_OFFSET))
                 .otherwise(F.coalesce(F.col(f"__cc__{out}"),
-                                      self._oov_expr(key, combo_str)))
-                .cast(self.dtype))
+                                      self._oov_expr(key, combo_str))))
+        if offset:
+            code = code + F.lit(offset)
         drops = [f"__cv{i}__{out}" for i in range(len(cols))] + [f"__cc__{out}"]
-        return joined.withColumn(out, code).drop(*drops)
+        return joined.withColumn(out, code.cast(self.dtype)).drop(*drops)
 
     def _encode_list(self, ctx, df: DataFrame, act: str, out: str, key: str,
-                     vocab: DataFrame, cast_string: bool) -> DataFrame:
+                     vocab: DataFrame, cast_string: bool,
+                     offset: int = 0) -> DataFrame:
         if self.list_strategy == "explode":
+            if offset:
+                raise NotImplementedError(
+                    "single_table with explode strategy not supported")
             return self._encode_list_explode(df, act, out, key, vocab, cast_string)
         # dict-broadcast pandas_udf — Arrow batches, no shuffle
         rows = vocab.select("value", "code").collect()
@@ -386,6 +402,7 @@ class Categorify(StatOperator):
         nb = self._oov_buckets(key)
         null_code, oov0 = NULL_OFFSET, OOV_OFFSET
         cs = cast_string
+        code_offset = offset
 
         import numpy as np
 
@@ -412,15 +429,21 @@ class Categorify(StatOperator):
             miss = mapped.isna().to_numpy() & ~isnull_el
             if miss.any():
                 if nb:
-                    # md5-family OOV hashing — matches functions.hashing
-                    mapped.iloc[miss] = [
-                        oov0 + _md5_bucket_py(k, nb)
-                        for k in keys.iloc[miss]]
+                    # md5-family OOV hashing, inlined so the pickled UDF
+                    # is self-contained (no module import on workers)
+                    import hashlib
+
+                    def _bucket(v):
+                        h = hashlib.md5(str(v).encode("utf-8")).hexdigest()
+                        return int(h[:15], 16) % nb
+
+                    mapped.iloc[miss] = [oov0 + _bucket(k)
+                                         for k in keys.iloc[miss]]
                 else:
                     mapped.iloc[miss] = oov0
             codes = mapped.to_numpy()
             codes[isnull_el] = null_code
-            codes = codes.astype("int64")
+            codes = codes.astype("int64") + code_offset
             groups = np.split(codes, np.cumsum(lengths)[:-1])
             result = pd.Series([None] * len(s), dtype=object)
             result.iloc[np.flatnonzero(notnull)] = \

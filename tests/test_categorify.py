@@ -120,6 +120,26 @@ def test_get_embedding_sizes(author_df):
     assert sizes["Author"][0] == 7
 
 
+def test_single_table_contiguous(spark):
+    """Reference test_categorify_single_table (:509-529): with
+    single_table=True each column's code range sits strictly above the
+    previous column's max — one shared embedding table."""
+    df = spark.createDataFrame(pd.DataFrame({
+        "Authors": [None, "User_A", "User_A", "User_E", "User_B", "User_C"],
+        "Engaging_User": [None, "User_B", "User_B", "User_A", "User_D",
+                          "User_D"],
+        "Post": [1, 2, 3, 4, 5, 6],
+    }))
+    wf = nvt.Workflow(
+        (["Authors", "Engaging_User"] >> ops.Categorify(single_table=True))
+        + ["Post"])
+    out = wf.fit_transform(df).toPandas()
+    old_max = 1
+    for name in ["Authors", "Engaging_User"]:
+        assert old_max <= out[name].min()
+        old_max += out[name].max()
+
+
 def test_transform_is_broadcast_join(author_df):
     """Scale guard: the vocab join must be a broadcast hash join, not a
     shuffle join (reference broadcasts vocab to workers too)."""
