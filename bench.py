@@ -132,6 +132,50 @@ def tokenized_workload(spark, n_rows: int) -> dict:
     }
 
 
+def criteo_like_workload(spark, n_rows: int) -> dict:
+    """The reference benchmark shape (bench/examples/
+    dask-nvtabular-criteo-benchmark.py:200-252): Categorify over 26
+    categorical columns (freq_threshold 15, like the script default) +
+    FillMissing→Clip→LogOp over 13 continuous + label; fit + transform
+    + shuffled write."""
+    import tempfile
+
+    import nvtabular_spark as nvt
+    from nvtabular_spark import ops
+    from nvtabular_spark.sources import synthetic_tabular, write_shuffled
+
+    df = synthetic_tabular(spark, n_rows, seed=42, n_cats=26, n_conts=13,
+                           cat_cardinality=50000, partitions=CPUS * 2)
+    src = os.path.join(tempfile.mkdtemp(prefix="nvtsbench_"), "criteo")
+    df.write.mode("overwrite").parquet(src)
+    data = spark.read.parquet(src)
+
+    cat_cols = [f"cat_{i}" for i in range(26)]
+    cont_cols = [f"cont_{i}" for i in range(13)]
+    pipeline = (
+        (cat_cols >> ops.Categorify(freq_threshold=15, num_buckets=16))
+        + (cont_cols >> ops.FillMissing(0) >> ops.Clip(min_value=0)
+           >> ops.LogOp())
+        + ["label"]
+    )
+    t0 = time.time()
+    wf = nvt.Workflow(pipeline)
+    wf.fit(data)
+    fit_s = time.time() - t0
+    out_path = os.path.join(tempfile.mkdtemp(prefix="nvtsbench_"), "out")
+    t1 = time.time()
+    write_shuffled(wf.transform(data), out_path, shuffle="per_partition")
+    transform_s = time.time() - t1
+    total = time.time() - t0
+    return {
+        "rows": n_rows,
+        "fit_sec": round(fit_s, 3),
+        "transform_write_sec": round(transform_s, 3),
+        "total_sec": round(total, 3),
+        "rows_per_sec": round(n_rows / total, 1),
+    }
+
+
 def main():
     spark = build_spark()
     result = {
@@ -148,6 +192,7 @@ def main():
     result["sequences_per_sec"] = wl["sequences_per_sec"]
 
     if not WORKLOAD_ONLY:
+        result["criteo_like"] = criteo_like_workload(spark, N_ROWS)
         import __spark_entry__ as entry
         qs = entry.queries()
         for name in HEADLINE:

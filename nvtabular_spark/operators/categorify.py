@@ -173,6 +173,8 @@ class Categorify(StatOperator):
                 solo.append(g)
 
         counts_by_key: Dict[str, DataFrame] = {}
+        ranked_by_key: Dict[str, DataFrame] = {}
+        sizes_from_rank: Dict[str, int] = {}
         if stackable:
             # bucket by value dtype so the struct array is homogeneous
             buckets: Dict[str, list] = {}
@@ -196,7 +198,62 @@ class Categorify(StatOperator):
                     F.count(F.lit(1)).alias("value_count"))
                 counts_m, _ = materialize(counts, f"counts_{dt}",
                                           self.out_path)
-                for key, col, tag, cast_string in entries:
+                single_col = [e for e in entries
+                              if len([x for x in entries
+                                      if x[0] == e[0]]) == 1 and not e[3]]
+                multi = [e for e in entries if e not in single_col]
+                if single_col:
+                    # rank EVERY single-column vocab in ONE window pass:
+                    # per-column partitions rank in parallel, one
+                    # materialize for all vocabularies — fit cost is
+                    # O(1) jobs in the number of columns, not O(3N)
+                    from pyspark.sql import Window
+                    tags = [e[2] for e in single_col]
+                    thr_map, cap_map, start_map = {}, {}, {}
+                    for key, col, tag, _cs in single_col:
+                        thr_map[tag] = int(self._opt(self.freq_threshold,
+                                                     key, 0) or 0)
+                        ms = int(self._opt(self.max_size, key, 0) or 0)
+                        start = self._start_index(key)
+                        if ms and ms - start <= 0:
+                            raise ValueError(
+                                f"max_size={ms} too small for reserved "
+                                f"slots ({start})")
+                        cap_map[tag] = (ms - start) if ms else 2 ** 62
+                        start_map[tag] = start
+
+                    def per_tag(mapping, default=0):
+                        expr = F.lit(default)
+                        for t, v in mapping.items():
+                            expr = F.when(F.col("__c__") == t,
+                                          F.lit(v)).otherwise(expr)
+                        return expr
+
+                    base = counts_m.filter(F.col("__c__").isin(tags))
+                    base = base.filter(
+                        (per_tag(thr_map) <= 1)
+                        | (F.col("value_count") >= per_tag(thr_map)))
+                    w = Window.partitionBy("__c__").orderBy(
+                        F.col("value_count").desc(), F.col("value").asc())
+                    ranked = (base.withColumn("__rn__", F.row_number().over(w))
+                              .filter(F.col("__rn__") <= per_tag(cap_map))
+                              .withColumn("code",
+                                          (F.col("__rn__") - 1
+                                           + per_tag(start_map)).cast("long"))
+                              .select("__c__", "value", "value_count", "code"))
+                    ranked_m, rpath = materialize(
+                        ranked, f"unique_all_{dt}.parquet", self.out_path)
+                    size_rows = ranked_m.groupBy("__c__").agg(
+                        F.max("code").alias("mx")).collect()
+                    mx = {r["__c__"]: r["mx"] for r in size_rows}
+                    for key, col, tag, _cs in single_col:
+                        ranked_by_key[key] = ranked_m \
+                            .filter(F.col("__c__") == tag) \
+                            .select("value", "value_count", "code")
+                        self._paths[key] = rpath
+                        sizes_from_rank[key] = int(
+                            mx.get(tag, self._start_index(key) - 1)) + 1
+                for key, col, tag, cast_string in multi:
                     part = counts_m.filter(F.col("__c__") == tag) \
                         .select("value", "value_count")
                     if key in counts_by_key:   # joint group: merge members
@@ -213,6 +270,11 @@ class Categorify(StatOperator):
 
         for g in groups:
             key = self._group_key(g)
+            if key in ranked_by_key:
+                # already ranked + materialized in the one-pass window job
+                self._vocab_dfs[key] = ranked_by_key[key]
+                self._sizes[key] = sizes_from_rank[key]
+                continue
             if self.vocabs and key in self.vocabs:
                 vocab = self._user_vocab(df.sparkSession, key, self.vocabs[key])
             elif key in counts_by_key:

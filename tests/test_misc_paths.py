@@ -1,0 +1,85 @@
+"""Small-path coverage: shuffled writes, dict-parameterized ops,
+inner JoinExternal, callable Filter, inspect_dataset, synthetic_tabular."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+from nvtabular_spark.sources import (inspect_dataset, synthetic_tabular,
+                                     write_shuffled)
+
+
+def test_write_shuffled_per_partition(spark, tmp_path):
+    df = spark.range(1000).select(F.col("id"))
+    p = str(tmp_path / "out")
+    write_shuffled(df, p, shuffle="per_partition", out_files=4, seed=7)
+    back = spark.read.parquet(p)
+    assert back.count() == 1000
+    assert set(r["id"] for r in back.collect()) == set(range(1000))
+    # rows within a file are shuffled: first file isn't sorted
+    import glob
+    f0 = sorted(glob.glob(p + "/part-*"))[0]
+    ids = spark.read.parquet(f0).toPandas()["id"].tolist()
+    assert ids != sorted(ids)
+
+
+def test_bucketize_dict_boundaries(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": [1.0, 5.0, 20.0], "b": [1.0, 5.0, 20.0], "rid": range(3)}))
+    b = ops.Bucketize({"a": [2.0], "b": [2.0, 10.0]})
+    out = nvt.Workflow((["a", "b"] >> b) + ["rid"]).transform(df) \
+        .orderBy("rid").toPandas()
+    assert out["a"].tolist() == [0, 1, 1]
+    assert out["b"].tolist() == [0, 1, 2]
+
+
+def test_hashbucket_dict_buckets(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": ["x", "y"], "b": ["x", "y"], "rid": range(2)}))
+    hb = ops.HashBucket({"a": 2, "b": 1000})
+    out = nvt.Workflow((["a", "b"] >> hb) + ["rid"]).transform(df).toPandas()
+    assert out["a"].between(0, 1).all()
+    assert out["b"].between(0, 999).all()
+
+
+def test_join_external_inner(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2, 3], "rid": range(3)}))
+    ext = spark.createDataFrame(pd.DataFrame({"k": [1, 3], "v": ["a", "c"]}))
+    j = ops.JoinExternal(ext, on="k", how="inner")
+    out = nvt.Workflow(["rid"] >> j).transform(df).orderBy("rid").toPandas()
+    assert len(out) == 2 and out["v"].tolist() == ["a", "c"]
+
+
+def test_filter_column_predicate(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, -1.0, 3.0],
+                                             "rid": range(3)}))
+    out = nvt.Workflow((["x"] >> ops.Filter(F.col("x") > 0)) + ["rid"]) \
+        .transform(df).toPandas()
+    assert set(out["rid"]) == {0, 2}
+
+
+def test_inspect_dataset(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "s": ["a", "b", "b"], "x": [1.0, 2.0, None]}))
+    rep = inspect_dataset(df, exact_cardinality=True)
+    assert rep["columns"]["s"]["cardinality"] == 2
+    assert abs(rep["columns"]["x"]["null_frac"] - 1 / 3) < 1e-9
+
+
+def test_synthetic_tabular_shape_and_determinism(spark):
+    a = synthetic_tabular(spark, 300, seed=1, n_cats=3, n_conts=2) \
+        .orderBy("row_id").toPandas()
+    b = synthetic_tabular(spark, 300, seed=1, n_cats=3, n_conts=2,
+                          partitions=5).orderBy("row_id").toPandas()
+    assert list(a.columns) == ["row_id", "cat_0", "cat_1", "cat_2",
+                               "cont_0", "cont_1", "mh_0", "label"]
+    assert a["cat_0"].tolist() == b["cat_0"].tolist()
+    assert [list(x) for x in a["mh_0"]] == [list(x) for x in b["mh_0"]]
+    # power-law: head value should dominate
+    vc = a["cat_0"].value_counts()
+    assert vc.iloc[0] > vc.iloc[-1]
