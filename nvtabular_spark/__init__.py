@@ -11,8 +11,9 @@ from . import operators as ops
 from .plans.graph import ColumnSelector, Node
 from .plans.schema import ColumnSchema, Schema, Tags
 from .plans.workflow import Workflow
+from .sources.dataset import Dataset
 
 __version__ = "0.1.0"
 
 __all__ = ["Workflow", "ColumnSelector", "Node", "Schema", "ColumnSchema",
-           "Tags", "ops", "__version__"]
+           "Tags", "Dataset", "ops", "__version__"]

@@ -81,14 +81,14 @@ class Filter(Operator):
         elif isinstance(self.f, Column):
             df = df.filter(self.f)
         else:
-            # callable receives a proxy frame with public column names
-            proxy = df.select(*[F.col(act).alias(pub) for pub, act in ctx.pairs()])
-            pred = self.f(proxy)
+            # callable receives a proxy: public name → unresolved Column
+            # over the actual (namespaced) column, so the returned
+            # predicate applies directly to the threaded DataFrame
+            pred = self.f(_ColumnProxy(dict(ctx.pairs())))
             if not isinstance(pred, Column):
                 raise TypeError(
                     "Filter callable must return a pyspark Column predicate")
-            # re-resolve predicate against df's actual names via expr string
-            df = df.filter(_remap_predicate(pred, ctx))
+            df = df.filter(pred)
         cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
         return df.withColumns(cols)
 
@@ -111,13 +111,21 @@ class Filter(Operator):
         return cls(f)
 
 
-def _remap_predicate(pred: Column, ctx: TransformContext) -> str:
-    """Rewrite public names inside a predicate's SQL form to actual
-    columns (best-effort; prefer string/Column predicates)."""
-    sql = pred._jc.toString()  # e.g. "(x > 1)"
-    for pub, act in sorted(ctx.pairs(), key=lambda p: -len(p[0])):
-        sql = sql.replace(pub, act)
-    return sql
+class _ColumnProxy:
+    """Duck-typed stand-in for a DataFrame inside Filter callables:
+    ``d["x"]`` / ``d.x`` yield Columns over the actual column names."""
+
+    def __init__(self, mapping):
+        self._mapping = mapping
+
+    def __getitem__(self, name: str) -> Column:
+        return F.col(self._mapping[name])
+
+    def __getattr__(self, name: str) -> Column:
+        mapping = object.__getattribute__(self, "_mapping")
+        if name in mapping:
+            return F.col(mapping[name])
+        raise AttributeError(name)
 
 
 class Dropna(Operator):

@@ -25,12 +25,18 @@ class Workflow:
         self.input_schema: Optional[Schema] = None
         self.output_schema: Optional[Schema] = None
 
+    @staticmethod
+    def _unwrap(df):
+        # accept the Dataset API-parity wrapper transparently
+        return df.df if hasattr(df, "df") and isinstance(
+            getattr(df, "df"), DataFrame) else df
+
     # -- lifecycle ----------------------------------------------------------
     def fit(self, df: DataFrame) -> "Workflow":
         """Run the statistics pass: each StatOperator triggers its own
         (small) aggregation job in topological order, then stores
         broadcastable state. No full-data materialization happens."""
-        pruned = self._prune(df)
+        pruned = self._prune(self._unwrap(df))
         self.input_schema = Schema.from_spark(pruned.schema)
         out = self.plan.run(pruned, fit=True)
         self.output_schema = self._build_output_schema(out)
@@ -39,7 +45,7 @@ class Workflow:
     def transform(self, df: DataFrame) -> DataFrame:
         """Lazily compose the transform; nothing executes until an
         action (write/collect) — mirroring reference workflow.py:86-88."""
-        return self.plan.run(self._prune(df), fit=False)
+        return self.plan.run(self._prune(self._unwrap(df)), fit=False)
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         self.fit(df)

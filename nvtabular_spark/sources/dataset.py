@@ -23,6 +23,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class Dataset:
+    """API-parity wrapper for the reference ``nvtabular.Dataset``
+    (re-export of merlin.io.Dataset; usage tests/conftest.py:226-242):
+    a lazy, partitioned table handle. Thin by design — the engine works
+    directly on DataFrames; this class exists so reference user code
+    ports 1:1."""
+
+    def __init__(self, data, engine: str = "parquet",
+                 part_size_mb: Optional[int] = None,
+                 spark: Optional[SparkSession] = None, **options):
+        if isinstance(data, DataFrame):
+            self.df = data
+        else:
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError("Dataset(paths) needs an active SparkSession")
+            self.df = read_dataset(spark, data, engine=engine,
+                                   part_size_mb=part_size_mb, **options)
+
+    # reference surface -----------------------------------------------------
+    def to_ddf(self, columns=None) -> DataFrame:
+        return self.df.select(*columns) if columns else self.df
+
+    def compute(self):
+        return self.df.toPandas()
+
+    def to_parquet(self, output_path: str, shuffle: Optional[str] = "per_partition",
+                   out_files_per_proc: Optional[int] = None, **kw) -> None:
+        write_shuffled(self.df, output_path, shuffle=shuffle or "none",
+                       out_files=out_files_per_proc, **kw)
+
+    def shuffle_by_keys(self, keys, npartitions: Optional[int] = None) -> "Dataset":
+        return Dataset(shuffle_by_keys(self.df, list(keys), npartitions))
+
+    @property
+    def schema(self):
+        from ..plans.schema import Schema
+        return Schema.from_spark(self.df.schema)
+
+    def __repr__(self):
+        return f"Dataset({self.df})"
+
+
 def read_dataset(spark: SparkSession, paths, engine: str = "parquet",
                  part_size_mb: Optional[int] = None, **options) -> DataFrame:
     if part_size_mb:

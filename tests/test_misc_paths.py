@@ -63,6 +63,31 @@ def test_filter_column_predicate(spark):
     assert set(out["rid"]) == {0, 2}
 
 
+def test_dataset_wrapper_api_parity(spark, tmp_path):
+    """Reference user code shape: nvt.Dataset(path) → Workflow.fit →
+    transform(...).to_ddf() → to_parquet()."""
+    pdf = pd.DataFrame({"cat": ["a", "b", "a"], "rid": range(3)})
+    p = str(tmp_path / "in")
+    spark.createDataFrame(pdf).write.parquet(p)
+    ds = nvt.Dataset(p, spark=spark)
+    wf = nvt.Workflow((["cat"] >> ops.Categorify()) + ["rid"])
+    out = wf.fit_transform(ds)
+    got = out.orderBy("rid").toPandas()
+    assert got["cat"].tolist() == [3, 4, 3]
+    nvt.Dataset(out).to_parquet(str(tmp_path / "out"), shuffle=None)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+    assert "cat" in nvt.Dataset(out).schema.column_names
+
+
+def test_filter_callable(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, -2.0, 3.0],
+                                             "rid": range(3)}))
+    out = nvt.Workflow(
+        (["x"] >> ops.Filter(lambda d: d["x"] > 0)) + ["rid"]) \
+        .transform(df).toPandas()
+    assert set(out["rid"]) == {0, 2}
+
+
 def test_inspect_dataset(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "s": ["a", "b", "b"], "x": [1.0, 2.0, None]}))
