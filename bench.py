@@ -192,7 +192,8 @@ def main():
     result["sequences_per_sec"] = wl["sequences_per_sec"]
 
     if not WORKLOAD_ONLY:
-        result["criteo_like"] = criteo_like_workload(spark, N_ROWS)
+        result["criteo_like"] = criteo_like_workload(
+            spark, max(200_000, N_ROWS // 2))
         import __spark_entry__ as entry
         qs = entry.queries()
         for name in HEADLINE:
