@@ -47,7 +47,8 @@ class AsOfJoin(Operator):
     def __init__(self, right: DataFrame, on: Union[str, List[str]],
                  ts_col: str, right_ts_col: Optional[str] = None,
                  value_cols: Optional[List[str]] = None,
-                 allow_exact_matches: bool = False, suffix: str = ""):
+                 allow_exact_matches: bool = False, suffix: str = "",
+                 bucket_seconds: Optional[float] = None):
         self.on = [on] if isinstance(on, str) else list(on)
         self.ts_col = ts_col
         self.right_ts_col = right_ts_col or ts_col
@@ -57,6 +58,12 @@ class AsOfJoin(Operator):
             if c not in set(self.on) | {self.right_ts_col}]
         self.allow_exact_matches = allow_exact_matches
         self.suffix = suffix
+        #: skew handling (north_rule "salted repartitioning for skewed
+        #: entities"): with bucket_seconds set, the window runs per
+        #: (entity, time-bucket) — a hot entity's timeline splits across
+        #: many tasks — plus a tiny carry-in pass over (entity, bucket)
+        #: aggregates to seed each bucket with the last prior value.
+        self.bucket_seconds = bucket_seconds
 
     def dependencies(self):
         return self.on + [self.ts_col]
@@ -97,16 +104,19 @@ class AsOfJoin(Operator):
         #    so last(ignorenulls) never reads them.
         side_order = (F.col("__side__") if self.allow_exact_matches
                       else F.col("__side__").desc())
-        w = (Window.partitionBy(*self.on)
-             .orderBy(F.col("__ts__"), side_order)
-             .rowsBetween(Window.unboundedPreceding, -1))
 
-        filled = unioned.select(
-            F.col(rid),
-            F.col("__side__"),
-            *[F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w)
-              .alias(f"__rv_{c}") for c in self.value_cols],
-        ).filter(F.col("__side__") == 1).drop("__side__")
+        if self.bucket_seconds:
+            filled = self._bucketed_fill(unioned, rid, side_order)
+        else:
+            w = (Window.partitionBy(*self.on)
+                 .orderBy(F.col("__ts__"), side_order)
+                 .rowsBetween(Window.unboundedPreceding, -1))
+            filled = unioned.select(
+                F.col(rid),
+                F.col("__side__"),
+                *[F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w)
+                  .alias(f"__rv_{c}") for c in self.value_cols],
+            ).filter(F.col("__side__") == 1).drop("__side__")
 
         joined = df.join(filled, rid, "left")
         cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
@@ -114,6 +124,68 @@ class AsOfJoin(Operator):
             cols[ctx.out(f"{c}{self.suffix}")] = F.col(f"__rv_{c}")
         return joined.withColumns(cols).drop(
             rid, *[f"__rv_{c}" for c in self.value_cols])
+
+    def _bucketed_fill(self, unioned: DataFrame, rid: str,
+                       side_order) -> DataFrame:
+        """Skew-proof fill: (1) per-(entity, time-bucket) local window —
+        a hot entity spreads over many tasks; (2) per-bucket last right
+        value, aggregated (tiny frame); (3) running carry-in from prior
+        buckets; (4) coalesce(local, carry_in)."""
+        epoch = F.unix_micros(F.col("__ts__").cast("timestamp")) / F.lit(1e6)
+        u = unioned.withColumn(
+            "__bkt__", F.floor(epoch / F.lit(float(self.bucket_seconds))))
+
+        w_local = (Window.partitionBy(*self.on, "__bkt__")
+                   .orderBy(F.col("__ts__"), side_order)
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        local = u.select(
+            F.col(rid), F.col("__side__"), F.col("__bkt__"),
+            *[F.col(c) for c in self.on],
+            *[F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w_local)
+              .alias(f"__loc_{c}") for c in self.value_cols])
+
+        # last right-side value inside each bucket (right rows only):
+        # max_by over (ts) — deterministic when (entity, ts) unique
+        per_bucket = (u.filter(F.col("__side__") == 0)
+                      .groupBy(*self.on, "__bkt__")
+                      .agg(*[F.max_by(F.col(f"__rv_{c}"), F.col("__ts__"))
+                             .alias(f"__pb_{c}") for c in self.value_cols]))
+        # running INCLUSIVE: carry(B') = last right value in buckets ≤ B'
+        w_carry = (Window.partitionBy(*self.on).orderBy("__bkt__")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+        carry = per_bucket.select(
+            *self.on, "__bkt__",
+            *[F.last(F.col(f"__pb_{c}"), ignorenulls=True).over(w_carry)
+              .alias(f"__ci_{c}") for c in self.value_cols])
+
+        # seed for a left bucket B = carry of the LARGEST carry bucket
+        # strictly < B (bucket B's own right rows are covered by the
+        # local window). The carry frame is tiny — broadcast join.
+        left_rows = local.filter(F.col("__side__") == 1)
+        lb = left_rows.select(*self.on, "__bkt__").distinct()
+        from functools import reduce
+        import operator as _op
+        joined = lb.alias("l").join(
+            F.broadcast(carry.alias("r")),
+            reduce(_op.and_, [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+                              for c in self.on]
+                   + [F.col("r.__bkt__") < F.col("l.__bkt__")]), "left")
+        w_pick = Window.partitionBy(
+            *[F.col(f"l.{c}") for c in self.on], F.col("l.__bkt__")) \
+            .orderBy(F.col("r.__bkt__").desc_nulls_last())
+        seed = (joined.withColumn("__rn__", F.row_number().over(w_pick))
+                .filter(F.col("__rn__") == 1)
+                .select(*[F.col(f"l.{c}").alias(c) for c in self.on],
+                        F.col("l.__bkt__").alias("__bkt__"),
+                        *[F.col(f"r.__ci_{c}").alias(f"__seed_{c}")
+                          for c in self.value_cols]))
+
+        out = left_rows.join(F.broadcast(seed), [*self.on, "__bkt__"],
+                             "left")
+        return out.select(
+            F.col(rid),
+            *[F.coalesce(F.col(f"__loc_{c}"), F.col(f"__seed_{c}"))
+              .alias(f"__rv_{c}") for c in self.value_cols])
 
     def artifacts(self):
         return {"right": self._right}
@@ -126,7 +198,8 @@ class AsOfJoin(Operator):
                 "right_ts_col": self.right_ts_col,
                 "value_cols": self.value_cols,
                 "allow_exact_matches": self.allow_exact_matches,
-                "suffix": self.suffix}
+                "suffix": self.suffix,
+                "bucket_seconds": self.bucket_seconds}
 
     @classmethod
     def load_params(cls, params):

@@ -126,6 +126,26 @@ def test_rolling_agg_strictly_past(spark, events_pdf):
                 np.testing.assert_allclose(got, exp, rtol=1e-9)
 
 
+def test_asof_bucketed_equals_plain(spark, events_pdf):
+    """Skew path (bucket_seconds) must produce IDENTICAL results to the
+    single-window path — verified on mixed entities and on one hot
+    entity whose timeline spans many buckets."""
+    left = events_pdf.iloc[::2].reset_index(drop=True)
+    right = events_pdf.iloc[1::2].reset_index(drop=True)
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = ops.AsOfJoin(rdf.select("entity", "ts", "v"), on="entity",
+                         ts_col="ts", allow_exact_matches=False)
+    bucketed = ops.AsOfJoin(rdf.select("entity", "ts", "v"), on="entity",
+                            ts_col="ts", allow_exact_matches=False,
+                            bucket_seconds=50_000.0)
+    a = nvt.Workflow(["rid"] >> plain).transform(ldf) \
+        .orderBy("rid").toPandas()
+    b = nvt.Workflow(["rid"] >> bucketed).transform(ldf) \
+        .orderBy("rid").toPandas()
+    np.testing.assert_allclose(a["v"].to_numpy(), b["v"].to_numpy(),
+                               equal_nan=True, rtol=0)
+
+
 def test_asof_skew_survives_salted_entity(spark):
     """One hot entity with many rows — result must stay correct (AQE
     handles the skewed window; this is the correctness guard for the
