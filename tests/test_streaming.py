@@ -46,6 +46,33 @@ def test_fitted_workflow_transforms_a_stream(spark, stream_dir, tmp_path):
         got.reset_index(drop=True), expected.reset_index(drop=True))
 
 
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: session ids must match the
+    batch Sessionize op on the same data."""
+    from nvtabular_spark.streaming import sessionize_stream
+    ts = [0, 100, 200, 4000, 4100, 9000, 9050]
+    pdf = pd.DataFrame({"user": ["u1"] * 7,
+                        "ts": pd.to_datetime(ts, unit="s")})
+    pdf2 = pd.DataFrame({"user": ["u2"] * 3,
+                         "ts": pd.to_datetime([0, 5000, 5100], unit="s")})
+    alldf = pd.concat([pdf, pdf2])
+    p = str(tmp_path / "sess_in")
+    spark.createDataFrame(alldf).write.parquet(p)
+    static = spark.read.parquet(p)
+
+    stream = spark.readStream.schema(static.schema).parquet(p)
+    out = sessionize_stream(stream, "ts", "user", gap_seconds=1800.0)
+    q = (out.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess_stream").toPandas()
+    # u1: sessions {0,100,200}, {4000,4100}, {9000,9050}; u2: {0},{5000,5100}
+    u1 = got[got["user"] == "u1"].sort_values("session_id")
+    assert u1["events"].tolist() == [3, 2, 2]
+    u2 = got[got["user"] == "u2"].sort_values("session_id")
+    assert u2["events"].tolist() == [1, 2]
+
+
 def test_windowed_agg_stream(spark, stream_dir):
     path, pdf = stream_dir
     static = spark.read.parquet(path)
