@@ -140,6 +140,16 @@ def test_single_table_contiguous(spark):
         old_max += out[name].max()
 
 
+def test_empty_vocab_all_oov(spark):
+    """freq_threshold above every count → empty vocabulary → every
+    value maps to OOV (2), nulls still 1."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"c": ["a", "b", None], "i": [1, 2, 3]}))
+    out = nvt.Workflow((["c"] >> ops.Categorify(freq_threshold=99)) + ["i"]) \
+        .fit_transform(df).orderBy("i").toPandas()
+    assert out["c"].tolist() == [2, 2, 1]
+
+
 def test_transform_is_broadcast_join(author_df):
     """Scale guard: the vocab join must be a broadcast hash join, not a
     shuffle join (reference broadcasts vocab to workers too)."""
