@@ -113,6 +113,27 @@ def test_bucketed_input_elides_window_shuffle(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_criteo_shape_transform_plan(spark):
+    """26-column Categorify transform: every vocab join must be a
+    broadcast hash join and the whole chain must plan with no shuffle
+    Exchange (broadcast exchanges only)."""
+    from nvtabular_spark.sources import synthetic_tabular
+    df = synthetic_tabular(spark, 2000, n_cats=6, n_conts=2,
+                           cat_cardinality=50)
+    cat_cols = [f"cat_{i}" for i in range(6)]
+    wf = nvt.Workflow(
+        (cat_cols >> ops.Categorify(freq_threshold=2, num_buckets=4))
+        + ([f"cont_{i}" for i in range(2)] >> ops.FillMissing(0)
+           >> ops.LogOp()) + ["label"])
+    out = wf.fit_transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 6
+    assert "SortMergeJoin" not in plan
+    # no shuffle exchanges — only broadcast exchanges
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_expression_ops_fuse_into_single_codegen_stage(spark):
     """FillMissing→Clip→LogOp must stay one WholeStageCodegen projection
     — no shuffle, no extra stages (the 100 TB pipeline-fusion guard)."""
