@@ -82,9 +82,11 @@ class Categorify(StatOperator):
                  out_path: Optional[str] = None,
                  name_sep: str = "_",
                  hash_family: str = "xxhash64",
-                 broadcast: bool = True,
+                 broadcast: Optional[bool] = None,
                  list_strategy: str = "udf",
-                 single_table: bool = False):
+                 single_table: bool = False,
+                 broadcast_limit: int = 30_000_000,
+                 list_vocab_limit: int = 5_000_000):
         super().__init__()
         if encode_type not in ("joint", "combo"):
             raise ValueError("encode_type must be 'joint' or 'combo'")
@@ -100,6 +102,14 @@ class Categorify(StatOperator):
         self.broadcast = broadcast
         self.list_strategy = list_strategy
         self.single_table = single_table
+        # scale guards: vocabularies beyond broadcast_limit rows fall
+        # back to a shuffle join (AQE picks the strategy), and list
+        # columns beyond list_vocab_limit switch from the driver-dict
+        # pandas_udf to the explode-join strategy — neither path ever
+        # materializes an unbounded vocabulary on the driver
+        # (≙ reference split_out>1 handling, categorify.py:1644-1664)
+        self.broadcast_limit = broadcast_limit
+        self.list_vocab_limit = list_vocab_limit
         self._vocab_dfs: Dict[str, DataFrame] = {}
         self._paths: Dict[str, str] = {}
         self._sizes: Dict[str, int] = {}
@@ -391,6 +401,12 @@ class Categorify(StatOperator):
                         offset += self._sizes[key] - 1
         return df
 
+    def _should_broadcast(self, key: str) -> bool:
+        if self.broadcast is not None:
+            return self.broadcast
+        size = self._sizes.get(key)
+        return size is None or size <= self.broadcast_limit
+
     def _oov_expr(self, key: str, value: Column) -> Column:
         nb = self._oov_buckets(key)
         if not nb:
@@ -408,7 +424,7 @@ class Categorify(StatOperator):
                                      cast_string, offset)
         cv, cc = f"__cv__{out}", f"__cc__{out}"
         v = vocab.select(F.col("value").alias(cv), F.col("code").alias(cc))
-        if self.broadcast:
+        if self._should_broadcast(key):
             v = F.broadcast(v)
         left = F.col(act).cast("string") if cast_string else F.col(act)
         joined = df.join(v, left == F.col(cv), "left")
@@ -425,7 +441,7 @@ class Categorify(StatOperator):
         sel = [F.col(f"value_{i}").alias(f"__cv{i}__{out}")
                for i in range(len(cols))] + [F.col("code").alias(f"__cc__{out}")]
         v = vocab.select(*sel)
-        if self.broadcast:
+        if self._should_broadcast(key):
             v = F.broadcast(v)
         cond = None
         for i, a in enumerate(acts):
@@ -449,7 +465,8 @@ class Categorify(StatOperator):
     def _encode_list(self, ctx, df: DataFrame, act: str, out: str, key: str,
                      vocab: DataFrame, cast_string: bool,
                      offset: int = 0) -> DataFrame:
-        if self.list_strategy == "explode":
+        vocab_size = self._sizes.get(key, 0) - self._start_index(key)
+        if self.list_strategy == "explode" or vocab_size > self.list_vocab_limit:
             if offset:
                 raise NotImplementedError(
                     "single_table with explode strategy not supported")
