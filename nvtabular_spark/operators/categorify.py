@@ -535,11 +535,26 @@ class Categorify(StatOperator):
         """Exact-join strategy for vocabularies too large to broadcast:
         posexplode → join → re-collect by original row. One extra
         shuffle, arbitrary vocab size (≙ reference split_out>1 path,
-        categorify.py:1644-1664)."""
+        categorify.py:1644-1664).
+
+        Correctness notes (both self-join hazards fixed):
+        * the row id is stamped ONCE and the stamped frame is
+          ``localCheckpoint``-ed before branching, so the id-carrying
+          plan is never recomputed on the two sides of the join —
+          ``monotonically_increasing_id`` is not stable across
+          recomputations when the input has upstream shuffles;
+        * ``posexplode`` (inner) is used instead of ``posexplode_outer``
+          so NULL arrays and empty arrays are NOT conflated into a
+          (null, null) element row: after the left join back, NULL
+          input stays NULL and ``[]`` stays ``[]`` — matching the
+          element-wise udf strategy."""
         rid = "__rid__" + out
         pos, val = "__pos__" + out, "__val__" + out
-        exploded = (df.withColumn(rid, F.monotonically_increasing_id())
-                    .select(rid, F.posexplode_outer(F.col(act)).alias(pos, val)))
+        stamped = df.withColumn(rid, F.monotonically_increasing_id())
+        # cut lineage: both branches below must observe identical rids
+        stamped = stamped.localCheckpoint(eager=False)
+        exploded = stamped.select(
+            rid, F.posexplode(F.col(act)).alias(pos, val))
         cv, cc = f"__cv__{out}", f"__cc__{out}"
         v = vocab.select(F.col("value").alias(cv), F.col("code").alias(cc))
         left = F.col(val).cast("string") if cast_string else F.col(val)
@@ -552,8 +567,13 @@ class Categorify(StatOperator):
                      .agg(F.transform(
                          F.sort_array(F.collect_list(F.struct(F.col(pos), F.col("__code__")))),
                          lambda x: x["__code__"]).alias(out)))
-        base = df.withColumn(rid, F.monotonically_increasing_id())
-        return base.join(regrouped, rid, "left").drop(rid)
+        elem_type = _spark_int_type(self.dtype)
+        joined = stamped.join(regrouped, rid, "left")
+        restored = (F.when(F.col(act).isNull(),
+                           F.lit(None).cast(ArrayType(elem_type)))
+                    .otherwise(F.coalesce(
+                        F.col(out), F.array().cast(ArrayType(elem_type)))))
+        return joined.withColumn(out, restored).drop(rid)
 
     # -- schema / serialization -----------------------------------------------------
     def output_tags(self):

@@ -119,7 +119,13 @@ class NormalizeMinMax(AggStatOperator):
             if dif != 0:
                 expr = (c - F.lit(lo)) / F.lit(dif)
             else:
-                expr = F.when(c == 0, F.lit(0.0)).otherwise(F.lit(0.5))
+                # degenerate max==min: reference x/(2x) → 0.5 (0 for
+                # x==0); NULL must stay NULL — `null == 0` is null, so
+                # guard nulls before the zero test
+                expr = (F.when(c.isNull() | F.isnan(c),
+                               F.lit(None).cast("double"))
+                        .when(c == 0, F.lit(0.0))
+                        .otherwise(F.lit(0.5)))
             cols[ctx.out(pub)] = expr.cast(self.out_dtype)
         return df.withColumns(cols)
 

@@ -74,23 +74,70 @@ class Filter(Operator):
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         if isinstance(self.f, str):
-            # SQL predicate over *public* names: remap to actual names
-            pred_df = df.withColumns(
-                {pub: F.col(act) for pub, act in ctx.pairs() if pub != act})
+            # SQL predicate over *public* names: remap public → actual
+            # names only for predicate evaluation. Public-named columns
+            # that already exist in the threaded frame (e.g. a raw
+            # TargetEncoding target read via dependencies()) are backed
+            # up and restored so the remap never leaks downstream.
+            remap = {pub: act for pub, act in ctx.pairs() if pub != act}
+            backup = {f"__fbk__{pub}": F.col(pub)
+                      for pub in remap if pub in df.columns}
+            pred_df = df.withColumns(backup).withColumns(
+                {pub: F.col(act) for pub, act in remap.items()})
             df = pred_df.filter(self.f)
+            if backup:
+                df = df.withColumns(
+                    {pub: F.col(f"__fbk__{pub}") for pub in remap
+                     if f"__fbk__{pub}" in backup}).drop(*backup)
         elif isinstance(self.f, Column):
             df = df.filter(self.f)
         else:
-            # callable receives a proxy: public name → unresolved Column
-            # over the actual (namespaced) column, so the returned
-            # predicate applies directly to the threaded DataFrame
-            pred = self.f(_ColumnProxy(dict(ctx.pairs())))
-            if not isinstance(pred, Column):
-                raise TypeError(
-                    "Filter callable must return a pyspark Column predicate")
-            df = df.filter(pred)
+            # Column-proxy fast path first: callable receives a proxy
+            # (public name → Column over the actual namespaced column),
+            # so the returned predicate stays in JVM codegen. Reference
+            # callables that need a real DataFrame (returning a filtered
+            # frame or a bool mask, filter.py:28-62) fall back to an
+            # Arrow-batched mapInPandas evaluation.
+            pred = None
+            try:
+                pred = self.f(_ColumnProxy(dict(ctx.pairs())))
+            except Exception:
+                pass
+            if isinstance(pred, Column):
+                df = df.filter(pred)
+            else:
+                df = self._filter_pandas(ctx, df)
         cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
         return df.withColumns(cols)
+
+    def _filter_pandas(self, ctx, df: DataFrame) -> DataFrame:
+        """Reference-compatible slow path (filter.py:28-62): the callable
+        sees a pandas view of the selected columns under their PUBLIC
+        names and may return either a filtered DataFrame (index subset)
+        or a boolean mask Series. Arrow-batched via mapInPandas — no
+        per-row Python."""
+        import pandas as pd
+
+        pairs = dict(ctx.pairs())  # pub -> act
+        fn = self.f
+
+        def gen(batches):
+            for pdf in batches:
+                view = pdf[list(pairs.values())].rename(
+                    columns={act: pub for pub, act in pairs.items()})
+                res = fn(view)
+                if isinstance(res, pd.Series):
+                    mask = res.fillna(False).to_numpy(dtype=bool)
+                    yield pdf[mask]
+                elif isinstance(res, pd.DataFrame):
+                    yield pdf.loc[res.index]
+                else:
+                    raise TypeError(
+                        "Filter callable must return a Column predicate, "
+                        "a boolean mask Series, or a filtered DataFrame; "
+                        f"got {type(res).__name__}")
+
+        return df.mapInPandas(gen, schema=df.schema)
 
     def save_params(self):
         if isinstance(self.f, str):

@@ -48,7 +48,8 @@ class AsOfJoin(Operator):
                  ts_col: str, right_ts_col: Optional[str] = None,
                  value_cols: Optional[List[str]] = None,
                  allow_exact_matches: bool = False, suffix: str = "",
-                 bucket_seconds: Optional[float] = None):
+                 bucket_seconds: Optional[float] = None,
+                 broadcast_carry: Optional[bool] = None):
         self.on = [on] if isinstance(on, str) else list(on)
         self.ts_col = ts_col
         self.right_ts_col = right_ts_col or ts_col
@@ -64,6 +65,12 @@ class AsOfJoin(Operator):
         #: many tasks — plus a tiny carry-in pass over (entity, bucket)
         #: aggregates to seed each bucket with the last prior value.
         self.bucket_seconds = bucket_seconds
+        #: carry/seed frames have one row per (entity, bucket) — tiny
+        #: for hot-entity skew but NOT broadcastable at 1e8 entities.
+        #: None (default) = no hint; AQE picks broadcast at runtime iff
+        #: the materialized side is under autoBroadcastJoinThreshold.
+        #: True forces the hint (small-entity workloads), False never.
+        self.broadcast_carry = broadcast_carry
 
     def dependencies(self):
         return self.on + [self.ts_col]
@@ -76,6 +83,11 @@ class AsOfJoin(Operator):
         right = self._right
         rid = "__asof_rid__"
         df = df.withColumn(rid, F.monotonically_increasing_id())
+        # The rid-stamped frame is referenced on BOTH sides of the join
+        # at the end of this method; monotonically_increasing_id is not
+        # stable across recomputations when the input has upstream
+        # shuffles, so cut lineage before branching.
+        df = df.localCheckpoint(eager=False)
 
         left_tagged = df.select(
             *[F.col(c) for c in self.on],
@@ -161,12 +173,18 @@ class AsOfJoin(Operator):
         # seed for a left bucket B = carry of the LARGEST carry bucket
         # strictly < B (bucket B's own right rows are covered by the
         # local window). The carry frame is tiny — broadcast join.
+        def _hint(frame):
+            # size-guarded broadcast: only force the hint when the user
+            # asserts the (entity, bucket) frame is small; by default
+            # AQE decides from the materialized size at runtime
+            return F.broadcast(frame) if self.broadcast_carry else frame
+
         left_rows = local.filter(F.col("__side__") == 1)
         lb = left_rows.select(*self.on, "__bkt__").distinct()
         from functools import reduce
         import operator as _op
         joined = lb.alias("l").join(
-            F.broadcast(carry.alias("r")),
+            _hint(carry.alias("r")),
             reduce(_op.and_, [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
                               for c in self.on]
                    + [F.col("r.__bkt__") < F.col("l.__bkt__")]), "left")
@@ -180,7 +198,7 @@ class AsOfJoin(Operator):
                         *[F.col(f"r.__ci_{c}").alias(f"__seed_{c}")
                           for c in self.value_cols]))
 
-        out = left_rows.join(F.broadcast(seed), [*self.on, "__bkt__"],
+        out = left_rows.join(_hint(seed), [*self.on, "__bkt__"],
                              "left")
         return out.select(
             F.col(rid),
@@ -199,11 +217,13 @@ class AsOfJoin(Operator):
                 "value_cols": self.value_cols,
                 "allow_exact_matches": self.allow_exact_matches,
                 "suffix": self.suffix,
-                "bucket_seconds": self.bucket_seconds}
+                "bucket_seconds": self.bucket_seconds,
+                "broadcast_carry": self.broadcast_carry}
 
     @classmethod
     def load_params(cls, params):
         op = cls.__new__(cls)
+        op.broadcast_carry = None  # default for pre-r2 saved graphs
         for k, v in params.items():
             setattr(op, k, v)
         op._right = None

@@ -170,7 +170,9 @@ class CompiledPlan:
             # column, or when it changes row cardinality (its row set
             # must not affect the pending aggregations' input)
             needs = set(parent_map.values()) | set(op.dependencies())
-            if pending and (needs & deferred_cols or not op.row_preserving):
+            if (pending or pending_heavy) and (
+                needs & deferred_cols or not op.row_preserving
+            ):
                 flush()
 
             needs_fit = isinstance(op, StatOperator) and (fit or refit) \

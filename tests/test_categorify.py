@@ -157,3 +157,33 @@ def test_transform_is_broadcast_join(author_df):
     plan = wf.fit_transform(author_df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_list_strategies_agree_on_empty_and_null(spark):
+    """Regression: posexplode_outer conflated NULL and [] into a single
+    (null,null) row, so both encoded as [NULL_OFFSET] under the explode
+    strategy while the udf strategy kept them as null/[] — identical
+    data silently encoded differently past list_vocab_limit. Both
+    strategies must now agree element-wise, including the edge shapes."""
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("Authors", T.ArrayType(T.StringType()), True),
+        T.StructField("Post", T.LongType(), False)])
+    df = spark.createDataFrame(
+        [(["User_A"], 1), (["User_A", "User_E"], 2), ([], 3), (None, 4),
+         (["User_B", None], 5)], schema)
+
+    def run(strategy):
+        return (nvt.Workflow(
+            (["Authors"] >> ops.Categorify(list_strategy=strategy))
+            + ["Post"])
+            .fit_transform(df).orderBy("Post").toPandas())
+
+    udf_out, ex_out = run("udf"), run("explode")
+    canon = lambda v: None if v is None else list(v)
+    u = [canon(x) for x in udf_out["Authors"]]
+    e = [canon(x) for x in ex_out["Authors"]]
+    assert u == e
+    assert u[2] == []        # empty stays empty
+    assert u[3] is None      # null stays null
+    assert u[4][1] == 1      # in-array null -> NULL code

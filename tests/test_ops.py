@@ -265,3 +265,61 @@ def test_add_metadata_tags(spark, num_pdf):
     wf = nvt.Workflow(["cat"] >> ops.TagAsUserID())
     wf.fit(df)
     assert "user_id" in wf.output_schema["cat"].tags
+
+
+def test_normalize_minmax_degenerate_nulls(spark):
+    """Regression: max==min branch sent NULL inputs to 0.5 because
+    `null == 0` is null. NULLs must propagate in both branches
+    (reference normalize.py:196-204 x/(2x) is null-preserving)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [5.0, 5.0, None], "z": [0.0, 0.0, None],
+                      "rid": [0, 1, 2]}))
+    wf = nvt.Workflow((["x", "z"] >> ops.NormalizeMinMax()) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    assert out["x"].tolist()[:2] == [0.5, 0.5]
+    assert pd.isna(out["x"].iloc[2])
+    assert out["z"].tolist()[:2] == [0.0, 0.0]
+    assert pd.isna(out["z"].iloc[2])
+
+
+def test_filter_sql_does_not_clobber_raw_columns(spark, num_pdf):
+    """Regression: the SQL-string Filter path remapped public → actual
+    names on the threaded frame, silently replacing a raw input column
+    (read downstream via dependencies()) with the transformed value."""
+    df = spark.createDataFrame(num_pdf.fillna(0.0))
+    # y is transformed (normalized) in one branch and ALSO consumed raw
+    # by TargetEncoding in a sibling branch after a Filter
+    flow = ((["y"] >> ops.Normalize() >> ops.Filter("y > -10")
+             >> ops.Rename(postfix="_n"))
+            + (["cat"] >> ops.TargetEncoding(target="y", fold_col="rid",
+                                             kfold=2))
+            + ["rid", "y"])
+    out = nvt.Workflow(flow).fit_transform(df).orderBy("rid").toPandas()
+    orig = num_pdf.fillna(0.0).set_index("rid").loc[out["rid"]]
+    # raw y must survive untouched (not the normalized copy)
+    np.testing.assert_allclose(out["y"].to_numpy(),
+                               orig["y"].to_numpy(), rtol=1e-12)
+
+
+def test_filter_mask_callable(spark, num_pdf):
+    """Reference filter.py:28-62 — callable over a real frame returning
+    a boolean mask Series (Arrow-batched mapInPandas fallback)."""
+    df = spark.createDataFrame(num_pdf.fillna(0.0))
+    wf = nvt.Workflow(
+        (["x", "rid"] >> ops.Filter(lambda d: (d["x"] > 0) & (d["x"].notna())))
+        + ["y"])
+    out = wf.fit_transform(df).toPandas()
+    exp = num_pdf.fillna(0.0)
+    exp = exp[exp["x"] > 0]
+    assert set(out["rid"]) == set(exp["rid"])
+
+
+def test_filter_df_callable(spark, num_pdf):
+    """Callable returning a filtered pandas DataFrame (index subset)."""
+    df = spark.createDataFrame(num_pdf.fillna(0.0))
+    wf = nvt.Workflow(
+        (["x", "rid"] >> ops.Filter(lambda d: d[d["x"] > 0])) + ["y"])
+    out = wf.fit_transform(df).toPandas()
+    exp = num_pdf.fillna(0.0)
+    exp = exp[exp["x"] > 0]
+    assert set(out["rid"]) == set(exp["rid"])

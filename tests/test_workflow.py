@@ -111,3 +111,33 @@ def test_source_scan_prunes_columns(spark, tmp_path, pipeline_df):
     read_schema = re.search(r"ReadSchema: ([^\n]+)", plan)
     assert read_schema and "x" not in read_schema.group(1)
     assert "cat" in read_schema.group(1)
+
+
+def test_chained_heavy_ops_categorify_then_rename(spark, pipeline_df):
+    """Regression: a node consuming a deferred heavy fit's output must
+    flush pending_heavy even when no AggStatOperator is pending
+    (compiler.py flush guard). Categorify >> Rename is the canonical
+    reference chaining pattern (reference test_workflow.py:COLUMN ops)."""
+    wf = nvt.Workflow(
+        (["cat"] >> ops.Categorify() >> ops.Rename(postfix="_enc"))
+        + ["rid"])
+    out = wf.fit_transform(pipeline_df).orderBy("rid").toPandas()
+    assert "cat_enc" in out.columns
+    # 3 distinct values, encoded starting at OOV_OFFSET + 1 bucket = 3
+    assert out["cat_enc"].between(3, 5).all()
+    assert out["cat_enc"].nunique() == 3
+
+
+def test_chained_heavy_ops_categorify_then_target_encoding(spark, pipeline_df):
+    """Categorify >> TargetEncoding: two heavy deferred fits where the
+    second consumes the first's output column."""
+    wf = nvt.Workflow(
+        (["cat"] >> ops.Categorify()
+         >> ops.TargetEncoding(target="y", fold_col="fold",
+                               fold_is_precomputed=True))
+        + ["rid", "y"])
+    out = wf.fit_transform(pipeline_df).orderBy("rid").toPandas()
+    te_col = [c for c in out.columns if c.startswith("TE_")][0]
+    assert out[te_col].notna().all()
+    # smoothed encodings stay inside the target's observed range
+    assert out[te_col].between(out["y"].min(), out["y"].max()).all()
