@@ -234,6 +234,20 @@ def q_difference_lag(spark, sf_dir):
                       "value_difference_lag_-1")
 
 
+def _arr_str_float(c):
+    """Comparison-stable array rendering for the driver's pandas-based
+    canonicalizer (cannot sort/hash list cells): micro-unit floor
+    encoding, comma-joined. floor(x*1e6) is bit-identical between Spark
+    and DuckDB (both widen float32 → double, IEEE multiply, floor)."""
+    return F.array_join(
+        F.transform(c, lambda x: F.floor(x.cast("double") * F.lit(1e6))
+                    .cast("long").cast("string")), ",")
+
+
+def _arr_str_int(c):
+    return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+
+
 def q_list_slice(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sl = (["embedding"] >> ops.ListSlice(1, 4)
@@ -241,7 +255,11 @@ def q_list_slice(spark, sf_dir):
     pad = (["embedding"] >> ops.ListSlice(0, 80, pad=True, pad_value=0.0)
            >> ops.Rename(name="emb_padded"))
     wf = nvt.Workflow(sl + pad + ["vec_id"])
-    return wf.transform(emb)
+    out = wf.transform(emb)
+    return out.select(
+        _arr_str_float(F.col("emb_slice")).alias("emb_slice"),
+        _arr_str_float(F.col("emb_padded")).alias("emb_padded"),
+        "vec_id")
 
 
 def q_asof_join(spark, sf_dir):
@@ -300,9 +318,10 @@ def q_dedup_exact(spark, sf_dir):
         "doc_id", "dup_key", "canonical_id", "is_dup")
 
 
-def q_minhash_signature(spark, sf_dir):
+def q_minhash_signature(spark, sf_dir, family="md5"):
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
+    sig = dedup.minhash_signature(F.col("text"), num_hashes=4, shingle_n=3,
+                                  family=family)
     out = docs.filter(F.size(text.words(F.col("text"))) >= 3) \
         .select("doc_id", sig.alias("sig"))
     return out.select(
@@ -310,27 +329,34 @@ def q_minhash_signature(spark, sf_dir):
         *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(4)])
 
 
-def q_simhash(spark, sf_dir):
+def q_simhash(spark, sf_dir, family="md5"):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", dedup.simhash(F.col("text"), bits=16).alias("simhash16"))
+        "doc_id",
+        dedup.simhash(F.col("text"), bits=16, family=family)
+        .alias("simhash16"))
 
 
-def q_ngram_jaccard(spark, sf_dir):
+def q_ngram_jaccard(spark, sf_dir, family="md5"):
+    # NB: keep the skew caps ON in example code — max_posting bounds the
+    # quadratic blowup of hot shingles (boilerplate) at corpus scale; at
+    # oracle scale the cap never binds so results equal the exact answer
+    # (asserted by test_skew_caps_inactive_at_test_scale)
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
-                                     max_posting=None)
+                                     max_posting=10000, family=family)
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
+def q_minhash_lsh_pairs(spark, sf_dir, family="md5"):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=3,
-                                   max_bucket=None)
+                                   max_bucket=1000, family=family)
 
 
-def q_simhash_pairs(spark, sf_dir):
+def q_simhash_pairs(spark, sf_dir, family="md5"):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.simhash_near_dups(docs, bits=16, max_hamming=4)
+    return dedup.simhash_near_dups(docs, bits=16, max_hamming=4,
+                                   family=family)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -360,18 +386,20 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-def q_tokens_pipeline(spark, sf_dir):
+def q_tokens_pipeline(spark, sf_dir, family="md5"):
     docs = _t(spark, sf_dir, "documents")
     tokens = F.transform(
         text.words(F.col("text")),
-        lambda w: F.pmod(hash64(w, "md5"), F.lit(50000)).cast("int"))
+        lambda w: F.pmod(hash64(w, family), F.lit(50000)).cast("int"))
     base = docs.select("doc_id", tokens.alias("tokens"))
     wf = nvt.Workflow(
         (["tokens"] >> ops.ListSlice(0, 16, pad=True, pad_value=0)
          >> ops.Rename(name="tokens16")) + ["doc_id"])
     out = wf.transform(base.withColumn("n_tok", F.size("tokens")))
-    return out.join(base.select("doc_id", F.size("tokens").alias("n_tok")),
-                    "doc_id")
+    out = out.join(base.select("doc_id", F.size("tokens").alias("n_tok")),
+                   "doc_id")
+    return out.select(_arr_str_int(F.col("tokens16")).alias("tokens16"),
+                      "doc_id", "n_tok")
 
 
 def q_reduce_dtype(spark, sf_dir):
@@ -442,8 +470,16 @@ def _md5h(expr: str) -> str:
     return md5_hash64_sql(expr)
 
 
-_NGRAMS3 = ("list_transform(range(len(w) - 2), "
-            "i -> array_to_string(w[i+1:i+3], ' '))")
+_SHINGLES3 = dedup.shingle_hashes_sql("w", 3, _md5h)
+
+
+def _mh_lane(i: int) -> str:
+    """DuckDB twin of dedup.minhash_signature lane i over the shingle
+    HASH list `sl`: lane = (a_i * low32(shingle_hash) + b_i) mod P."""
+    a, b = dedup.minhash_coeffs(8)[i]
+    return (f"list_min(list_transform(sl, s -> "
+            f"({a} * (s & 4294967295) + {b})"
+            f" % {dedup.MINHASH_PRIME}))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -616,10 +652,14 @@ def oracle_sql() -> dict[str, str]:
                    value - LEAD(value, 1) OVER w AS "value_difference_lag_-1"
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
         "list_slice": """
-            SELECT embedding[2:4] AS emb_slice,
-                   (embedding[1:80] ||
-                    list_transform(range(80), i -> CAST(0.0 AS REAL)))[1:80]
-                       AS emb_padded,
+            SELECT array_to_string(list_transform(embedding[2:4],
+                     x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT) AS VARCHAR)), ',') AS emb_slice,
+                   array_to_string(list_transform(
+                     (embedding[1:80] ||
+                      list_transform(range(80), i -> CAST(0.0 AS REAL)))[1:80],
+                     x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT) AS VARCHAR)), ',') AS emb_padded,
                    vec_id
             FROM embeddings""",
         "asof_join": """
@@ -671,14 +711,14 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k JOIN canon c ON k.dup_key = c.dup_key""",
         "minhash_signature": f"""
             WITH sh AS (
-              SELECT doc_id, {_NGRAMS3} AS sl
+              SELECT doc_id, {_SHINGLES3} AS sl
               FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
               WHERE len(w) >= 3)
             SELECT doc_id,
-                   list_min(list_transform(sl, s -> {_md5h("s || '#0'")})) AS mh0,
-                   list_min(list_transform(sl, s -> {_md5h("s || '#1'")})) AS mh1,
-                   list_min(list_transform(sl, s -> {_md5h("s || '#2'")})) AS mh2,
-                   list_min(list_transform(sl, s -> {_md5h("s || '#3'")})) AS mh3
+                   {_mh_lane(0)} AS mh0,
+                   {_mh_lane(1)} AS mh1,
+                   {_mh_lane(2)} AS mh2,
+                   {_mh_lane(3)} AS mh3
             FROM sh""",
         "simhash": f"""
             WITH h AS (
@@ -691,7 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id,
-                     unnest(list_distinct({_NGRAMS3})) AS sh
+                     unnest(list_distinct({_SHINGLES3})) AS sh
               FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
               WHERE len(w) >= 3),
             sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
@@ -706,15 +746,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""",
         "minhash_lsh_pairs": f"""
             WITH sh AS (
-              SELECT doc_id, {_NGRAMS3} AS sl
+              SELECT doc_id, {_SHINGLES3} AS sl
               FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
               WHERE len(w) >= 3),
             sig AS (
               SELECT doc_id,
-                list_min(list_transform(sl, s -> {_md5h("s || '#0'")})) s0,
-                list_min(list_transform(sl, s -> {_md5h("s || '#1'")})) s1,
-                list_min(list_transform(sl, s -> {_md5h("s || '#2'")})) s2,
-                list_min(list_transform(sl, s -> {_md5h("s || '#3'")})) s3
+                {_mh_lane(0)} s0,
+                {_mh_lane(1)} s1,
+                {_mh_lane(2)} s2,
+                {_mh_lane(3)} s3
               FROM sh),
             banded AS (
               SELECT doc_id, 0 AS band,
@@ -793,9 +833,10 @@ def oracle_sql() -> dict[str, str]:
                                     tk -> CAST({_md5h('tk')} % 50000
                                                AS INTEGER)) tokens
               FROM documents)
-            SELECT (tokens[1:16] ||
-                    list_transform(range(16), i -> CAST(0 AS INTEGER)))[1:16]
-                       AS tokens16,
+            SELECT array_to_string(list_transform(
+                     (tokens[1:16] ||
+                      list_transform(range(16), i -> CAST(0 AS INTEGER)))[1:16],
+                     x -> CAST(x AS VARCHAR)), ',') AS tokens16,
                    doc_id,
                    CAST(len(tokens) AS INTEGER) AS n_tok
             FROM t""",

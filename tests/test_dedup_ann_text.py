@@ -167,3 +167,63 @@ def test_multimodal_plumbing(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         mm.extract_image_features(with_bin, strict=True).collect()
+
+
+def test_skew_caps_inactive_at_test_scale(spark, docs_df):
+    """The skew caps (max_posting / max_bucket) must be NO-OPs when no
+    bucket exceeds them — capped and uncapped results identical. Keeps
+    the example queries (which ship with caps ON) oracle-exact."""
+    capped = dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.5,
+                                       max_posting=10000).toPandas()
+    uncapped = dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.5,
+                                         max_posting=None).toPandas()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    assert key(capped) == key(uncapped)
+
+    c2 = dedup.minhash_lsh_pairs(docs_df, num_hashes=4, bands=2,
+                                 max_bucket=1000).toPandas()
+    u2 = dedup.minhash_lsh_pairs(docs_df, num_hashes=4, bands=2,
+                                 max_bucket=None).toPandas()
+    assert key(c2) == key(u2)
+
+
+def test_minhash_families_agree_on_dup_structure(spark, docs_df):
+    """md5 (oracle-portable) and xxhash64 (production) families must
+    induce the same signature-equality structure on identical docs, and
+    each must be deterministic across evaluations."""
+    for fam in ("md5", "xxhash64"):
+        sig = dedup.minhash_signature(F.col("text"), num_hashes=4,
+                                      family=fam)
+        out = docs_df.select("doc_id", sig.alias("s")).orderBy("doc_id") \
+            .toPandas()
+        out2 = docs_df.select("doc_id", sig.alias("s")).orderBy("doc_id") \
+            .toPandas()
+        a = [None if v is None else list(v) for v in out["s"]]
+        b = [None if v is None else list(v) for v in out2["s"]]
+        assert a == b                       # deterministic
+        assert a[0] == a[1]                 # exact dups → equal sigs
+        assert a[0] != a[4]                 # different docs → differ
+        assert a[5] is None                 # < 3 words → null signature
+
+
+def test_simhash_matches_reference_impl(spark, docs_df):
+    """Single-pass simhash must equal a direct python recomputation of
+    the per-bit majority definition (md5 family parity retained for
+    oracle reproducibility)."""
+    import hashlib
+
+    def py_simhash(text, bits=16):
+        toks = [t for t in text.split(" ") if t]
+        counts = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(bits):
+                counts[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(bits) if counts[b] > 0)
+
+    out = docs_df.select(
+        "doc_id", dedup.simhash(F.col("text"), bits=16).alias("sh")) \
+        .orderBy("doc_id").toPandas()
+    texts = docs_df.orderBy("doc_id").toPandas()["text"]
+    for got, txt in zip(out["sh"], texts):
+        assert int(got) == py_simhash(txt)
