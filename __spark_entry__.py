@@ -373,6 +373,27 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_column_similarity(spark, sf_dir):
+    """ColumnSimilarity (reference column_similarity.py:31-130): cosine
+    between feature-matrix rows looked up by a left and right id column.
+    The feature matrix is built from the embeddings table (driver-side
+    at query scale; the op broadcasts it — scipy CSR at real vocabulary
+    sizes)."""
+    import numpy as np
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    n = len(rows)
+    mat = np.array([r["embedding"] for r in rows], dtype="float64")
+    pairs = emb.select(
+        F.col("vec_id").alias("left_id"),
+        ((F.col("vec_id") * 7 + 3) % n).cast("int").alias("right_id"))
+    op = ops.ColumnSimilarity(mat, metric="cosine")
+    out = nvt.Workflow(([["left_id", "right_id"]] >> op)
+                       + ["left_id", "right_id"]).transform(pairs)
+    return out.select("left_id", "right_id",
+                      F.round("left_id_right_id_sim", 6).alias("cos_sim"))
+
+
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -455,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "column_similarity": q_column_similarity,
         "text_stats": q_text_stats,
         "tokens_pipeline": q_tokens_pipeline,
         "reduce_dtype": q_reduce_dtype,
@@ -826,6 +848,15 @@ def oracle_sql() -> dict[str, str]:
                      + LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
                    ) / 3.0, 6) AS quality
             FROM h""",
+        "column_similarity": """
+            WITH n AS (SELECT COUNT(*) c FROM embeddings)
+            SELECT e.vec_id AS left_id,
+                   CAST((e.vec_id * 7 + 3) % n.c AS INTEGER) AS right_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(r.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings e, n
+            JOIN embeddings r ON r.vec_id = (e.vec_id * 7 + 3) % n.c""",
         "tokens_pipeline": f"""
             WITH t AS (
               SELECT doc_id,

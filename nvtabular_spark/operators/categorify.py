@@ -86,7 +86,7 @@ class Categorify(StatOperator):
                  list_strategy: str = "udf",
                  single_table: bool = False,
                  broadcast_limit: int = 30_000_000,
-                 list_vocab_limit: int = 5_000_000):
+                 list_vocab_limit: int = 500_000):
         super().__init__()
         if encode_type not in ("joint", "combo"):
             raise ValueError("encode_type must be 'joint' or 'combo'")
@@ -106,7 +106,9 @@ class Categorify(StatOperator):
         # back to a shuffle join (AQE picks the strategy), and list
         # columns beyond list_vocab_limit switch from the driver-dict
         # pandas_udf to the explode-join strategy — neither path ever
-        # materializes an unbounded vocabulary on the driver
+        # materializes an unbounded vocabulary on the driver. The
+        # default 500k keeps the pickled dict broadcast under ~50-100MB
+        # per executor (a 5M-entry python dict is ~0.5-1GB — too big)
         # (≙ reference split_out>1 handling, categorify.py:1644-1664)
         self.broadcast_limit = broadcast_limit
         self.list_vocab_limit = list_vocab_limit

@@ -36,6 +36,19 @@ _SIMPLE_AGGS = {
 }
 _ORDERED_AGGS = ("list", "first", "last")
 
+#: reference output-dtype coercion table (groupby.py:190-198) — applied
+#: only with ``coerce_dtypes=True``; the default keeps Spark's native
+#: agg dtypes (long/double) so DuckDB oracle dtypes stay aligned
+_COERCE_DTYPES = {
+    "count": "int",
+    "nunique": "int",
+    "mean": "float",
+    "var": "float",
+    "std": "float",
+    "median": "float",
+    "sum": "float",
+}
+
 
 class Groupby(Operator):
     row_preserving = False
@@ -45,7 +58,8 @@ class Groupby(Operator):
     def __init__(self, groupby_cols: Union[str, List[str]],
                  sort_cols: Optional[Union[str, List[str]]] = None,
                  aggs: Union[str, List[str], Dict[str, list]] = "list",
-                 name_sep: str = "_", ascending: bool = True):
+                 name_sep: str = "_", ascending: bool = True,
+                 coerce_dtypes: bool = False):
         self.groupby_cols = [groupby_cols] if isinstance(groupby_cols, str) \
             else list(groupby_cols)
         sc = sort_cols or []
@@ -53,6 +67,10 @@ class Groupby(Operator):
         self.aggs = aggs
         self.name_sep = name_sep
         self.ascending = ascending
+        #: apply the reference's output-dtype table (count/nunique →
+        #: int32, mean/std/var/median/sum → float32) for parity with
+        #: fixed-dtype trainer inputs
+        self.coerce_dtypes = coerce_dtypes
 
     def dependencies(self):
         return self.groupby_cols + self.sort_cols
@@ -87,7 +105,10 @@ class Groupby(Operator):
             for a in self._aggs_for(pub):
                 name = ctx.out(f"{pub}{self.name_sep}{a}")
                 if a in _SIMPLE_AGGS:
-                    exprs.append(_SIMPLE_AGGS[a](c).alias(name))
+                    e = _SIMPLE_AGGS[a](c)
+                    if self.coerce_dtypes and a in _COERCE_DTYPES:
+                        e = e.cast(_COERCE_DTYPES[a])
+                    exprs.append(e.alias(name))
                 elif a in _ORDERED_AGGS:
                     if not self.sort_cols:
                         if a == "list":

@@ -121,7 +121,8 @@ class JoinGroupby(StatOperator):
 
     def __init__(self, cont_cols: Optional[List[str]] = None,
                  stats: Optional[List[str]] = None, out_path: Optional[str] = None,
-                 name_sep: str = "_", broadcast: bool = True):
+                 name_sep: str = "_", broadcast: bool = True,
+                 coerce_dtypes: bool = False):
         super().__init__()
         self.cont_cols = list(cont_cols or [])
         self.stats = list(stats or ["count"])
@@ -131,6 +132,10 @@ class JoinGroupby(StatOperator):
         self.out_path = out_path
         self.name_sep = name_sep
         self.broadcast = broadcast
+        #: reference AGG_DTYPES parity (join_groupby.py:29-34):
+        #: count -> int32, std/var/mean -> float32 (default off keeps
+        #: Spark-native long/double, aligned with the DuckDB oracles)
+        self.coerce_dtypes = coerce_dtypes
         self._stats_dfs: Dict[str, DataFrame] = {}
         self._paths: Dict[str, str] = {}
 
@@ -167,8 +172,10 @@ class JoinGroupby(StatOperator):
             acts = [ctx.inputs.get(k, k) for k in keys]
             names = self._out_names(keys)
             aggs = []
+            count_t = "int" if self.coerce_dtypes else "long"
             if "count" in self.stats:
-                aggs.append(F.count(F.lit(1)).cast("long").alias(names["count"]))
+                aggs.append(F.count(F.lit(1)).cast(count_t)
+                            .alias(names["count"]))
             for c in self.cont_cols:
                 cc = F.col(c)
                 if df.schema[c].dataType.simpleString() in ("double", "float"):
@@ -176,7 +183,10 @@ class JoinGroupby(StatOperator):
                 for s in self.stats:
                     if s == "count":
                         continue
-                    aggs.append(_STAT_FNS[s](cc).alias(names[f"{c}:{s}"]))
+                    e = _STAT_FNS[s](cc)
+                    if self.coerce_dtypes and s in ("std", "var", "mean"):
+                        e = e.cast("float")
+                    aggs.append(e.alias(names[f"{c}:{s}"]))
             grouped = df.groupBy(
                 *[F.col(a).alias(f"__key_{k}") for a, k in zip(acts, keys)]
             ).agg(*aggs)

@@ -238,7 +238,7 @@ def test_column_similarity(spark):
         ("inner", [1.0, 1.0, 2.0]),
         ("cosine", [np.sqrt(0.5), np.sqrt(0.5), 1.0]),
     ]:
-        op = ops.ColumnSimilarity("right_id", feats, metric=metric)
+        op = ops.ColumnSimilarity(feats, metric=metric, right_col="right_id")
         out = nvt.Workflow((["left_id"] >> op) + ["rid"]) \
             .transform(df).orderBy("rid").toPandas()
         np.testing.assert_allclose(out["left_id_right_id_sim"], exp,
@@ -323,3 +323,69 @@ def test_filter_df_callable(spark, num_pdf):
     exp = num_pdf.fillna(0.0)
     exp = exp[exp["x"] > 0]
     assert set(out["rid"]) == set(exp["rid"])
+
+
+def test_coerce_dtypes_reference_table(spark, num_pdf):
+    """Reference AGG_DTYPES parity (groupby.py:190-198 /
+    join_groupby.py:29-34): count/nunique -> int32,
+    mean/std/var/median/sum -> float32 when coerce_dtypes=True."""
+    df = spark.createDataFrame(num_pdf.fillna(0.0))
+    g = ops.Groupby(groupby_cols=["cat"],
+                    aggs={"x": ["count", "nunique", "mean", "std", "var",
+                                "median", "sum", "min"]},
+                    coerce_dtypes=True)
+    out = nvt.Workflow(["x"] >> g).transform(df)
+    t = dict(out.dtypes)
+    assert t["x_count"] == "int" and t["x_nunique"] == "int"
+    for a in ("mean", "std", "var", "median", "sum"):
+        assert t[f"x_{a}"] == "float", (a, t[f"x_{a}"])
+    assert t["x_min"] == "double"   # not in the table: input dtype kept
+
+    jg = ops.JoinGroupby(cont_cols=["x"], stats=["count", "mean", "std"],
+                         coerce_dtypes=True)
+    out2 = nvt.Workflow((["cat"] >> jg) + ["rid"]).fit_transform(df)
+    t2 = dict(out2.dtypes)
+    assert t2["cat_count"] == "int"
+    assert t2["cat_x_mean"] == "float" and t2["cat_x_std"] == "float"
+
+
+def test_column_similarity_sparse_matches_dense(spark):
+    """Reference parity (column_similarity.py:31-130): scipy CSR feature
+    matrices, grouped-pair selector, tfidf/cosine — sparse result must
+    equal the dense computation."""
+    scipy = pytest.importorskip("scipy")
+    import scipy.sparse as sp
+    rng = np.random.RandomState(11)
+    dense = rng.rand(20, 30)
+    dense[dense < 0.8] = 0.0          # ~80% sparse
+    csr = sp.csr_matrix(dense)
+    pdf = pd.DataFrame({"a": rng.randint(0, 20, 50),
+                        "b": rng.randint(0, 20, 50),
+                        "rid": np.arange(50)})
+    df = spark.createDataFrame(pdf)
+    for metric in ("inner", "cosine", "tfidf"):
+        sparse_op = ops.ColumnSimilarity(csr, metric=metric)
+        dense_op = ops.ColumnSimilarity(dense, metric=metric)
+        flow_s = ([["a", "b"]] >> sparse_op) + ["rid"]
+        flow_d = ([["a", "b"]] >> dense_op) + ["rid"]
+        out_s = nvt.Workflow(flow_s).transform(df).orderBy("rid").toPandas()
+        out_d = nvt.Workflow(flow_d).transform(df).orderBy("rid").toPandas()
+        np.testing.assert_allclose(out_s["a_b_sim"], out_d["a_b_sim"],
+                                   rtol=1e-9, err_msg=metric)
+
+
+def test_column_similarity_right_features(spark):
+    """Distinct right-side feature matrix (reference :64-67)."""
+    left = np.array([[1.0, 0.0], [0.0, 2.0]])
+    right = np.array([[0.0, 3.0], [4.0, 0.0]])
+    df = spark.createDataFrame(pd.DataFrame(
+        {"a": [0, 1], "b": [0, 1], "rid": [0, 1]}))
+    op = ops.ColumnSimilarity(left, right_features=right, metric="inner")
+    out = nvt.Workflow(([["a", "b"]] >> op) + ["rid"]) \
+        .transform(df).orderBy("rid").toPandas()
+    np.testing.assert_allclose(out["a_b_sim"], [0.0, 0.0])
+    df2 = spark.createDataFrame(pd.DataFrame(
+        {"a": [0, 1], "b": [1, 0], "rid": [0, 1]}))
+    out2 = nvt.Workflow(([["a", "b"]] >> op) + ["rid"]) \
+        .transform(df2).orderBy("rid").toPandas()
+    np.testing.assert_allclose(out2["a_b_sim"], [4.0, 6.0])
