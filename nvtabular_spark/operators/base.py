@@ -188,6 +188,47 @@ class StatOperator(Operator):
         params.pop("fitted", None)
         return params
 
+    # -- shared-key fit fusion protocol (compiler flush) ---------------------
+    def fused_fit_requests(self, ctx: "TransformContext"):
+        """Optional fusion protocol: ops whose fit is a per-group-key
+        aggregation (JoinGroupby, TargetEncoding, ...) return a list of
+        :class:`FusedFitRequest`; the compiler then runs ONE
+        ``groupBy(keys[, fold])`` job per distinct key set and feeds
+        every participating op from the same scan — at 100 TB this is
+        the difference between 1 and N input scans for shared-key
+        stats. Return None (default) to fit standalone."""
+        return None
+
+    def consume_fused(self, req: "FusedFitRequest",
+                      grouped: DataFrame) -> None:
+        """Finish fitting from the shared grouped table. ``grouped``
+        has columns ``__k0..__k{n-1}`` (the group keys), ``__fold__``
+        when any co-fused op requested a fold dimension, plus every
+        op's partial-aggregate aliases."""
+        raise NotImplementedError
+
+
+class FusedFitRequest:
+    """One per-key-set fit request from :meth:`fused_fit_requests`.
+
+    keys      — tuple of ACTUAL input column names to group by
+    aggs      — partial-aggregate Columns with op-unique aliases
+    fold_expr — optional Column adding a fold dimension to the groupBy
+    fold_sig  — stable signature of fold_expr; requests over the same
+                keys fuse only when their non-None fold_sigs agree
+    tag       — op-local id to route consume_fused back to the group
+    """
+
+    def __init__(self, op, ctx, keys, aggs, fold_expr=None,
+                 fold_sig=None, tag=None):
+        self.op = op
+        self.ctx = ctx
+        self.keys = tuple(keys)
+        self.aggs = list(aggs)
+        self.fold_expr = fold_expr
+        self.fold_sig = fold_sig
+        self.tag = tag
+
 
 class AggStatOperator(StatOperator):
     """A StatOperator whose whole fit is ONE row of aggregate

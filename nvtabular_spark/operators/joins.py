@@ -218,6 +218,74 @@ class JoinGroupby(StatOperator):
                       for n in self._out_names(keys).values()]
         return df.withColumns(cols).drop(*drop_after)
 
+    # -- shared-key fit fusion (base.StatOperator protocol) -------------------
+    def fused_fit_requests(self, ctx: TransformContext):
+        """All JoinGroupby stats are derivable from per-(key[, fold])
+        partials (count/sum/sum²/min/max), so every group joins the
+        compiler's shared groupBy job; ``consume_fused`` re-aggregates
+        the (small) partial table over the fold dimension."""
+        from .base import FusedFitRequest
+        self._stats_dfs, self._paths = {}, {}
+        reqs = []
+        for keys in self._group_keys(ctx.selector):
+            acts = tuple(ctx.inputs.get(k, k) for k in keys)
+            p = f"jg{abs(id(self)) % 10 ** 8}_{self.name_sep.join(keys)}"
+            aggs = [F.count(F.lit(1)).alias(f"{p}__n")]
+            need_moments = bool({"mean", "std", "var"} & set(self.stats))
+            for c in self.cont_cols:
+                cc = F.col(c).cast("double")
+                cc = F.when(F.isnan(cc), F.lit(None)).otherwise(cc)
+                if need_moments or "sum" in self.stats:
+                    aggs += [F.count(cc).alias(f"{p}__cnt_{c}"),
+                             F.sum(cc).alias(f"{p}__sum_{c}")]
+                if {"std", "var"} & set(self.stats):
+                    aggs.append(F.sum(cc * cc).alias(f"{p}__ssq_{c}"))
+                if "min" in self.stats:
+                    aggs.append(F.min(cc).alias(f"{p}__min_{c}"))
+                if "max" in self.stats:
+                    aggs.append(F.max(cc).alias(f"{p}__max_{c}"))
+            reqs.append(FusedFitRequest(self, ctx, acts, aggs,
+                                        tag=(keys, p)))
+        return reqs
+
+    def consume_fused(self, req, grouped: DataFrame) -> None:
+        keys, p = req.tag
+        names = self._out_names(keys)
+        count_t = "int" if self.coerce_dtypes else "long"
+        finals = []
+        if "count" in self.stats:
+            finals.append(F.sum(f"{p}__n").cast(count_t)
+                          .alias(names["count"]))
+        for c in self.cont_cols:
+            n = F.sum(f"{p}__cnt_{c}")
+            s = F.sum(f"{p}__sum_{c}")
+            for stat in self.stats:
+                if stat == "count":
+                    continue
+                if stat == "sum":
+                    e = s
+                elif stat == "mean":
+                    e = s / n
+                elif stat in ("std", "var"):
+                    ssq = F.sum(f"{p}__ssq_{c}")
+                    # clamp tiny negative round-off (constant groups)
+                    var = F.when(n > 1, F.greatest(
+                        (ssq - s * s / n) / (n - F.lit(1)), F.lit(0.0)))
+                    e = F.sqrt(var) if stat == "std" else var
+                elif stat == "min":
+                    e = F.min(f"{p}__min_{c}")
+                elif stat == "max":
+                    e = F.max(f"{p}__max_{c}")
+                if self.coerce_dtypes and stat in ("std", "var", "mean"):
+                    e = e.cast("float")
+                finals.append(e.alias(names[f"{c}:{stat}"]))
+        key_sel = [F.col(f"__k{i}").alias(f"__key_{k}")
+                   for i, k in enumerate(keys)]
+        stats = grouped.groupBy(*key_sel).agg(*finals)
+        key = self.name_sep.join(keys)
+        self._stats_dfs[key], self._paths[key] = materialize(
+            stats, f"joingroupby_{key}", self.out_path)
+
     def artifacts(self):
         return dict(self._stats_dfs)
 

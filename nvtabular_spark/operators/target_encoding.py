@@ -129,6 +129,63 @@ class TargetEncoding(StatOperator):
                     self.means = {t: float(row[t]) for t in self.targets}
         self.fitted = True
 
+    # -- shared-key fit fusion (base.StatOperator protocol) -------------------
+    def _fold_sig(self) -> str:
+        if self.fold_is_precomputed:
+            return f"pre:{self.fold_col}"
+        return (f"hash:{self.fold_col}:{self.fold_seed}:{self.kfold}"
+                f":{self.hash_family}")
+
+    def fused_fit_requests(self, ctx: TransformContext):
+        """The per-(group, fold) count/sum partials ARE this op's fold
+        table, so a TargetEncoding sharing keys (and fold definition)
+        with other stat ops rides the compiler's single groupBy scan;
+        the all-folds table and the global mean re-aggregate from the
+        small materialized result exactly as in :meth:`fit`."""
+        from .base import FusedFitRequest
+        self._all_dfs, self._fold_dfs, self.means = {}, {}, {}
+        reqs = []
+        for g in self._groups(ctx.selector):
+            key = self.name_sep.join(g)
+            acts = tuple(ctx.inputs.get(c, c) for c in g)
+            p = f"te{abs(id(self)) % 10 ** 8}_{key}"
+            aggs = []
+            for t in self.targets:
+                tc = F.col(t).cast("double")
+                aggs += [F.count(tc).alias(f"{p}__cnt_{t}"),
+                         F.sum(tc).alias(f"{p}__sum_{t}")]
+            reqs.append(FusedFitRequest(
+                self, ctx, acts, aggs, fold_expr=self._fold_expr(),
+                fold_sig=self._fold_sig(), tag=(g, p)))
+        return reqs
+
+    def consume_fused(self, req, grouped: DataFrame) -> None:
+        g, p = req.tag
+        key = self.name_sep.join(g)
+        sel = [F.col(f"__k{i}").alias(f"__te_{c}")
+               for i, c in enumerate(g)] + [F.col("__fold__")]
+        for t in self.targets:
+            sel += [F.col(f"{p}__cnt_{t}").alias(f"__cnt_{t}"),
+                    F.col(f"{p}__sum_{t}").alias(f"__sum_{t}")]
+        folded = grouped.select(*sel)
+        self._fold_dfs[key], _ = materialize(
+            folded, f"te_fold_{key}", self.out_path)
+        folded = self._fold_dfs[key]
+        g_all = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
+            *[F.sum(f"__cnt_{t}").alias(f"__cnt_{t}") for t in self.targets],
+            *[F.sum(f"__sum_{t}").alias(f"__sum_{t}") for t in self.targets])
+        self._all_dfs[key], _ = materialize(
+            g_all, f"te_all_{key}", self.out_path)
+        if not self.means:
+            if self.target_mean is not None:
+                self.means = {t: float(self.target_mean)
+                              for t in self.targets}
+            else:
+                row = folded.agg(
+                    *[(F.sum(f"__sum_{t}") / F.sum(f"__cnt_{t}")).alias(t)
+                      for t in self.targets]).collect()[0]
+                self.means = {t: float(row[t]) for t in self.targets}
+
     # -- transform ----------------------------------------------------------------
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         self._require_fitted()

@@ -59,6 +59,13 @@ class CompiledPlan:
         available = set(df.columns)
         maps: Dict[int, Dict[str, str]] = {}
         df_work = df
+        #: per-fit accounting: how many shared-key fusion jobs,
+        #: standalone heavy fits, and batched agg jobs ran — asserted by
+        #: plan-shape tests (a constant input-scan count per key set).
+        #: Only reset on fitting runs so it survives the transform pass.
+        if fit or refit or not hasattr(self, "fit_report"):
+            self.fit_report = {"fused_groups": 0, "fused_requests": 0,
+                               "standalone_fits": 0, "batched_agg_jobs": 0}
 
         # Lean frame: input + cheap (pure-expression) transforms only.
         # Batched fit aggregations run against THIS frame, so they never
@@ -81,10 +88,12 @@ class CompiledPlan:
 
         def flush():
             """Run every deferred fit: ONE fused agg job for the
-            batchable stats, and the heavy fits (Categorify/TE/
-            JoinGroupby groupBys) CONCURRENTLY from driver threads —
-            Spark interleaves their stages, so fit wall-clock ≈ the
-            longest single scan instead of the sum of scans."""
+            batchable stats, ONE groupBy job per distinct key set for
+            the fusable grouped fits (JoinGroupby/TargetEncoding sharing
+            keys share a single input scan), and the remaining heavy
+            fits (Categorify vocab scans) — all CONCURRENTLY from driver
+            threads; Spark interleaves their stages, so fit wall-clock ≈
+            the longest single scan instead of the sum of scans."""
             nonlocal df_work
             if not pending and not pending_heavy:
                 return
@@ -100,11 +109,69 @@ class CompiledPlan:
                     op.consume_agg(row)
                     op.fitted = True
 
+            # -- shared-key fusion: group fusable fit requests ---------------
+            # by (input snapshot, key columns, fold signature); each
+            # group becomes ONE groupBy job feeding every member op
+            fusion_groups: Dict[tuple, list] = {}
+            standalone = []
+            for op, ctx, snap in pending_heavy:
+                reqs = op.fused_fit_requests(ctx)
+                if reqs is None:
+                    standalone.append((op, ctx, snap))
+                    continue
+                op._fused_remaining = len(reqs)
+                for r in reqs:
+                    gk = (id(snap), r.keys, r.fold_sig)
+                    fusion_groups.setdefault(gk, [snap, []])[1].append(r)
+            # fold-agnostic requests (fold_sig None) piggyback on a
+            # same-key group that has a fold; their partials are
+            # fold-additive (re-aggregated in consume_fused)
+            for gk in [k for k in fusion_groups if k[2] is None]:
+                sid, keys, _ = gk
+                hosts = [k for k in fusion_groups
+                         if k[0] == sid and k[1] == keys and k[2]]
+                if hosts:
+                    snap, reqs = fusion_groups.pop(gk)
+                    fusion_groups[hosts[0]][1].extend(reqs)
+
+            import threading
+            fuse_lock = threading.Lock()
+
+            def run_fused(snap, reqs):
+                from ..sources.artifacts import materialize
+                keys = reqs[0].keys
+                cols = [F.col(a).alias(f"__k{i}")
+                        for i, a in enumerate(keys)]
+                fold_req = next((r for r in reqs
+                                 if r.fold_expr is not None), None)
+                if fold_req is not None:
+                    cols.append(fold_req.fold_expr.alias("__fold__"))
+                aggs = [a for r in reqs for a in r.aggs]
+                grouped = snap.groupBy(*cols).agg(*aggs)
+                import uuid
+                gdf, _ = materialize(
+                    grouped, f"fusedfit_{uuid.uuid4().hex[:8]}")
+                for r in reqs:
+                    r.op.consume_fused(r, gdf)
+                    # an op's requests may land in groups running on
+                    # different threads — guard the remaining counter
+                    with fuse_lock:
+                        r.op._fused_remaining -= 1
+                        if r.op._fused_remaining == 0:
+                            r.op.fitted = True
+
             jobs = []
             if pending:
                 jobs.append((run_batched, (), "batched-agg"))
-            for op, ctx, snap in pending_heavy:
+                self.fit_report["batched_agg_jobs"] += 1
+            for (sid, keys, _), (snap, reqs) in fusion_groups.items():
+                label = f"fused-fit[{','.join(keys)}]"
+                jobs.append((run_fused, (snap, reqs), label))
+                self.fit_report["fused_groups"] += 1
+                self.fit_report["fused_requests"] += len(reqs)
+            for op, ctx, snap in standalone:
                 jobs.append((op.fit, (ctx, snap), type(op).__name__))
+                self.fit_report["standalone_fits"] += 1
             if len(jobs) == 1:
                 jobs[0][0](*jobs[0][1])
             else:

@@ -1,5 +1,6 @@
 from .artifacts import materialize
-from .checkpoint import load_manifest, run_partitioned, save_manifest
+from .checkpoint import (load_manifest, run_partitioned,
+                         save_manifest, table_lineage)
 from .dataset import (inspect_dataset, read_dataset, shuffle_by_keys,
                       synthetic_tabular, tokenized_sequences, write_bucketed,
                       write_shuffled)

@@ -33,6 +33,42 @@ def row_signature(df: DataFrame, cols: Optional[List[str]] = None):
             F.bit_xor(h).alias("value_hash")]
 
 
+def table_lineage(spark: SparkSession, table: str) -> dict:
+    """Lineage record for a catalog table input (north_rule: checkpoint
+    manifests carry input lineage; SURVEY §2.11 names Iceberg snapshot
+    ids). For an Iceberg table the current snapshot id + timestamp are
+    read from its ``.snapshots`` metadata table; any other catalog
+    table (Hive/in-memory, e.g. ``write_bucketed`` output) falls back
+    to the catalog's createTime — still a monotone version surrogate.
+    The Iceberg path is exercised only when an Iceberg runtime jar is
+    on the session classpath (none is vendored in this sandbox; see
+    tests/test_checkpoint_and_scale.py::test_iceberg_snapshot_lineage).
+    """
+    lineage: dict = {"table": table}
+    try:
+        snap = spark.sql(
+            f"SELECT snapshot_id, committed_at FROM {table}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").collect()
+        if snap:
+            lineage["iceberg_snapshot_id"] = int(snap[0]["snapshot_id"])
+            lineage["committed_at"] = str(snap[0]["committed_at"])
+            return lineage
+    except Exception:
+        pass  # not an Iceberg table / no Iceberg runtime
+    try:
+        t = spark.catalog.getTable(table)
+        lineage["catalog"] = t.catalog
+        lineage["table_type"] = t.tableType
+        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        for r in detail:
+            if r["col_name"] in ("Created Time", "Location"):
+                lineage[r["col_name"].lower().replace(" ", "_")] = \
+                    r["data_type"]
+    except Exception:
+        pass
+    return lineage
+
+
 def _manifest_path(output_path: str) -> str:
     return os.path.join(output_path, MANIFEST_NAME)
 

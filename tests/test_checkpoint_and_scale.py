@@ -145,3 +145,64 @@ def test_expression_ops_fuse_into_single_codegen_stage(spark):
     assert "Exchange" not in plan      # no shuffle anywhere
     # codegen stages print as "*(n)"; everything must fuse into stage 1
     assert "*(1)" in plan and "*(2)" not in plan
+
+
+def _has_iceberg(spark):
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def test_catalog_table_engine_and_lineage(spark):
+    """read_dataset(engine='table') over a bucketed catalog table +
+    checkpoint manifest carrying table lineage (SURVEY §2.11). Uses the
+    built-in catalog — identical code path to an Iceberg catalog up to
+    the catalog implementation."""
+    import uuid
+    from nvtabular_spark.sources import (read_dataset, run_partitioned,
+                                         table_lineage, write_bucketed)
+    from nvtabular_spark.sources.dataset import tokenized_sequences
+    table = f"seqs_cat_{uuid.uuid4().hex[:8]}"
+    write_bucketed(tokenized_sequences(spark, 2000, seed=7), table,
+                   buckets=2, key="entity_id", sort_cols=["ts"])
+    t = read_dataset(spark, table, engine="table")
+    assert t.count() == 2000
+    lin = table_lineage(spark, table)
+    assert lin["table"] == table
+    assert "iceberg_snapshot_id" not in lin     # no Iceberg runtime here
+    assert lin.get("table_type") in ("MANAGED", "EXTERNAL")
+
+    import tempfile
+    out_dir = tempfile.mkdtemp(prefix="nvts_ckpt_")
+    man = run_partitioned(
+        t.select("doc_id", "entity_id", "n_tok"), out_dir,
+        bucket_col="entity_id", num_buckets=2,
+        transform=lambda d: d, lineage=lin)
+    assert len(man) == 2
+    for rec in man.values():
+        assert rec["lineage"]["table"] == table
+        assert rec["rows"] > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_iceberg_snapshot_lineage(spark):
+    """Iceberg-specific lineage (snapshot ids, time travel, partition
+    transforms). SKIPPED unless an Iceberg runtime jar is on the
+    classpath — none can be vendored in this offline sandbox (no
+    network, no pip/apt); table_lineage() already reads
+    <table>.snapshots when the runtime is present."""
+    if not _has_iceberg(spark):
+        pytest.skip("no org.apache.iceberg runtime jar on the classpath "
+                    "(offline sandbox); the snapshot-id path in "
+                    "table_lineage() activates when one is added via "
+                    "spark.jars.packages=org.apache.iceberg:"
+                    "iceberg-spark-runtime-3.5_2.12")
+    from nvtabular_spark.sources import table_lineage
+    spark.sql("CREATE TABLE ice_t (id BIGINT) USING iceberg")
+    spark.sql("INSERT INTO ice_t VALUES (1), (2)")
+    lin = table_lineage(spark, "ice_t")
+    assert "iceberg_snapshot_id" in lin
+    spark.sql("DROP TABLE ice_t")

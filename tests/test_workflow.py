@@ -141,3 +141,51 @@ def test_chained_heavy_ops_categorify_then_target_encoding(spark, pipeline_df):
     assert out[te_col].notna().all()
     # smoothed encodings stay inside the target's observed range
     assert out[te_col].between(out["y"].min(), out["y"].max()).all()
+
+
+def test_shared_key_fit_fusion_single_scan(spark, pipeline_df):
+    """JoinGroupby + TargetEncoding (+ a second TE) grouping by the
+    same key must fit from ONE shared groupBy job — the input-scan
+    count per key set is constant in the number of ops (fit_report
+    asserts the plan shape; value-equality vs standalone fits asserts
+    correctness)."""
+    jg = ops.JoinGroupby(cont_cols=["y"], stats=["count", "mean", "std"])
+    te1 = ops.TargetEncoding(target="y", fold_col="fold",
+                             fold_is_precomputed=True)
+    te2 = ops.TargetEncoding(target="x", fold_col="fold",
+                             fold_is_precomputed=True)
+    flow = ((["cat"] >> jg) + ((["cat"] >> te1) - ["cat"])
+            + (["cat"] >> te2 >> ops.Rename(postfix="_x")) + ["rid", "y"])
+    wf = nvt.Workflow(flow)
+    fused = wf.fit_transform(pipeline_df).orderBy("rid").toPandas()
+    rep = wf.plan.fit_report
+    assert rep["fused_groups"] == 1          # one key set -> one scan
+    assert rep["fused_requests"] == 3        # serving all three ops
+    assert rep["standalone_fits"] == 0
+
+    # correctness: identical values to three standalone fits
+    solo_jg = nvt.Workflow((["cat"] >> ops.JoinGroupby(
+        cont_cols=["y"], stats=["count", "mean", "std"])) + ["rid"])
+    solo = solo_jg.fit_transform(pipeline_df).orderBy("rid").toPandas()
+    for c in ("cat_count", "cat_y_mean", "cat_y_std"):
+        np.testing.assert_allclose(fused[c].to_numpy(dtype="float64"),
+                                   solo[c].to_numpy(dtype="float64"),
+                                   rtol=1e-9, err_msg=c)
+    solo_te = nvt.Workflow((["cat"] >> ops.TargetEncoding(
+        target="y", fold_col="fold", fold_is_precomputed=True))
+        + ["rid"]).fit_transform(pipeline_df).orderBy("rid").toPandas()
+    np.testing.assert_allclose(fused["TE_cat_y"], solo_te["TE_cat_y"],
+                               rtol=1e-9)
+
+
+def test_fusion_respects_distinct_keys(spark, pipeline_df):
+    """Ops grouping by DIFFERENT keys must not share a groupBy."""
+    pdf2 = pipeline_df.withColumn("cat2",
+                                  F.concat(F.col("cat"), F.lit("_z")))
+    flow = ((["cat"] >> ops.JoinGroupby(cont_cols=["y"], stats=["mean"]))
+            + (["cat2"] >> ops.JoinGroupby(cont_cols=["y"], stats=["sum"]))
+            + ["rid"])
+    wf = nvt.Workflow(flow)
+    out = wf.fit_transform(pdf2).orderBy("rid").toPandas()
+    assert wf.plan.fit_report["fused_groups"] == 2
+    assert "cat_y_mean" in out.columns and "cat2_y_sum" in out.columns
