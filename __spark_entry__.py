@@ -99,6 +99,45 @@ def q_groupby_stats(spark, sf_dir):
         F.round("value_var", 4).alias("value_var"))
 
 
+def q_groupby_list(spark, sf_dir):
+    """Ordered list aggregation (Groupby aggs='list'): the per-key
+    value sequence sorted inside the aggregation buffer. Output arrays
+    are stringified (micro-unit floor) for the driver's pandas-based
+    canonicalizer; ties on ts break by value on BOTH engines."""
+    ev = _t(spark, sf_dir, "events")
+    g = ops.Groupby(groupby_cols=["user_id"], sort_cols=["ts", "value"],
+                    aggs={"value": ["list"]})
+    out = nvt.Workflow(["value"] >> g).transform(ev)
+    return out.select(
+        "user_id", _arr_str_float(F.col("value_list")).alias("value_list"))
+
+
+def q_value_count(spark, sf_dir):
+    """ValueCount list-length stats over the embeddings array column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vc = ops.ValueCount()
+    wf = nvt.Workflow(["embedding"] >> vc)
+    wf.fit(emb)
+    c = vc.counts["embedding"]
+    return spark.createDataFrame(
+        [(int(c["min"]), int(c["max"]))], "len_min int, len_max int")
+
+
+def q_data_stats(spark, sf_dir):
+    """DataStats fit over a continuous column → one stats row."""
+    ev = _t(spark, sf_dir, "events")
+    ds = ops.DataStats()
+    wf = nvt.Workflow(["value"] >> ds)
+    wf.fit(ev)
+    s = ds.stats["value"]
+    return spark.createDataFrame(
+        [(round(float(s["min"]), 6), round(float(s["max"]), 6),
+          round(float(s["mean"]), 6), round(float(s["std"]), 6),
+          round(float(s["null_frac"]), 9))],
+        "v_min double, v_max double, v_mean double, v_std double, "
+        "null_frac double")
+
+
 def q_join_external(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select(
@@ -447,6 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg": q_groupby_agg,
         "groupby_first_last": q_groupby_first_last,
         "groupby_stats": q_groupby_stats,
+        "groupby_list": q_groupby_list,
+        "value_count": q_value_count,
+        "data_stats": q_data_stats,
         "join_external": q_join_external,
         "join_groupby": q_join_groupby,
         "categorify": q_categorify,
@@ -559,6 +601,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(stddev_samp(value), 4) AS value_std,
                    ROUND(var_samp(value), 4) AS value_var
             FROM events GROUP BY user_id""",
+        "groupby_list": """
+            SELECT user_id,
+                   array_to_string(list_transform(
+                     list(value ORDER BY ts, value),
+                     x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT) AS VARCHAR)), ',') AS value_list
+            FROM events GROUP BY user_id""",
+        "value_count": """
+            SELECT CAST(MIN(len(embedding)) AS INTEGER) AS len_min,
+                   CAST(MAX(len(embedding)) AS INTEGER) AS len_max
+            FROM embeddings""",
+        "data_stats": """
+            SELECT ROUND(MIN(value), 6) AS v_min,
+                   ROUND(MAX(value), 6) AS v_max,
+                   ROUND(AVG(value), 6) AS v_mean,
+                   ROUND(STDDEV_SAMP(value), 6) AS v_std,
+                   ROUND(CAST(COUNT(*) - COUNT(value) AS DOUBLE)
+                         / COUNT(*), 9) AS null_frac
+            FROM events""",
         "join_external": """
             SELECT o.o_orderkey, ROUND(o.o_totalprice, 4) AS o_totalprice,
                    c.c_mktsegment, c.c_nationkey

@@ -13,7 +13,14 @@ also measure a compute-bound reference kernel (xxhash64 over
 spark.range) at both levels — if the kernel scales and the workload
 doesn't, the gap is bandwidth, not engine design.
 
-Usage: python bench_scaling.py [N] [rows]   (default N=8 → 8 vs 32)
+Statistical protocol (round-2): REPEATS fully-paired runs — each
+repeat measures (workload@N, workload@4N, kernel@N, kernel@4N)
+back-to-back, so co-tenant CPU steal hits all four legs of a repeat
+similarly; the reported figure is the MEDIAN per-repeat normalized
+efficiency (medians bury the occasional stolen run; round-1's 0.726
+outlier motivated this).
+
+Usage: python bench_scaling.py [N] [rows] [repeats]  (default 8, sf0.1, 3)
 Writes BENCH_SCALING.json and prints one JSON line.
 """
 
@@ -21,12 +28,14 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 ROWS = sys.argv[2] if len(sys.argv) > 2 else None
+REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 KERNEL_CODE = r"""
@@ -97,41 +106,58 @@ def ensure_input():
                    check=True, capture_output=True, timeout=1200)
 
 
-def main():
-    ensure_input()
+def one_repeat(i: int) -> dict:
+    """One fully-paired repeat: all four legs back-to-back."""
     lo = run_workload(N)
     hi = run_workload(4 * N)
     k_lo = run_kernel(N)
     k_hi = run_kernel(4 * N)
-    tput_lo = lo["sequences_per_sec"]
-    tput_hi = hi["sequences_per_sec"]
-    eff = (tput_hi / tput_lo) / 4.0
+    eff = (hi["sequences_per_sec"] / lo["sequences_per_sec"]) / 4.0
     k_eff = (k_hi / k_lo) / 4.0
-    # normalized: workload speedup relative to what the HARDWARE delivers
-    # for embarrassingly-parallel compute at the same thread counts.
-    # local threads share memory bandwidth and SMT siblings — unlike
-    # N→4N real executors — so the kernel ceiling, not 4.0, is the
-    # achievable bound on this box.
-    norm_eff = eff / k_eff if k_eff else None
-    result = {
-        "metric": "scaling_efficiency_N_to_4N",
-        "N": N,
-        "rows": lo["workload"]["rows"],
-        "throughput_N": tput_lo,
-        "throughput_4N": tput_hi,
+    return {
+        "repeat": i,
+        "throughput_N": lo["sequences_per_sec"],
+        "throughput_4N": hi["sequences_per_sec"],
         "wall_N_sec": lo["value"],
         "wall_4N_sec": hi["value"],
         "efficiency": round(eff, 3),
         "kernel_rows_per_sec_N": round(k_lo),
         "kernel_rows_per_sec_4N": round(k_hi),
         "kernel_efficiency": round(k_eff, 3),
-        "normalized_efficiency": round(norm_eff, 3) if norm_eff else None,
+        # normalized: workload speedup relative to what the HARDWARE
+        # delivers for embarrassingly-parallel compute at the same
+        # thread counts. local threads share memory bandwidth and SMT
+        # siblings — unlike N→4N real executors — so the kernel
+        # ceiling, not 4.0, is the achievable bound on this box.
+        "normalized_efficiency": round(eff / k_eff, 3) if k_eff else None,
+        "rows": lo["workload"]["rows"],
         "fit_sec": {"N": lo["workload"]["fit_sec"],
                     "4N": hi["workload"]["fit_sec"]},
         "transform_sec": {"N": lo["workload"]["transform_sec"],
                           "4N": hi["workload"]["transform_sec"]},
+    }
+
+
+def main():
+    ensure_input()
+    repeats = [one_repeat(i) for i in range(REPEATS)]
+    med = lambda k: round(statistics.median(r[k] for r in repeats), 3)  # noqa: E731
+    result = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "N": N,
+        "repeats": REPEATS,
+        "rows": repeats[0]["rows"],
+        "median_efficiency": med("efficiency"),
+        "median_kernel_efficiency": med("kernel_efficiency"),
+        "median_normalized_efficiency": med("normalized_efficiency"),
+        "min_normalized_efficiency": round(
+            min(r["normalized_efficiency"] for r in repeats), 3),
+        "max_normalized_efficiency": round(
+            max(r["normalized_efficiency"] for r in repeats), 3),
         "target": 0.8,
-        "pass": eff >= 0.8 or (norm_eff or 0) >= 0.8,
+        "pass": med("efficiency") >= 0.8
+        or med("normalized_efficiency") >= 0.8,
+        "runs": repeats,
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
         json.dump(result, fh, indent=2)

@@ -1,12 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real and tested (schemas, Arrow batch shape,
-``mapInPandas`` partition flow, metadata propagation); the actual
-codec work is STUBBED — image/audio libraries are not available in
-this environment. Each decode function either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the bytes (test mode), so pipelines exercise the exact
-same distributed execution path they would with a real codec.
+``mapInPandas`` partition flow, metadata propagation). Codec status:
+
+* image — REAL pure-numpy decode for uncompressed 24-bit BMP
+  (:func:`decode_bmp`; encoder provided for fixtures), with real
+  grid-pool feature extraction and resize. JPEG/PNG need PIL — not in
+  this environment — so those formats raise ``NotImplementedError``
+  in strict mode or fall back to a deterministic fake otherwise.
+* audio — REAL pure-numpy decode for PCM-16 WAV (:func:`decode_wav`)
+  with real RMS-energy frame features.
+* video — container parsing genuinely requires ffmpeg/av; stubbed
+  behind the same ``mapInPandas`` flow (deterministic fake frames).
 
 At 100 TB: binary payloads stay in parquet/Iceberg binary columns;
 ``mapInPandas`` streams Arrow record batches through the extractor so
@@ -50,6 +55,129 @@ def attach_fake_binary(df: DataFrame, id_col: str, payload_bytes: int = 64,
     return df.withColumn(out_col, F.unhex(repeated).cast(BinaryType()))
 
 
+# ---------------------------------------------------------------------------
+# real pure-numpy codecs (no external image/audio libraries required)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (test fixtures). ``arr``:
+    (H, W, 3) uint8 RGB."""
+    h, w, _ = arr.shape
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * h
+    header = (b"BM" + (54 + img_size).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + b"\x00" * 24)
+    rows = []
+    for y in range(h - 1, -1, -1):          # BMP stores bottom-up
+        bgr = arr[y, :, ::-1].tobytes()     # and uses BGR order
+        rows.append(bgr + b"\x00" * pad)
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of an uncompressed 24-bit BMP → (H, W, 3)
+    uint8 RGB. Raises ValueError on any other BMP flavor."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported "
+                         f"(got bpp={bpp}, compression={compression})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]                  # BGR → RGB
+    return rgb[::-1] if flip else rgb
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (the real op behind the
+    multimodal 'resize' capability)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def image_grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Real feature extraction: mean RGB per grid cell → 3*grid² floats
+    in [0, 1] (average-pool 'embedding'; swap for a vision model in
+    production — batch shape identical)."""
+    cell = resize_image(img.astype("float32") / 255.0,
+                        grid * 8, grid * 8)
+    pooled = cell.reshape(grid, 8, grid, 8, 3).mean(axis=(1, 3))
+    return pooled.reshape(-1).astype("float32")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal PCM-16 mono WAV writer (test fixtures)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767).astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + byte_rate.to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+
+
+def decode_wav(payload: bytes):
+    """Pure-numpy decode of a PCM-16 mono/stereo WAV →
+    (samples float32 in [-1, 1] shaped (n, channels), sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM-16 WAV supported (format="
+                         f"{audio_format}, bits={bits})")
+    pcm = np.frombuffer(data, dtype="<i2")
+    pcm = pcm[:len(pcm) // channels * channels].reshape(-1, channels)
+    return pcm.astype("float32") / 32767.0, sample_rate
+
+
+def audio_energy_features(samples: np.ndarray, n_frames: int = 16):
+    """Real DSP features: per-window RMS energy over the (mono-mixed)
+    signal → n_frames floats."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    if len(mono) == 0:
+        return np.zeros(n_frames, dtype="float32")
+    win = max(1, len(mono) // n_frames)
+    frames = mono[:win * n_frames]
+    if len(frames) < win * n_frames:
+        frames = np.pad(frames, (0, win * n_frames - len(frames)))
+    rms = np.sqrt((frames.reshape(n_frames, win) ** 2).mean(axis=1))
+    return rms.astype("float32")
+
+
 def _fake_decode(payload: bytes, feature_dim: int) -> np.ndarray:
     """Deterministic stand-in for a real image decode + embed: bytes →
     fixed-dim float features. Replace with (e.g.) PIL + a vision model
@@ -62,32 +190,87 @@ def _fake_decode(payload: bytes, feature_dim: int) -> np.ndarray:
 
 def extract_image_features(df: DataFrame, id_col: str = "doc_id",
                            binary_col: str = "payload",
-                           feature_dim: int = 16,
+                           feature_dim: int = 16, grid: int = 4,
                            strict: bool = False) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow-batched).
-    ``strict=True`` raises NotImplementedError where a real codec would
-    run — marking the stub boundary explicitly."""
+
+    BMP payloads are decoded FOR REAL (pure numpy) and featurized with
+    grid average-pooling (``3*grid²`` floats). Other formats (JPEG/PNG
+    need PIL, absent here): ``strict=True`` raises NotImplementedError
+    at the codec boundary; otherwise a deterministic byte-derived fake
+    keeps the distributed path exercised."""
     out_schema = StructType([
         StructField(id_col, df.schema[id_col].dataType),
         StructField("features", ArrayType(FloatType())),
         StructField("n_bytes", IntegerType()),
     ])
 
+    def decode_one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        if b[:2] == b"BM":
+            try:
+                return image_grid_features(decode_bmp(b), grid)
+            except ValueError:
+                pass
+        if strict:
+            raise NotImplementedError(
+                "non-BMP image decode requires PIL/torchvision — not "
+                "available in this environment")
+        return _fake_decode(b, feature_dim)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torchvision — not "
-                    "available in this environment")
-            feats = [
-                None if b is None else _fake_decode(bytes(b), feature_dim)
-                for b in pdf[binary_col]]
+            feats = [decode_one(b) for b in pdf[binary_col]]
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "features": [None if f is None else f.tolist() for f in feats],
                 "n_bytes": [0 if b is None else len(b)
                             for b in pdf[binary_col]],
             })
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
+                           binary_col: str = "payload",
+                           n_frames: int = 16,
+                           strict: bool = False) -> DataFrame:
+    """WAV (PCM-16) payloads decoded FOR REAL (pure numpy) → per-window
+    RMS energy features + sample rate. Non-WAV: strict raises, else
+    deterministic fake."""
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("features", ArrayType(FloatType())),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, rates, counts = [], [], []
+            for b in pdf[binary_col]:
+                if b is None:
+                    feats.append(None); rates.append(None); counts.append(0)
+                    continue
+                b = bytes(b)
+                if b[:4] == b"RIFF":
+                    samples, sr = decode_wav(b)
+                    feats.append(audio_energy_features(samples,
+                                                       n_frames).tolist())
+                    rates.append(sr)
+                    counts.append(int(samples.shape[0]))
+                elif strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires soundfile/librosa "
+                        "— not available in this environment")
+                else:
+                    feats.append(_fake_decode(b, n_frames).tolist())
+                    rates.append(0)
+                    counts.append(0)
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats,
+                                "sample_rate": rates, "n_samples": counts})
 
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)
 

@@ -75,3 +75,70 @@ def sessionize_stream(stream_df: DataFrame, ts_col: str, key: str,
             .groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def asof_join_stream(left_stream: DataFrame, right_stream: DataFrame,
+                     on: str, ts_col: str, value_col: str,
+                     left_id_col: str,
+                     allow_exact_matches: bool = False,
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Streaming point-in-time join via ``applyInPandasWithState``: each
+    left event is enriched with the latest right ``value_col`` at
+    ``t' < t`` (strict default, matching the batch AsOfJoin op).
+
+    Mechanics: both streams are tagged and unioned; per-entity state
+    carries (last_right_ts, last_right_value) across micro-batches;
+    within a batch, rows are processed in (ts, side) order so equal-ts
+    right rows are visible exactly when ``allow_exact_matches`` says so.
+
+    Ordering contract: exact for per-entity in-order delivery (the
+    common Kafka-partitioned-by-entity layout); within a micro-batch,
+    out-of-order rows are re-sorted, so cross-batch disorder inside the
+    watermark may see a right value from its own future — the inherent
+    streaming approximation (documented, same as Flink's as-of temporal
+    join in processing order)."""
+    import pandas as pd
+
+    key_t = left_stream.schema[on].dataType.simpleString()
+    id_t = left_stream.schema[left_id_col].dataType.simpleString()
+    out_schema = (f"{on} {key_t}, {left_id_col} {id_t}, "
+                  f"{ts_col} timestamp, {value_col}_asof double")
+    state_schema = "last_ts double, last_val double"
+
+    tag_l = left_stream.withWatermark(ts_col, watermark).select(
+        F.col(on).alias("__key__"), F.col(ts_col).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        F.col(left_id_col).alias("__id__"),
+        F.lit(None).cast("double").alias("__val__"))
+    tag_r = right_stream.withWatermark(ts_col, watermark).select(
+        F.col(on).alias("__key__"), F.col(ts_col).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        F.lit(None).cast(id_t).alias("__id__"),
+        F.col(value_col).cast("double").alias("__val__"))
+    unioned = tag_l.unionByName(tag_r)
+
+    # at equal ts: exact-match mode processes right (side 0) first so
+    # the left row sees it; strict mode processes left (side 1) first
+    side_sort_asc = bool(allow_exact_matches)
+
+    def fn(key_tuple, pdfs, state):
+        last_ts, last_val = state.get() if state.exists else (None, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts__", "__side__"],
+                                  ascending=[True, side_sort_asc])
+            for ts, side, rid, val in zip(pdf["__ts__"], pdf["__side__"],
+                                          pdf["__id__"], pdf["__val__"]):
+                if side == 0:
+                    last_ts, last_val = ts.timestamp(), val
+                else:
+                    out.append((key_tuple[0], rid, ts, last_val))
+        state.update((last_ts, last_val))
+        if not out:
+            return iter([])
+        return iter([pd.DataFrame(
+            out, columns=[on, left_id_col, ts_col, f"{value_col}_asof"])])
+
+    return (unioned.groupBy("__key__")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -227,3 +227,49 @@ def test_simhash_matches_reference_impl(spark, docs_df):
     texts = docs_df.orderBy("doc_id").toPandas()["text"]
     for got, txt in zip(out["sh"], texts):
         assert int(got) == py_simhash(txt)
+
+
+def test_real_bmp_decode_roundtrip_and_features(spark):
+    """BMP decode is REAL (pure numpy): encode → decode round-trips
+    byte-exactly, resize works, and the distributed extractor yields
+    grid-pool features that match a local recomputation."""
+    from nvtabular_spark.sources import multimodal as mm
+    rng = np.random.RandomState(3)
+    imgs = {f"d{i}": rng.randint(0, 256, (13, 17, 3), dtype=np.uint8)
+            for i in range(4)}
+    # round-trip (includes non-multiple-of-4 row stride → padding path)
+    for img in imgs.values():
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(img)), img)
+    assert mm.resize_image(list(imgs.values())[0], 8, 8).shape == (8, 8, 3)
+
+    pdf = pd.DataFrame({"doc_id": list(imgs),
+                        "payload": [mm.encode_bmp(v) for v in imgs.values()]})
+    df = spark.createDataFrame(pdf)
+    # strict=True must NOT raise for BMP — the codec is real
+    out = mm.extract_image_features(df, grid=2, strict=True) \
+        .orderBy("doc_id").toPandas()
+    assert all(len(f) == 12 for f in out["features"])     # 3 * 2²
+    for did, feats in zip(out["doc_id"], out["features"]):
+        exp = mm.image_grid_features(imgs[did], grid=2)
+        np.testing.assert_allclose(np.array(list(feats)), exp, rtol=1e-6)
+
+
+def test_real_wav_decode_and_energy_features(spark):
+    from nvtabular_spark.sources import multimodal as mm
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    quiet = 0.01 * np.sin(2 * np.pi * 440 * t)
+    loud = 0.9 * np.sin(2 * np.pi * 440 * t)
+    pdf = pd.DataFrame({"doc_id": ["quiet", "loud"],
+                        "payload": [mm.encode_wav(quiet), mm.encode_wav(loud)]})
+    samples, sr = mm.decode_wav(mm.encode_wav(loud))
+    assert sr == 16000 and samples.shape == (16000, 1)
+    np.testing.assert_allclose(samples[:, 0], loud, atol=2e-4)
+
+    df = spark.createDataFrame(pdf)
+    out = mm.extract_audio_features(df, n_frames=4, strict=True) \
+        .orderBy("doc_id").toPandas()
+    assert out["sample_rate"].tolist() == [16000, 16000]
+    assert out["n_samples"].tolist() == [16000, 16000]
+    e_loud = np.array(list(out[out.doc_id == "loud"]["features"].iloc[0]))
+    e_quiet = np.array(list(out[out.doc_id == "quiet"]["features"].iloc[0]))
+    assert (e_loud > e_quiet * 50).all()   # RMS tracks amplitude

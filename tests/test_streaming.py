@@ -93,3 +93,46 @@ def test_windowed_agg_stream(spark, stream_dir):
            .toPandas())
     assert got["rows"].sum() == 200
     assert len(got) == len(exp)
+
+
+def test_asof_join_stream_matches_batch_op(spark, tmp_path):
+    """Streaming as-of join (applyInPandasWithState) must agree with the
+    batch AsOfJoin op on in-order per-entity data (strict t' < t)."""
+    from nvtabular_spark.streaming import asof_join_stream
+
+    trades = pd.DataFrame({
+        "ent": ["e1"] * 4 + ["e2"] * 3,
+        "ts": pd.to_datetime([10, 20, 30, 40, 5, 25, 45], unit="s"),
+        "tid": np.arange(7, dtype="int64"),
+        "px": [1.0] * 7,
+    })
+    quotes = pd.DataFrame({
+        "ent": ["e1"] * 3 + ["e2"] * 2,
+        "ts": pd.to_datetime([5, 20, 35, 10, 25], unit="s"),
+        "quote": [100.0, 101.0, 102.0, 200.0, 201.0],
+    })
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf = spark.createDataFrame(trades)
+    rdf = spark.createDataFrame(quotes)
+    ldf.write.parquet(lp)
+    rdf.write.parquet(rp)
+
+    ls = spark.readStream.schema(ldf.schema).parquet(lp)
+    rs = spark.readStream.schema(rdf.schema).parquet(rp)
+    out = asof_join_stream(ls, rs, on="ent", ts_col="ts",
+                           value_col="quote", left_id_col="tid",
+                           allow_exact_matches=False)
+    q = (out.writeStream.format("memory").queryName("asof_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select tid, quote_asof from asof_stream") \
+        .orderBy("tid").toPandas()
+
+    batch = nvt.Workflow(
+        ["tid", "px"] >> ops.AsOfJoin(rdf, on="ent", ts_col="ts",
+                                      allow_exact_matches=False,
+                                      suffix="_asof")) \
+        .transform(ldf).orderBy("tid").toPandas()
+    np.testing.assert_allclose(
+        got["quote_asof"].to_numpy(dtype="float64"),
+        batch["quote_asof"].to_numpy(dtype="float64"), equal_nan=True)
