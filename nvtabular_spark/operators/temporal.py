@@ -80,28 +80,32 @@ class AsOfJoin(Operator):
                                        for c in self.value_cols]
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        """Plan shape: the full left row payload rides THROUGH the
+        union+window — ONE shuffle total, no row-id stamping, no
+        self-join, no checkpoint. (Earlier designs joined the filled
+        values back by a monotonically_increasing_id, which required a
+        lineage-cutting localCheckpoint for correctness — a full input
+        materialization at 100 TB. Carrying payload is strictly
+        cheaper: the window shuffle moves each left row once either
+        way, and the right side contributes only nulls that Catalyst
+        never materializes.)"""
         right = self._right
-        rid = "__asof_rid__"
-        df = df.withColumn(rid, F.monotonically_increasing_id())
-        # The rid-stamped frame is referenced on BOTH sides of the join
-        # at the end of this method; monotonically_increasing_id is not
-        # stable across recomputations when the input has upstream
-        # shuffles, so cut lineage before branching.
-        df = df.localCheckpoint(eager=False)
+        payload = list(df.columns)
+        on_set = set(self.on)
 
         left_tagged = df.select(
-            *[F.col(c) for c in self.on],
+            *[F.col(c) for c in payload],
             F.col(self.ts_col).alias("__ts__"),
             F.lit(1).alias("__side__"),   # left sorts AFTER right at equal ts
-            F.col(rid),
             *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
               for c in self.value_cols],
         )
         right_tagged = right.select(
-            *[F.col(c) for c in self.on],
+            *[(F.col(c) if c in on_set
+               else F.lit(None).cast(df.schema[c].dataType)).alias(c)
+              for c in payload],
             F.col(self.right_ts_col).alias("__ts__"),
             F.lit(0).alias("__side__"),
-            F.lit(None).cast("long").alias(rid),
             *[F.col(c).alias(f"__rv_{c}") for c in self.value_cols],
         )
         unioned = left_tagged.unionByName(right_tagged)
@@ -118,31 +122,32 @@ class AsOfJoin(Operator):
                       else F.col("__side__").desc())
 
         if self.bucket_seconds:
-            filled = self._bucketed_fill(unioned, rid, side_order)
+            filled = self._bucketed_fill(unioned, payload, side_order)
         else:
             w = (Window.partitionBy(*self.on)
                  .orderBy(F.col("__ts__"), side_order)
                  .rowsBetween(Window.unboundedPreceding, -1))
             filled = unioned.select(
-                F.col(rid),
+                *payload,
                 F.col("__side__"),
                 *[F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w)
                   .alias(f"__rv_{c}") for c in self.value_cols],
             ).filter(F.col("__side__") == 1).drop("__side__")
 
-        joined = df.join(filled, rid, "left")
         cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
         for c in self.value_cols:
             cols[ctx.out(f"{c}{self.suffix}")] = F.col(f"__rv_{c}")
-        return joined.withColumns(cols).drop(
-            rid, *[f"__rv_{c}" for c in self.value_cols])
+        return filled.withColumns(cols).drop(
+            *[f"__rv_{c}" for c in self.value_cols])
 
-    def _bucketed_fill(self, unioned: DataFrame, rid: str,
+    def _bucketed_fill(self, unioned: DataFrame, payload: List[str],
                        side_order) -> DataFrame:
         """Skew-proof fill: (1) per-(entity, time-bucket) local window —
         a hot entity spreads over many tasks; (2) per-bucket last right
         value, aggregated (tiny frame); (3) running carry-in from prior
-        buckets; (4) coalesce(local, carry_in)."""
+        buckets; (4) coalesce(local, carry_in). The left payload rides
+        the local window; the carry/seed branches project it away, so
+        Catalyst never shuffles it twice."""
         epoch = F.unix_micros(F.col("__ts__").cast("timestamp")) / F.lit(1e6)
         u = unioned.withColumn(
             "__bkt__", F.floor(epoch / F.lit(float(self.bucket_seconds))))
@@ -150,9 +155,11 @@ class AsOfJoin(Operator):
         w_local = (Window.partitionBy(*self.on, "__bkt__")
                    .orderBy(F.col("__ts__"), side_order)
                    .rowsBetween(Window.unboundedPreceding, -1))
+        non_key_payload = [c for c in payload if c not in set(self.on)]
         local = u.select(
-            F.col(rid), F.col("__side__"), F.col("__bkt__"),
+            F.col("__side__"), F.col("__bkt__"),
             *[F.col(c) for c in self.on],
+            *[F.col(c) for c in non_key_payload],
             *[F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w_local)
               .alias(f"__loc_{c}") for c in self.value_cols])
 
@@ -201,7 +208,7 @@ class AsOfJoin(Operator):
         out = left_rows.join(_hint(seed), [*self.on, "__bkt__"],
                              "left")
         return out.select(
-            F.col(rid),
+            *[F.col(c) for c in payload],
             *[F.coalesce(F.col(f"__loc_{c}"), F.col(f"__seed_{c}"))
               .alias(f"__rv_{c}") for c in self.value_cols])
 
