@@ -40,7 +40,9 @@ class TargetEncoding(StatOperator):
                  kfold: int = 3, fold_seed: int = 42, p_smooth: float = 20,
                  target_mean: Optional[float] = None, out_dtype: str = "double",
                  name_sep: str = "_", out_path: Optional[str] = None,
-                 fold_is_precomputed: bool = False, broadcast: bool = True,
+                 fold_is_precomputed: bool = False,
+                 broadcast: Optional[bool] = None,
+                 broadcast_limit: int = 5_000_000,
                  hash_family: str = "xxhash64", drop_folds: bool = True):
         super().__init__()
         self.targets = [target] if isinstance(target, str) else list(target)
@@ -53,12 +55,19 @@ class TargetEncoding(StatOperator):
         self.name_sep = name_sep
         self.out_path = out_path
         self.fold_is_precomputed = fold_is_precomputed
+        #: None (default) = broadcast iff the fitted stats tables are
+        #: under broadcast_limit rows (counted at fit time from the
+        #: materialized parquet — one tiny job); True/False forces.
+        #: Mirrors Categorify._should_broadcast: a 1e8-group fold table
+        #: must NOT be hinted onto every executor.
         self.broadcast = broadcast
+        self.broadcast_limit = broadcast_limit
         self.hash_family = hash_family
         self.drop_folds = drop_folds
         self.means: Dict[str, float] = {}
         self._all_dfs: Dict[str, DataFrame] = {}
         self._fold_dfs: Dict[str, DataFrame] = {}
+        self._table_rows: Dict[str, int] = {}
 
     def dependencies(self):
         return self.targets + [self.fold_col]
@@ -107,6 +116,7 @@ class TargetEncoding(StatOperator):
             g_fold = dff.groupBy(*(keys_all + [F.col("__fold__")])).agg(*aggs_f)
             self._fold_dfs[key], _ = materialize(
                 g_fold, f"te_fold_{key}", self.out_path)
+            self._table_rows[key] = self._fold_dfs[key].count()
 
             folded = self._fold_dfs[key]
             g_all = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
@@ -171,6 +181,7 @@ class TargetEncoding(StatOperator):
         self._fold_dfs[key], _ = materialize(
             folded, f"te_fold_{key}", self.out_path)
         folded = self._fold_dfs[key]
+        self._table_rows[key] = folded.count()
         g_all = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
             *[F.sum(f"__cnt_{t}").alias(f"__cnt_{t}") for t in self.targets],
             *[F.sum(f"__sum_{t}").alias(f"__sum_{t}") for t in self.targets])
@@ -185,6 +196,12 @@ class TargetEncoding(StatOperator):
                     *[(F.sum(f"__sum_{t}") / F.sum(f"__cnt_{t}")).alias(t)
                       for t in self.targets]).collect()[0]
                 self.means = {t: float(row[t]) for t in self.targets}
+
+    def _should_broadcast(self, key: str) -> bool:
+        if self.broadcast is not None:
+            return self.broadcast
+        rows = self._table_rows.get(key)
+        return rows is None or rows <= self.broadcast_limit
 
     # -- transform ----------------------------------------------------------------
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
@@ -202,7 +219,7 @@ class TargetEncoding(StatOperator):
                 [F.col(f"__cnt_{t}").alias(f"__fcnt_{t}") for t in self.targets] + \
                 [F.col(f"__sum_{t}").alias(f"__fsum_{t}") for t in self.targets]
             a_df, f_df = alls.select(*a_sel), folds.select(*f_sel)
-            if self.broadcast:
+            if self._should_broadcast(key):
                 a_df, f_df = F.broadcast(a_df), F.broadcast(f_df)
 
             cond_a = None
@@ -264,14 +281,16 @@ class TargetEncoding(StatOperator):
         return p
 
     def save_state(self):
-        return {"means": self.means}
+        return {"means": self.means, "table_rows": self._table_rows}
 
     def load_state(self, state):
         self.means = state["means"]
+        self._table_rows = state.get("table_rows", {})
 
     def clear(self):
         super().clear()
         self._all_dfs, self._fold_dfs, self.means = {}, {}, {}
+        self._table_rows = {}
 
     def output_tags(self):
         return ["continuous"]

@@ -50,9 +50,11 @@ class Dataset:
         return self.df.toPandas()
 
     def to_parquet(self, output_path: str, shuffle: Optional[str] = "per_partition",
-                   out_files_per_proc: Optional[int] = None, **kw) -> None:
+                   out_files_per_proc: Optional[int] = None,
+                   partition_on: Optional[List[str]] = None, **kw) -> None:
         write_shuffled(self.df, output_path, shuffle=shuffle or "none",
-                       out_files=out_files_per_proc, **kw)
+                       out_files=out_files_per_proc,
+                       partition_on=partition_on, **kw)
 
     def shuffle_by_keys(self, keys, npartitions: Optional[int] = None) -> "Dataset":
         return Dataset(shuffle_by_keys(self.df, list(keys), npartitions))
@@ -94,11 +96,14 @@ def shuffle_by_keys(df: DataFrame, keys: List[str],
 
 def write_shuffled(df: DataFrame, path: str, shuffle: str = "per_partition",
                    out_files: Optional[int] = None, seed: int = 42,
-                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+                   fmt: str = "parquet", mode: str = "overwrite",
+                   partition_on: Optional[List[str]] = None) -> None:
     """Training-set sink with intra-file row shuffle (reference
     Shuffle.PER_PARTITION / PER_WORKER semantics):
     * per_partition — rows shuffled within each output file
     * full          — global random repartition + within-file shuffle
+    * partition_on  — hive-style directory partitioning by column values
+      (reference Dataset.to_parquet(partition_on=...), merlin io)
     """
     out = df
     if shuffle == "full":
@@ -108,7 +113,10 @@ def write_shuffled(df: DataFrame, path: str, shuffle: str = "per_partition",
         out = out.repartition(out_files)
     if shuffle in ("per_partition", "full"):
         out = out.sortWithinPartitions(F.rand(seed))
-    out.write.mode(mode).format(fmt).save(path)
+    writer = out.write.mode(mode).format(fmt)
+    if partition_on:
+        writer = writer.partitionBy(*partition_on)
+    writer.save(path)
 
 
 def write_bucketed(df: DataFrame, table: str, buckets: int,

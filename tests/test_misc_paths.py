@@ -108,3 +108,19 @@ def test_synthetic_tabular_shape_and_determinism(spark):
     # power-law: head value should dominate
     vc = a["cat_0"].value_counts()
     assert vc.iloc[0] > vc.iloc[-1]
+
+
+def test_to_parquet_partition_on(spark, tmp_path):
+    """Reference Dataset.to_parquet(partition_on=...) — hive-style
+    directory partitioning."""
+    import os
+    import pandas as pd
+    from nvtabular_spark.sources import Dataset
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "b"], "v": [1, 2, 3, 4]})
+    ds = Dataset(spark.createDataFrame(pdf))
+    out = str(tmp_path / "po")
+    ds.to_parquet(out, shuffle=None, partition_on=["k"])
+    assert sorted(d for d in os.listdir(out) if d.startswith("k=")) \
+        == ["k=a", "k=b"]
+    back = spark.read.parquet(out)
+    assert back.count() == 4 and set(back.columns) == {"k", "v"}

@@ -170,3 +170,25 @@ def test_asof_skew_survives_salted_entity(spark):
     assert pd.isna(sample.loc[0])
     assert sample.loc[200] == 19.0   # ts=2000 → last right ts=1905 → v=19
     assert sample.loc[4999] == 499.0  # ts=49990 → last right ts=49905 → v=499
+
+
+def test_asof_plan_single_exchange_no_join(spark):
+    """AsOfJoin (unbucketed) must plan exactly ONE shuffle Exchange
+    (the window partitioning over the union) — no self-join, no
+    row-id checkpoint, payload carried through."""
+    import re
+    ev = spark.createDataFrame(pd.DataFrame({
+        "ent": ["a"] * 50 + ["b"] * 50,
+        "ts": pd.to_datetime(np.arange(100) * 60, unit="s"),
+        "eid": np.arange(100, dtype="int64"),
+        "v": np.random.RandomState(0).rand(100),
+    }))
+    quotes = ev.select("ent", "ts", (F.col("v") * 2).alias("q"))
+    out = nvt.Workflow(
+        ["eid", "v"] >> ops.AsOfJoin(quotes, on="ent", ts_col="ts",
+                                     suffix="_asof")).transform(ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles <= 2      # one per union leg into the same window
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Checkpoint" not in plan
