@@ -112,6 +112,92 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cosine_sim"))
 
 
+def _centroid_array(centroids) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in centroids])
+
+
+def _unit(vec) -> List[float]:
+    import math
+    n = math.sqrt(sum(x * x for x in vec)) or 1.0
+    return [x / n for x in vec]
+
+
+def ivf_train(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
+              sample_rows: int = 20000, id_col: str = "vec_id",
+              vec_col: str = "embedding", seed: int = 7):
+    """Spherical k-means coarse quantizer (IVF training), DataFrame-
+    native: init = the ``n_centroids`` sample vectors with smallest
+    xxhash64(id) (deterministic); each Lloyd iteration assigns the
+    sample to its max-cosine centroid in ONE broadcast pass, then
+    re-averages per (cluster, dimension) via posexplode+groupBy. Only
+    the (n_centroids × dim) centroid table ever reaches the driver."""
+    samp = (corpus.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
+            .limit(sample_rows))
+    samp = samp.localCheckpoint(eager=False)  # sample once, reuse per iter
+    init = samp.limit(n_centroids).collect()
+    centroids = [_unit(list(r["v"])) for r in init]
+    for _ in range(iters):
+        cents = _centroid_array(centroids)
+        sims = F.transform(cents, lambda c: dot(F.col("v"), c) / norm(F.col("v")))
+        cluster = F.array_position(sims, F.array_max(sims)) - 1
+        assigned = samp.select(F.col("v"), cluster.alias("__c__"))
+        dims = (assigned.select("__c__", F.posexplode("v").alias("d", "x"))
+                .groupBy("__c__", "d").agg(F.avg("x").alias("m"))
+                .groupBy("__c__")
+                .agg(F.transform(
+                    F.sort_array(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"]).alias("centroid"))
+                .collect())
+        new = {int(r["__c__"]): _unit(list(r["centroid"])) for r in dims}
+        centroids = [new.get(i, centroids[i]) for i in range(n_centroids)]
+    return centroids
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
+             k: int = 10, nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their
+    max-cosine centroid in one pass (at scale: compute once, store as a
+    partition column of the bucketed table); each query probes its
+    ``nprobe`` nearest inverted lists and reranks candidates exactly.
+    Candidate volume ≈ corpus × nprobe / n_centroids — the knob that
+    makes 100 TB ANN affordable."""
+    cents = _centroid_array(centroids)
+
+    def best_cluster(vec):
+        sims = F.transform(cents, lambda c: dot(vec, c) / norm(vec))
+        return F.array_position(sims, F.array_max(sims)) - 1
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("__cv__"))
+    c = c.withColumn("__cl__", best_cluster(F.col("__cv__")))
+
+    qv = F.col(vec_col).cast("array<double>")
+    sims = F.transform(cents, lambda cc: dot(qv, cc) / norm(qv))
+    ranked = F.slice(
+        F.reverse(F.array_sort(F.zip_with(
+            sims, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda s, i: F.struct(s.alias("s"), i.alias("i"))))),
+        1, nprobe)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       qv.alias("__qv__"),
+                       F.transform(ranked, lambda x: x["i"]).alias("__pr__"))
+    q = q.select("query_id", "__qv__",
+                 F.explode("__pr__").alias("__cl__"))
+    cand = c.join(F.broadcast(q), "__cl__") \
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = cosine(F.col("__qv__"), F.col("__cv__"))
+    scored = cand.withColumn("cosine_sim", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine_sim"))
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int = 64, num_planes: int = 8,

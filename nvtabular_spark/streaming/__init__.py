@@ -1,4 +1,4 @@
-from .transform import (asof_join_stream, sessionize_stream,
+from .transform import (asof_join_stream, lag_rolling_stream, sessionize_stream,
                         transform_stream, windowed_agg_stream)
 
 __all__ = ["transform_stream", "windowed_agg_stream", "sessionize_stream"]

@@ -77,6 +77,60 @@ def sessionize_stream(stream_df: DataFrame, ts_col: str, key: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def lag_rolling_stream(stream_df: DataFrame, key: str, ts_col: str,
+                       value_col: str, lags=(1,),
+                       window_rows: int = 8,
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Streaming windowed features (north-rule lag/rolling family) via
+    ``applyInPandasWithState``: per-entity state carries the last
+    ``max(lags, window_rows)`` values across micro-batches; each event
+    emits ``lag_k`` and the strictly-past rolling mean/count over the
+    previous ``window_rows`` events — the exact contract of the batch
+    ``Lag`` / ``RollingAgg`` ops (frame ends at -1). In-order per-entity
+    delivery assumed (rows re-sorted within each micro-batch)."""
+    import pandas as pd
+
+    lags = sorted(set(int(k) for k in lags))
+    depth = max(max(lags), window_rows)
+    key_t = stream_df.schema[key].dataType.simpleString()
+    lag_cols = ", ".join(f"{value_col}_lag_{k} double" for k in lags)
+    out_schema = (f"{key} {key_t}, {ts_col} timestamp, "
+                  f"{value_col} double, {lag_cols}, "
+                  f"{value_col}_rolling_mean_{window_rows} double, "
+                  f"{value_col}_rolling_count_{window_rows} long")
+    state_schema = "buf array<double>"
+
+    def fn(key_tuple, pdfs, state):
+        buf = list(state.get()[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                rec = [key_tuple[0], ts, float(v)]
+                for k in lags:
+                    rec.append(buf[-k] if len(buf) >= k else None)
+                past = [x for x in buf[-window_rows:] if x is not None]
+                rec.append(sum(past) / len(past) if past else None)
+                rec.append(len(past))
+                rows.append(rec)
+                buf.append(None if v != v else float(v))
+                if len(buf) > depth:
+                    buf = buf[-depth:]
+        state.update((buf,))
+        if not rows:
+            return iter([])
+        cols = ([key, ts_col, value_col]
+                + [f"{value_col}_lag_{k}" for k in lags]
+                + [f"{value_col}_rolling_mean_{window_rows}",
+                   f"{value_col}_rolling_count_{window_rows}"])
+        return iter([pd.DataFrame(rows, columns=cols)])
+
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def asof_join_stream(left_stream: DataFrame, right_stream: DataFrame,
                      on: str, ts_col: str, value_col: str,
                      left_id_col: str,

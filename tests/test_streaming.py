@@ -136,3 +136,40 @@ def test_asof_join_stream_matches_batch_op(spark, tmp_path):
     np.testing.assert_allclose(
         got["quote_asof"].to_numpy(dtype="float64"),
         batch["quote_asof"].to_numpy(dtype="float64"), equal_nan=True)
+
+
+def test_lag_rolling_stream_matches_batch_ops(spark, tmp_path):
+    """Streaming lag/rolling (applyInPandasWithState) must equal the
+    batch Lag + RollingAgg ops on in-order per-entity data."""
+    from nvtabular_spark.streaming import lag_rolling_stream
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame({
+        "ent": ["a"] * 30 + ["b"] * 20,
+        "ts": pd.to_datetime(
+            np.concatenate([np.arange(30), np.arange(20)]) * 60, unit="s"),
+        "v": rng.rand(50),
+    })
+    p = str(tmp_path / "lr_in")
+    sdf = spark.createDataFrame(pdf)
+    sdf.write.parquet(p)
+
+    stream = spark.readStream.schema(sdf.schema).parquet(p)
+    out = lag_rolling_stream(stream, key="ent", ts_col="ts", value_col="v",
+                             lags=(1, 2), window_rows=4)
+    q = (out.writeStream.format("memory").queryName("lr_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from lr_stream").orderBy("ent", "ts").toPandas()
+
+    batch = nvt.Workflow(
+        (["v"] >> ops.Lag("ent", "ts", [1, 2]))
+        + (["v"] >> ops.RollingAgg("ent", "ts", window_rows=4,
+                                   aggs=["mean", "count"]))
+        + ["ent", "ts"]).transform(sdf).orderBy("ent", "ts").toPandas()
+    for sc, bc in [("v_lag_1", "v_lag_1"), ("v_lag_2", "v_lag_2"),
+                   ("v_rolling_mean_4", "v_rolling_mean_4"),
+                   ("v_rolling_count_4", "v_rolling_count_4")]:
+        np.testing.assert_allclose(
+            got[sc].to_numpy(dtype="float64"),
+            batch[bc].to_numpy(dtype="float64"),
+            equal_nan=True, err_msg=sc)
