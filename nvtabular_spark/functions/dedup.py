@@ -237,6 +237,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                           F.explode(F.array_distinct(
                               word_shingle_hashes(F.col(text_col), n,
                                                   family))).alias("sh")))
+    # the posting table feeds FOUR consumers (sizes, cap counts, both
+    # join sides) — checkpoint it so the text is shingled once, not 4×;
+    # the materialized form is two fixed-width longs per posting, far
+    # smaller than the input text
+    shingled = shingled.localCheckpoint(eager=False)
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_posting:
         keep = shingled.groupBy("sh").count() \

@@ -189,3 +189,23 @@ def test_fusion_respects_distinct_keys(spark, pipeline_df):
     out = wf.fit_transform(pdf2).orderBy("rid").toPandas()
     assert wf.plan.fit_report["fused_groups"] == 2
     assert "cat_y_mean" in out.columns and "cat2_y_sum" in out.columns
+
+
+def test_fusion_multi_column_keys(spark, pipeline_df):
+    """Fusion with a composite (2-column) group key: TE and JoinGroupby
+    over [['cat','fold']] must share one groupBy and stay value-correct."""
+    pdf = pipeline_df.withColumn("cat2", (F.col("rid") % 2).cast("string"))
+    jg = ops.JoinGroupby(cont_cols=["y"], stats=["mean"])
+    te = ops.TargetEncoding(target="y", fold_col="rid", kfold=2)
+    flow = (([["cat", "cat2"]] >> jg)
+            + (([["cat", "cat2"]] >> te) - ["cat", "cat2"])
+            + ["rid", "y"])
+    wf = nvt.Workflow(flow)
+    out = wf.fit_transform(pdf).orderBy("rid").toPandas()
+    rep = wf.plan.fit_report
+    assert rep["fused_groups"] == 1 and rep["fused_requests"] == 2
+    # value check vs pandas for the JoinGroupby mean
+    base = pdf.toPandas()
+    exp = base.groupby(["cat", "cat2"])["y"].transform("mean")
+    got = out.sort_values("rid")["cat_cat2_y_mean"]
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
