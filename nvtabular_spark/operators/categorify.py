@@ -208,12 +208,19 @@ class Categorify(StatOperator):
                     .filter(F.col("value").isNotNull())
                 counts = stacked.groupBy("__c__", "value").agg(
                     F.count(F.lit(1)).alias("value_count"))
-                counts_m, _ = materialize(counts, f"counts_{dt}",
-                                          self.out_path)
                 single_col = [e for e in entries
                               if len([x for x in entries
                                       if x[0] == e[0]]) == 1 and not e[3]]
                 multi = [e for e in entries if e not in single_col]
+                if multi:
+                    # several consumers → cut lineage once
+                    counts_m, _ = materialize(counts, f"counts_{dt}",
+                                              self.out_path)
+                else:
+                    # the ranking job is the ONLY consumer and its
+                    # result is materialized anyway — skip the
+                    # intermediate write+read of the counts table
+                    counts_m = counts
                 if single_col:
                     # rank EVERY single-column vocab in ONE window pass:
                     # per-column partitions rank in parallel, one
