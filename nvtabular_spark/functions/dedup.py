@@ -40,6 +40,22 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
             .withColumn("is_dup", F.col(id_col) != F.col("canonical_id")))
 
 
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          normalized: bool = True) -> DataFrame:
+    """Corpus minus exact duplicates: keeps the canonical (min-id) row
+    of each duplicate group, all original columns intact. The common
+    one-call entry point over :func:`exact_duplicates`."""
+    key = fingerprint(F.col(text_col)) if normalized \
+        else F.md5(F.col(text_col))
+    w_cols = df.columns
+    keyed = df.withColumn("__dk__", key)
+    canon = keyed.groupBy("__dk__").agg(F.min(id_col).alias("__cid__"))
+    return (keyed.join(canon, "__dk__")
+            .filter(F.col(id_col) == F.col("__cid__"))
+            .select(*w_cols))
+
+
 #: universal-hash modulus for minhash lanes — the 31-bit prime used by
 #: Spark MLlib's MinHashLSH (public API); (a*x + b) stays < 2^63 for
 #: 32-bit x, so the arithmetic is exact in BIGINT in Spark AND DuckDB.

@@ -298,3 +298,10 @@ def test_ivf_topk_recall_vs_exact(spark):
                       for q in ex])
     assert recall >= 0.4, recall         # random 64-dim data is hard; the
     # structural guarantee (probing top clusters) is what's under test
+
+
+def test_drop_exact_duplicates(spark, docs_df):
+    out = dedup.drop_exact_duplicates(docs_df).orderBy("doc_id").toPandas()
+    # docs 0,1,2 share the normalized fingerprint -> only doc 0 kept
+    assert out["doc_id"].tolist() == [0, 3, 4, 5]
+    assert set(out.columns) == {"doc_id", "text"}
