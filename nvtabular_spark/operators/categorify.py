@@ -49,7 +49,7 @@ from .base import StatOperator, TransformContext
 from ..functions.hashing import hash64
 from ..functions.ids import with_global_index
 from ..plans.graph import ColumnSelector
-from ..sources.artifacts import materialize
+from ..sources.artifacts import materialize, parquet_rows
 
 PAD_OFFSET = 0
 NULL_OFFSET = 1
@@ -307,7 +307,8 @@ class Categorify(StatOperator):
                 vocab, f"unique.{key}.parquet", self.out_path)
             n_vocab = getattr(vocab, "total_rows", None)
             if n_vocab is None:
-                n_vocab = self._vocab_dfs[key].count()
+                n_vocab = parquet_rows(self._paths[key],
+                                       fallback_df=self._vocab_dfs[key])
             self._sizes[key] = n_vocab + self._start_index(key)
         self.fitted = True
 
@@ -604,7 +605,8 @@ class Categorify(StatOperator):
     def load_artifacts(self, spark, paths):
         self._vocab_dfs = {k: spark.read.parquet(p) for k, p in paths.items()}
         self._paths = dict(paths)
-        self._sizes = {k: v.count() + self._start_index(k)
+        self._sizes = {k: parquet_rows(paths[k], fallback_df=v)
+                       + self._start_index(k)
                        for k, v in self._vocab_dfs.items()}
         self.fitted = True
 

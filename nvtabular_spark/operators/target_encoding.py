@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .base import StatOperator, TransformContext
 from ..functions.hashing import hash64
 from ..plans.graph import ColumnSelector
-from ..sources.artifacts import materialize
+from ..sources.artifacts import materialize, parquet_rows
 
 
 class TargetEncoding(StatOperator):
@@ -114,9 +114,10 @@ class TargetEncoding(StatOperator):
                 aggs_f += [F.count(tc).alias(f"__cnt_{t}"),
                            F.sum(tc).alias(f"__sum_{t}")]
             g_fold = dff.groupBy(*(keys_all + [F.col("__fold__")])).agg(*aggs_f)
-            self._fold_dfs[key], _ = materialize(
+            self._fold_dfs[key], fpath = materialize(
                 g_fold, f"te_fold_{key}", self.out_path)
-            self._table_rows[key] = self._fold_dfs[key].count()
+            self._table_rows[key] = parquet_rows(
+                fpath, fallback_df=self._fold_dfs[key])
 
             folded = self._fold_dfs[key]
             g_all = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
@@ -178,10 +179,10 @@ class TargetEncoding(StatOperator):
             sel += [F.col(f"{p}__cnt_{t}").alias(f"__cnt_{t}"),
                     F.col(f"{p}__sum_{t}").alias(f"__sum_{t}")]
         folded = grouped.select(*sel)
-        self._fold_dfs[key], _ = materialize(
+        self._fold_dfs[key], fpath = materialize(
             folded, f"te_fold_{key}", self.out_path)
         folded = self._fold_dfs[key]
-        self._table_rows[key] = folded.count()
+        self._table_rows[key] = parquet_rows(fpath, fallback_df=folded)
         g_all = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
             *[F.sum(f"__cnt_{t}").alias(f"__cnt_{t}") for t in self.targets],
             *[F.sum(f"__sum_{t}").alias(f"__sum_{t}") for t in self.targets])
