@@ -163,7 +163,7 @@ class Categorify(StatOperator):
         groups = self._groups(ctx.selector)
 
         # classify groups
-        stackable: list = []   # (key, col, tag, cast_string)
+        stackable: list = []   # (key, col, tag, cast_string, is_list)
         solo: list = []        # groups handled individually
         for g in groups:
             key = self._group_key(g)
@@ -173,16 +173,17 @@ class Categorify(StatOperator):
                 solo.append(g)
                 continue
             cast_string = len(g) > 1
-            ok = True
+            has_list = any(isinstance(
+                df.schema[ctx.inputs.get(c, c)].dataType, ArrayType)
+                for c in g)
+            if has_list and len(g) > 1:
+                solo.append(g)   # joint groups with list members: rare shape
+                continue
             for col in g:
                 act = ctx.inputs.get(col, col)
-                if isinstance(df.schema[act].dataType, ArrayType):
-                    ok = False   # list columns explode differently
-            if ok:
-                for col in g:
-                    stackable.append((key, col, f"{key}::{col}", cast_string))
-            else:
-                solo.append(g)
+                is_list = isinstance(df.schema[act].dataType, ArrayType)
+                stackable.append((key, col, f"{key}::{col}",
+                                  cast_string, is_list))
 
         counts_by_key: Dict[str, DataFrame] = {}
         ranked_by_key: Dict[str, DataFrame] = {}
@@ -190,20 +191,46 @@ class Categorify(StatOperator):
         if stackable:
             # bucket by value dtype so the struct array is homogeneous
             buckets: Dict[str, list] = {}
-            for key, col, tag, cast_string in stackable:
+            for key, col, tag, cast_string, is_list in stackable:
                 act = ctx.inputs.get(col, col)
-                dt = "string" if cast_string \
-                    else df.schema[act].dataType.simpleString()
-                buckets.setdefault(dt, []).append((key, col, tag, cast_string))
+                dtyp = df.schema[act].dataType
+                if is_list:
+                    dt = dtyp.elementType.simpleString()
+                elif cast_string:
+                    dt = "string"
+                else:
+                    dt = dtyp.simpleString()
+                buckets.setdefault(dt, []).append(
+                    (key, col, tag, cast_string, is_list))
             for dt, entries in buckets.items():
-                structs = []
-                for key, col, tag, cast_string in entries:
+                structs = []     # scalar columns → one struct each
+                list_arrs = []   # list columns → element-wise struct arrays
+                for key, col, tag, cast_string, is_list in entries:
                     act = ctx.inputs.get(col, col)
-                    v = F.col(act).cast("string") if cast_string else F.col(act)
-                    structs.append(F.struct(F.lit(tag).alias("__c__"),
-                                            v.alias("value")))
+                    if is_list:
+                        # per-element structs; coalesce keeps NULL-array
+                        # rows from nulling the whole concat.
+                        # NB: closure factory, NOT a default-arg lambda —
+                        # a 2-arg lambda is (element, index) to F.transform
+                        def _tagger(t):
+                            return lambda x: F.struct(
+                                F.lit(t).alias("__c__"), x.alias("value"))
+
+                        arr = F.transform(F.col(act), _tagger(tag))
+                        list_arrs.append(F.coalesce(
+                            arr, F.array().cast(
+                                f"array<struct<__c__:string,value:{dt}>>")))
+                    else:
+                        v = F.col(act).cast("string") if cast_string \
+                            else F.col(act)
+                        structs.append(F.struct(F.lit(tag).alias("__c__"),
+                                                v.alias("value")))
+                # ONE exploded array per row covers every scalar column
+                # AND every list element — a single scan for all vocabs
+                parts = ([F.array(*structs)] if structs else []) + list_arrs
+                arr_all = parts[0] if len(parts) == 1 else F.concat(*parts)
                 stacked = df.select(
-                    F.explode(F.array(*structs)).alias("kv")
+                    F.explode(arr_all).alias("kv")
                 ).select("kv.__c__", "kv.value") \
                     .filter(F.col("value").isNotNull())
                 counts = stacked.groupBy("__c__", "value").agg(
@@ -229,7 +256,7 @@ class Categorify(StatOperator):
                     from pyspark.sql import Window
                     tags = [e[2] for e in single_col]
                     thr_map, cap_map, start_map = {}, {}, {}
-                    for key, col, tag, _cs in single_col:
+                    for key, col, tag, _cs, _il in single_col:
                         thr_map[tag] = int(self._opt(self.freq_threshold,
                                                      key, 0) or 0)
                         ms = int(self._opt(self.max_size, key, 0) or 0)
@@ -265,14 +292,14 @@ class Categorify(StatOperator):
                     size_rows = ranked_m.groupBy("__c__").agg(
                         F.max("code").alias("mx")).collect()
                     mx = {r["__c__"]: r["mx"] for r in size_rows}
-                    for key, col, tag, _cs in single_col:
+                    for key, col, tag, _cs, _il in single_col:
                         ranked_by_key[key] = ranked_m \
                             .filter(F.col("__c__") == tag) \
                             .select("value", "value_count", "code")
                         self._paths[key] = rpath
                         sizes_from_rank[key] = int(
                             mx.get(tag, self._start_index(key) - 1)) + 1
-                for key, col, tag, cast_string in multi:
+                for key, col, tag, cast_string, _il in multi:
                     part = counts_m.filter(F.col("__c__") == tag) \
                         .select("value", "value_count")
                     if key in counts_by_key:   # joint group: merge members

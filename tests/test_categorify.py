@@ -187,3 +187,31 @@ def test_list_strategies_agree_on_empty_and_null(spark):
     assert u[2] == []        # empty stays empty
     assert u[3] is None      # null stays null
     assert u[4][1] == 1      # in-array null -> NULL code
+
+
+def test_list_vocab_rides_stacked_scan(spark, list_df):
+    """Single-column LIST vocabularies now join the one-pass stacked
+    counts job + window ranking (no solo per-column input scan):
+    their vocab path is the shared unique_all table."""
+    op = ops.Categorify()
+    wf = nvt.Workflow((["Authors"] >> op) + ["Post"])
+    out = wf.fit_transform(list_df).orderBy("Post").toPandas()
+    assert "unique_all" in op._paths["Authors"]
+    # encoding contract unchanged (reference golden, freq desc value asc)
+    assert [list(x) for x in out["Authors"]] == [[3], [3, 6], [5, 4], [4]]
+
+
+def test_mixed_scalar_and_list_single_scan(spark):
+    """Scalar + list columns of the same element dtype share ONE
+    stacked fit scan and both window-rank from it."""
+    pdf = pd.DataFrame({
+        "cat": ["x", "y", "x", "z"],
+        "tags": [["a"], ["a", "b"], ["b"], []],
+        "rid": range(4)})
+    df = spark.createDataFrame(pdf)
+    op = ops.Categorify()
+    wf = nvt.Workflow((["cat", "tags"] >> op) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    assert op._paths["cat"] == op._paths["tags"]   # same materialized table
+    assert out["cat"].tolist() == [3, 4, 3, 5]     # x(2)→3, y→4, z→5
+    assert [list(v) for v in out["tags"]] == [[3], [3, 4], [4], []]
