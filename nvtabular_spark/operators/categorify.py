@@ -173,12 +173,6 @@ class Categorify(StatOperator):
                 solo.append(g)
                 continue
             cast_string = len(g) > 1
-            has_list = any(isinstance(
-                df.schema[ctx.inputs.get(c, c)].dataType, ArrayType)
-                for c in g)
-            if has_list and len(g) > 1:
-                solo.append(g)   # joint groups with list members: rare shape
-                continue
             for col in g:
                 act = ctx.inputs.get(col, col)
                 is_list = isinstance(df.schema[act].dataType, ArrayType)
@@ -194,10 +188,10 @@ class Categorify(StatOperator):
             for key, col, tag, cast_string, is_list in stackable:
                 act = ctx.inputs.get(col, col)
                 dtyp = df.schema[act].dataType
-                if is_list:
+                if cast_string:
+                    dt = "string"   # joint groups share one string vocab
+                elif is_list:
                     dt = dtyp.elementType.simpleString()
-                elif cast_string:
-                    dt = "string"
                 else:
                     dt = dtyp.simpleString()
                 buckets.setdefault(dt, []).append(
@@ -212,11 +206,14 @@ class Categorify(StatOperator):
                         # rows from nulling the whole concat.
                         # NB: closure factory, NOT a default-arg lambda —
                         # a 2-arg lambda is (element, index) to F.transform
-                        def _tagger(t):
+                        def _tagger(t, cs):
                             return lambda x: F.struct(
-                                F.lit(t).alias("__c__"), x.alias("value"))
+                                F.lit(t).alias("__c__"),
+                                (x.cast("string") if cs else x)
+                                .alias("value"))
 
-                        arr = F.transform(F.col(act), _tagger(tag))
+                        arr = F.transform(F.col(act),
+                                          _tagger(tag, cast_string))
                         list_arrs.append(F.coalesce(
                             arr, F.array().cast(
                                 f"array<struct<__c__:string,value:{dt}>>")))

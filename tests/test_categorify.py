@@ -215,3 +215,21 @@ def test_mixed_scalar_and_list_single_scan(spark):
     assert op._paths["cat"] == op._paths["tags"]   # same materialized table
     assert out["cat"].tolist() == [3, 4, 3, 5]     # x(2)→3, y→4, z→5
     assert [list(v) for v in out["tags"]] == [[3], [3, 4], [4], []]
+
+
+def test_joint_group_with_list_member_stacked(spark):
+    """Joint (shared-vocab) group mixing a scalar and a LIST column now
+    fits from the stacked scan too; shared codes across members."""
+    pdf = pd.DataFrame({
+        "primary": ["a", "b", "a", None],
+        "extras": [["b"], ["a", "c"], [], None],
+        "rid": range(4)})
+    df = spark.createDataFrame(pdf)
+    op = ops.Categorify()
+    wf = nvt.Workflow(([["primary", "extras"]] >> op) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    # shared vocab counts: a=3 (2 scalar + 1 list), b=2, c=1
+    # codes: a→3, b→4, c→5; null scalar→1; null list→None; []→[]
+    assert out["primary"].tolist() == [3, 4, 3, 1]
+    got = [None if v is None else list(v) for v in out["extras"]]
+    assert got == [[4], [3, 5], [], None]
