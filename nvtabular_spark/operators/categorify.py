@@ -49,7 +49,8 @@ from .base import StatOperator, TransformContext
 from ..functions.hashing import hash64
 from ..functions.ids import with_global_index
 from ..plans.graph import ColumnSelector
-from ..sources.artifacts import materialize, parquet_rows
+from ..sources.artifacts import (materialize, parquet_rows,
+                                 small_parquet_pandas)
 
 PAD_OFFSET = 0
 NULL_OFFSET = 1
@@ -286,9 +287,14 @@ class Categorify(StatOperator):
                               .select("__c__", "value", "value_count", "code"))
                     ranked_m, rpath = materialize(
                         ranked, f"unique_all_{dt}.parquet", self.out_path)
-                    size_rows = ranked_m.groupBy("__c__").agg(
-                        F.max("code").alias("mx")).collect()
-                    mx = {r["__c__"]: r["mx"] for r in size_rows}
+                    pdf = small_parquet_pandas(rpath)
+                    if pdf is not None:   # max code per tag, no Spark job
+                        mx = {} if pdf.empty else \
+                            pdf.groupby("__c__")["code"].max().to_dict()
+                    else:
+                        size_rows = ranked_m.groupBy("__c__").agg(
+                            F.max("code").alias("mx")).collect()
+                        mx = {r["__c__"]: r["mx"] for r in size_rows}
                     for key, col, tag, _cs, _il in single_col:
                         ranked_by_key[key] = ranked_m \
                             .filter(F.col("__c__") == tag) \

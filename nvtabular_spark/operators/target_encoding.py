@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from .base import StatOperator, TransformContext
 from ..functions.hashing import hash64
 from ..plans.graph import ColumnSelector
-from ..sources.artifacts import materialize, parquet_rows
+from ..sources.artifacts import (materialize, parquet_rows,
+                                 small_parquet_pandas)
 
 
 class TargetEncoding(StatOperator):
@@ -129,16 +130,26 @@ class TargetEncoding(StatOperator):
                 g_all, f"te_all_{key}", self.out_path)
 
             if gi == 0:
-                # global mean from the same small table — no extra scan
-                if self.target_mean is not None:
-                    self.means = {t: float(self.target_mean)
-                                  for t in self.targets}
-                else:
-                    row = folded.agg(
-                        *[(F.sum(f"__sum_{t}") / F.sum(f"__cnt_{t}"))
-                          .alias(t) for t in self.targets]).collect()[0]
-                    self.means = {t: float(row[t]) for t in self.targets}
+                self._derive_means(folded, fpath)
         self.fitted = True
+
+    def _derive_means(self, folded: DataFrame, fpath: str) -> None:
+        """Global target means from the materialized fold table —
+        driver-side pandas when the table is small (no Spark job),
+        Spark aggregation otherwise."""
+        if self.target_mean is not None:
+            self.means = {t: float(self.target_mean) for t in self.targets}
+            return
+        pdf = small_parquet_pandas(fpath)
+        if pdf is not None:
+            self.means = {t: float(pdf[f"__sum_{t}"].sum()
+                                   / pdf[f"__cnt_{t}"].sum())
+                          for t in self.targets}
+            return
+        row = folded.agg(
+            *[(F.sum(f"__sum_{t}") / F.sum(f"__cnt_{t}")).alias(t)
+              for t in self.targets]).collect()[0]
+        self.means = {t: float(row[t]) for t in self.targets}
 
     # -- shared-key fit fusion (base.StatOperator protocol) -------------------
     def _fold_sig(self) -> str:
@@ -189,14 +200,7 @@ class TargetEncoding(StatOperator):
         self._all_dfs[key], _ = materialize(
             g_all, f"te_all_{key}", self.out_path)
         if not self.means:
-            if self.target_mean is not None:
-                self.means = {t: float(self.target_mean)
-                              for t in self.targets}
-            else:
-                row = folded.agg(
-                    *[(F.sum(f"__sum_{t}") / F.sum(f"__cnt_{t}")).alias(t)
-                      for t in self.targets]).collect()[0]
-                self.means = {t: float(row[t]) for t in self.targets}
+            self._derive_means(folded, fpath)
 
     def _should_broadcast(self, key: str) -> bool:
         if self.broadcast is not None:

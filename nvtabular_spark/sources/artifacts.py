@@ -47,3 +47,26 @@ def parquet_rows(path: str, fallback_df: Optional[DataFrame] = None) -> int:
         if fallback_df is not None:
             return fallback_df.count()
         raise
+
+
+def small_parquet_pandas(path: str, max_rows: int = 200_000):
+    """Driver-side pandas view of a SMALL materialized table (fit-time
+    derivations like global means / max codes) — avoids a Spark
+    job-submission round-trip per derivation. Returns None when the
+    table exceeds ``max_rows`` or footers are unreadable (non-local
+    storage); callers must then fall back to a Spark aggregation."""
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return None
+        if sum(pq.ParquetFile(f).metadata.num_rows for f in files) > max_rows:
+            return None
+        import pyarrow as pa
+        tables = [pq.read_table(f) for f in files]
+        return (pa.concat_tables(tables).to_pandas()
+                if len(tables) > 1 else tables[0].to_pandas())
+    except Exception:
+        return None
