@@ -123,6 +123,18 @@ def q_value_count(spark, sf_dir):
         [(int(c["min"]), int(c["max"]))], "len_min int, len_max int")
 
 
+def q_drop_low_cardinality(spark, sf_dir):
+    """DropLowCardinality: columns whose distinct count is below the
+    threshold are removed. c_mktsegment has 5 distinct values (kept at
+    threshold 3), a constant column is dropped."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "const_col", F.lit("same"))
+    wf = nvt.Workflow(
+        (["c_mktsegment", "const_col"] >> ops.DropLowCardinality(3))
+        + ["c_custkey"])
+    return wf.fit_transform(cust)
+
+
 def q_data_stats(spark, sf_dir):
     """DataStats fit over a continuous column → one stats row."""
     ev = _t(spark, sf_dir, "events")
@@ -488,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_stats": q_groupby_stats,
         "groupby_list": q_groupby_list,
         "value_count": q_value_count,
+        "drop_low_cardinality": q_drop_low_cardinality,
         "data_stats": q_data_stats,
         "join_external": q_join_external,
         "join_groupby": q_join_groupby,
@@ -612,6 +625,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(MIN(len(embedding)) AS INTEGER) AS len_min,
                    CAST(MAX(len(embedding)) AS INTEGER) AS len_max
             FROM embeddings""",
+        "drop_low_cardinality": """
+            SELECT c_mktsegment, c_custkey FROM customer""",
         "data_stats": """
             SELECT ROUND(MIN(value), 6) AS v_min,
                    ROUND(MAX(value), 6) AS v_max,

@@ -582,7 +582,12 @@ class Categorify(StatOperator):
           ``localCheckpoint``-ed before branching, so the id-carrying
           plan is never recomputed on the two sides of the join —
           ``monotonically_increasing_id`` is not stable across
-          recomputations when the input has upstream shuffles;
+          recomputations when the input has upstream shuffles.
+          (Deliberate trade vs AsOfJoin's payload-carry design: here
+          the payload would be duplicated per ARRAY ELEMENT through
+          the vocab-join shuffle — ~100× for typical token arrays —
+          so one checkpoint write of the input is the cheaper side;
+          this path only engages past ``list_vocab_limit`` anyway.)
         * ``posexplode`` (inner) is used instead of ``posexplode_outer``
           so NULL arrays and empty arrays are NOT conflated into a
           (null, null) element row: after the left join back, NULL
