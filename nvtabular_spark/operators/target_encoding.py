@@ -112,6 +112,9 @@ class TargetEncoding(StatOperator):
             aggs_f = []
             for t in self.targets:
                 tc = F.col(t).cast("double")
+                # pandas/cudf agg semantics: NaN ≡ missing — an unguarded
+                # NaN would poison the whole group's sum
+                tc = F.when(F.isnan(tc), F.lit(None)).otherwise(tc)
                 aggs_f += [F.count(tc).alias(f"__cnt_{t}"),
                            F.sum(tc).alias(f"__sum_{t}")]
             g_fold = dff.groupBy(*(keys_all + [F.col("__fold__")])).agg(*aggs_f)
@@ -174,6 +177,7 @@ class TargetEncoding(StatOperator):
             aggs = []
             for t in self.targets:
                 tc = F.col(t).cast("double")
+                tc = F.when(F.isnan(tc), F.lit(None)).otherwise(tc)
                 aggs += [F.count(tc).alias(f"{p}__cnt_{t}"),
                          F.sum(tc).alias(f"{p}__sum_{t}")]
             reqs.append(FusedFitRequest(
@@ -250,7 +254,11 @@ class TargetEncoding(StatOperator):
                 ssum = (F.coalesce(F.col(f"__asum_{t}"), F.lit(0.0))
                         - F.coalesce(F.col(f"__fsum_{t}"), F.lit(0.0)))
                 te = (ssum + F.lit(p * mean)) / (cnt + F.lit(p))
-                te = F.when(F.col(f"__acnt_{t}").isNull(), F.lit(mean)).otherwise(te)
+                # unseen group OR no out-of-fold evidence with p=0
+                # (ANSI division-by-zero) → global mean
+                te = (F.when(F.col(f"__acnt_{t}").isNull(), F.lit(mean))
+                      .when(cnt + F.lit(p) == 0, F.lit(mean))
+                      .otherwise(te))
                 new_cols[ctx.out(self._te_name(g, t))] = te.cast(self.out_dtype)
             drops = [f"__acnt_{t}" for t in self.targets] + \
                     [f"__asum_{t}" for t in self.targets] + \

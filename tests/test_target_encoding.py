@@ -113,3 +113,24 @@ def test_te_multi_column_group(spark, te_pdf):
     expected = _pandas_te(pdf.assign(k=key), "k", "y", "fold", 20.0)
     np.testing.assert_allclose(out["TE_cat_cat2_y"].to_numpy(), expected,
                                rtol=1e-9)
+
+
+def test_te_nan_target_treated_as_missing(spark):
+    """NaN targets must not poison group sums (pandas/cudf skipna
+    semantics, same contract as Normalize/Groupby)."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "cat": ["a", "a", "a", "b", "b", "b"],
+        "y": [1.0, np.nan, 3.0, 2.0, 2.0, np.nan],
+        "fold": [0, 1, 0, 1, 0, 1],
+        "rid": range(6)})
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow(
+        (["cat"] >> ops.TargetEncoding(target="y", fold_col="fold",
+                                       fold_is_precomputed=True,
+                                       p_smooth=0)) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    assert out["TE_cat_y"].notna().all()
+    # row 1 (cat=a, fold=1): other folds hold y=1,3 -> mean 2.0
+    assert abs(out["TE_cat_y"].iloc[1] - 2.0) < 1e-9
