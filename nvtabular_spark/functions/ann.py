@@ -30,7 +30,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero vectors: NULL, not a job-killing ANSI DIVIDE_BY_ZERO
+    d = norm(a) * norm(b)
+    return F.when(d == 0, F.lit(None)).otherwise(dot(a, b) / d)
+
+
+def _safe_norm(a: Column) -> Column:
+    n = norm(a)
+    return F.when(n == 0, F.lit(1.0)).otherwise(n)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -141,7 +148,9 @@ def ivf_train(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
     centroids = [_unit(list(r["v"])) for r in init]
     for _ in range(iters):
         cents = _centroid_array(centroids)
-        sims = F.transform(cents, lambda c: dot(F.col("v"), c) / norm(F.col("v")))
+        sims = F.transform(cents,
+                           lambda c: dot(F.col("v"), c)
+                           / _safe_norm(F.col("v")))
         cluster = F.array_position(sims, F.array_max(sims)) - 1
         assigned = samp.select(F.col("v"), cluster.alias("__c__"))
         dims = (assigned.select("__c__", F.posexplode("v").alias("d", "x"))
@@ -168,7 +177,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
     cents = _centroid_array(centroids)
 
     def best_cluster(vec):
-        sims = F.transform(cents, lambda c: dot(vec, c) / norm(vec))
+        sims = F.transform(cents, lambda c: dot(vec, c) / _safe_norm(vec))
         return F.array_position(sims, F.array_max(sims)) - 1
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -176,7 +185,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
     c = c.withColumn("__cl__", best_cluster(F.col("__cv__")))
 
     qv = F.col(vec_col).cast("array<double>")
-    sims = F.transform(cents, lambda cc: dot(qv, cc) / norm(qv))
+    sims = F.transform(cents, lambda cc: dot(qv, cc) / _safe_norm(qv))
     ranked = F.slice(
         F.reverse(F.array_sort(F.zip_with(
             sims, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),

@@ -33,7 +33,9 @@ class DataStats(AggStatOperator):
             c = F.col(act)
             if dt.simpleString() in ("double", "float"):
                 c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ null
-            aggs.append((F.sum(c.isNull().cast("long")) / total)
+            # try_divide: empty input → NULL frac, not an ANSI
+            # DIVIDE_BY_ZERO job failure
+            aggs.append(F.try_divide(F.sum(c.isNull().cast("long")), total)
                         .alias(self._alias(f"{pub}::null_frac")))
             if isinstance(dt, NumericType):
                 aggs += [F.min(c).alias(self._alias(f"{pub}::min")),

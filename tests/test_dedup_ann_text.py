@@ -305,3 +305,24 @@ def test_drop_exact_duplicates(spark, docs_df):
     # docs 0,1,2 share the normalized fingerprint -> only doc 0 kept
     assert out["doc_id"].tolist() == [0, 3, 4, 5]
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_zero_vector_does_not_kill_ann(spark):
+    """ANSI mode: a zero embedding must yield NULL cosine (and a
+    deterministic IVF cluster), never a DIVIDE_BY_ZERO job failure."""
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    rng = np.random.RandomState(2)
+    rows = [(i, rng.rand(8).tolist()) for i in range(20)]
+    rows.append((20, [0.0] * 8))                    # zero vector
+    emb = spark.createDataFrame(rows, schema)
+    q = emb.filter(F.col("vec_id").isin([0, 20]))
+    out = ann.brute_force_topk(emb, q, k=3).toPandas()
+    assert len(out[out.query_id == 0]) == 3
+    zq = out[out.query_id == 20]
+    assert zq["cosine_sim"].isna().all() or len(zq) == 3
+    cents = ann.ivf_train(emb, n_centroids=4, iters=1, sample_rows=21)
+    got = ann.ivf_topk(emb, q, cents, k=3, nprobe=4).toPandas()
+    assert len(got[got.query_id == 0]) == 3          # no job failure
