@@ -131,14 +131,55 @@ class ColumnSimilarity(Operator):
             cols[ctx.out(f"{a}_{b}_sim")] = sim(F.col(act_a), F.col(act_b))
         return df.withColumns(cols)
 
+    _SAVE_LIMIT = 2_000_000  # stored entries (nnz for CSR)
+
+    @staticmethod
+    def _mat_to_params(mat):
+        if mat is None:
+            return None
+        if _HAS_SCIPY and _sp.issparse(mat):
+            if mat.nnz > ColumnSimilarity._SAVE_LIMIT:
+                raise ValueError(
+                    f"feature matrix too large to embed in graph.json "
+                    f"({mat.nnz} nnz > {ColumnSimilarity._SAVE_LIMIT}); "
+                    f"rebuild the op with its features after load")
+            m = mat.tocsr()
+            return {"kind": "csr", "shape": list(m.shape),
+                    "data": m.data.tolist(),
+                    "indices": m.indices.tolist(),
+                    "indptr": m.indptr.tolist()}
+        arr = np.asarray(mat)
+        if arr.size > ColumnSimilarity._SAVE_LIMIT:
+            raise ValueError(
+                f"feature matrix too large to embed in graph.json "
+                f"({arr.size} entries > {ColumnSimilarity._SAVE_LIMIT}); "
+                f"rebuild the op with its features after load")
+        return {"kind": "dense", "shape": list(arr.shape),
+                "data": arr.reshape(-1).tolist()}
+
+    @staticmethod
+    def _mat_from_params(p):
+        if p is None:
+            return None
+        if p["kind"] == "csr":
+            import scipy.sparse as sp
+            return sp.csr_matrix(
+                (np.array(p["data"]), np.array(p["indices"]),
+                 np.array(p["indptr"])), shape=tuple(p["shape"]))
+        return np.array(p["data"], dtype="float64").reshape(p["shape"])
+
     def save_params(self):
-        return {"right_col": self.right_col, "metric": self.metric}
+        # matrices are saved POST-prep (tfidf/normalization already
+        # applied), so load skips re-prep
+        return {"right_col": self.right_col, "metric": self.metric,
+                "mat": self._mat_to_params(self._mat),
+                "rmat": self._mat_to_params(self._rmat)}
 
     @classmethod
     def load_params(cls, params):
         op = cls.__new__(cls)
         op.right_col = params["right_col"]
         op.metric = params["metric"]
-        op._mat = None
-        op._rmat = None
+        op._mat = cls._mat_from_params(params.get("mat"))
+        op._rmat = cls._mat_from_params(params.get("rmat"))
         return op

@@ -389,3 +389,20 @@ def test_column_similarity_right_features(spark):
     out2 = nvt.Workflow(([["a", "b"]] >> op) + ["rid"]) \
         .transform(df2).orderBy("rid").toPandas()
     np.testing.assert_allclose(out2["a_b_sim"], [4.0, 6.0])
+
+
+def test_column_similarity_save_load_round_trip(spark, tmp_path):
+    """The (prepped) feature matrix round-trips through graph.json —
+    a loaded workflow transforms without re-providing features."""
+    feats = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    pdf = pd.DataFrame({"a": [0, 1, 2], "b": [2, 2, 2], "rid": [0, 1, 2]})
+    df = spark.createDataFrame(pdf)
+    op = ops.ColumnSimilarity(feats, metric="cosine")
+    wf = nvt.Workflow(([["a", "b"]] >> op) + ["rid"])
+    before = wf.fit_transform(df).orderBy("rid").toPandas()
+    p = str(tmp_path / "cswf")
+    wf.save(p)
+    wf2 = nvt.Workflow.load(p, spark)
+    after = wf2.transform(df).orderBy("rid").toPandas()
+    np.testing.assert_allclose(before["a_b_sim"], after["a_b_sim"],
+                               rtol=1e-12)
