@@ -213,7 +213,8 @@ def q_normalize(spark, sf_dir):
     wf = nvt.Workflow((["c_acctbal"] >> ops.Normalize()) + ["c_custkey"])
     out = wf.fit_transform(cust)
     return out.select("c_custkey",
-                      F.round("c_acctbal", 4).alias("c_acctbal_z"))
+                      (F.round("c_acctbal", 4) + F.lit(0.0))
+                      .alias("c_acctbal_z"))
 
 
 def q_normalize_minmax(spark, sf_dir):
@@ -414,7 +415,8 @@ def q_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     out = ann.embedding_near_dups(emb, threshold=0.2, dim=64, exact=True)
     return out.select("id_a", "id_b",
-                      F.round("cosine_sim", 6).alias("cos_r"))
+                      (F.round("cosine_sim", 6) + F.lit(0.0))
+                      .alias("cos_r"))
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -442,7 +444,8 @@ def q_column_similarity(spark, sf_dir):
     out = nvt.Workflow(([["left_id", "right_id"]] >> op)
                        + ["left_id", "right_id"]).transform(pairs)
     return out.select("left_id", "right_id",
-                      F.round("left_id_right_id_sim", 6).alias("cos_sim"))
+                      (F.round("left_id_right_id_sim", 6) + F.lit(0.0))
+                      .alias("cos_sim"))
 
 
 def q_text_stats(spark, sf_dir):
@@ -701,7 +704,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey,
                    ROUND((c.c_acctbal - s.s / s.n)
                          / sqrt((s.s2 - s.s * s.s / s.n) / (s.n - 1)), 4)
-                       AS c_acctbal_z
+                   + 0.0 AS c_acctbal_z
             FROM customer c CROSS JOIN s""",
         "normalize_minmax": """
             WITH s AS (SELECT MIN(c_acctbal) lo, MAX(c_acctbal) hi FROM customer)
@@ -887,7 +890,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
                        FROM embeddings WHERE vec_id < 200)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_r
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.2""",
         "ann_cosine_topk": """
@@ -930,7 +933,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((e.vec_id * 7 + 3) % n.c AS INTEGER) AS right_id,
                    ROUND(list_cosine_similarity(
                        CAST(e.embedding AS DOUBLE[]),
-                       CAST(r.embedding AS DOUBLE[])), 6) AS cos_sim
+                       CAST(r.embedding AS DOUBLE[])), 6) + 0.0 AS cos_sim
             FROM embeddings e, n
             JOIN embeddings r ON r.vec_id = (e.vec_id * 7 + 3) % n.c""",
         "tokens_pipeline": f"""
