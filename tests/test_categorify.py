@@ -233,3 +233,24 @@ def test_joint_group_with_list_member_stacked(spark):
     assert out["primary"].tolist() == [3, 4, 3, 1]
     got = [None if v is None else list(v) for v in out["extras"]]
     assert got == [[4], [3, 5], [], None]
+
+
+def test_categorify_joint_list_reference_golden(spark):
+    """Direct port of reference test_categorify.py:637-666
+    (test_categorify_joint_list): joint vocab over a scalar + list
+    column pair; expected ids are the reference's own goldens."""
+    pdf = pd.DataFrame({
+        "Author": ["User_A", "User_E", "User_B", "User_C"],
+        "Engaging User": [["User_B", "User_C"], [],
+                          ["User_A", "User_D"], ["User_A"]],
+        "Post": [1, 2, 3, 4],
+    })
+    df = spark.createDataFrame(pdf)
+    cats = ((["Post"] >> ops.Categorify(encode_type="joint"))
+            + ([["Author", "Engaging User"]]
+               >> ops.Categorify(encode_type="joint")))
+    out = nvt.Workflow(cats).fit_transform(df).orderBy("Post").toPandas()
+    assert out["Author"].tolist() == [3, 7, 4, 5]
+    exploded = [x for lst in out["Engaging User"]
+                for x in (lst if lst is not None else [])]
+    assert exploded == [4, 5, 3, 6, 3]
