@@ -121,6 +121,95 @@ def image_grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
     return pooled.reshape(-1).astype("float32")
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+    return (len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big"))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit RGB, filter 0, no interlace) — test
+    fixtures. ``arr``: (H, W, 3) uint8."""
+    import zlib
+    h, w, _ = arr.shape
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))  # bit depth 8, color type 2 (RGB)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy + stdlib-zlib PNG decode: 8-bit greyscale/RGB/RGBA,
+    no interlace, all five scanline filters (None/Sub/Up/Average/
+    Paeth). Returns (H, W, C) uint8. Raises ValueError on other PNG
+    flavors (16-bit, palette, interlaced)."""
+    import zlib
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, color={color}, "
+                         f"interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint16)
+    bpp = channels
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride,
+                             offset=y * (stride + 1) + 1).astype(np.uint16)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint16)
+        if ftype == 0:                       # None
+            out[y] = line
+        elif ftype == 2:                     # Up
+            out[y] = (line + prev) & 0xFF
+        elif ftype == 1:                     # Sub (prefix dep along row)
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            out[y] = cur
+        elif ftype == 3:                     # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = cur
+        elif ftype == 4:                     # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Minimal PCM-16 mono WAV writer (test fixtures)."""
     pcm = np.clip(samples, -1.0, 1.0)
@@ -205,19 +294,29 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
         StructField("n_bytes", IntegerType()),
     ])
 
+    def to_rgb(img):
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        if img.shape[2] == 4:
+            return img[:, :, :3]
+        return img[:, :, :3]
+
     def decode_one(b):
         if b is None:
             return None
         b = bytes(b)
-        if b[:2] == b"BM":
-            try:
+        try:
+            if b[:2] == b"BM":
                 return image_grid_features(decode_bmp(b), grid)
-            except ValueError:
-                pass
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                return image_grid_features(to_rgb(decode_png(b)), grid)
+        except ValueError:
+            pass
         if strict:
             raise NotImplementedError(
-                "non-BMP image decode requires PIL/torchvision — not "
-                "available in this environment")
+                "JPEG/exotic image decode requires PIL/torchvision — "
+                "not available in this environment (BMP and PNG decode "
+                "natively)")
         return _fake_decode(b, feature_dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

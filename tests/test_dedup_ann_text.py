@@ -326,3 +326,56 @@ def test_zero_vector_does_not_kill_ann(spark):
     cents = ann.ivf_train(emb, n_centroids=4, iters=1, sample_rows=21)
     got = ann.ivf_topk(emb, q, cents, k=3, nprobe=4).toPandas()
     assert len(got[got.query_id == 0]) == 3          # no job failure
+
+
+def test_real_png_decode_roundtrip_and_filters(spark):
+    """PNG decode is REAL (stdlib zlib + numpy): our encoder round-trips
+    byte-exactly, and all five scanline filter types unfilter correctly
+    (synthetic multi-filter stream); distributed extractor agrees with
+    the BMP features for the same pixels."""
+    import zlib
+    from nvtabular_spark.sources import multimodal as mm
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_png(mm.encode_png(img)), img)
+
+    # hand-build a PNG exercising filters 0..4 (one per row)
+    h, w, ch = 5, 4, 3
+    ref = rng.randint(0, 256, (h, w, ch), dtype=np.uint8).astype(np.int64)
+    stride, bpp = w * ch, ch
+    rows = []
+    flat = ref.reshape(h, stride)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0: pred = 0
+            elif ftype == 1: pred = a
+            elif ftype == 2: pred = b
+            elif ftype == 3: pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    payload = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+               + mm._png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + mm._png_chunk(b"IEND", b""))
+    assert np.array_equal(mm.decode_png(payload),
+                          ref.astype(np.uint8).reshape(h, w, ch))
+
+    # distributed extractor: PNG and BMP of the same pixels → same features
+    pdf = pd.DataFrame({"doc_id": ["png", "bmp"],
+                        "payload": [mm.encode_png(img), mm.encode_bmp(img)]})
+    out = mm.extract_image_features(spark.createDataFrame(pdf), grid=2,
+                                    strict=True).orderBy("doc_id").toPandas()
+    f_bmp = np.array(list(out[out.doc_id == "bmp"]["features"].iloc[0]))
+    f_png = np.array(list(out[out.doc_id == "png"]["features"].iloc[0]))
+    np.testing.assert_allclose(f_png, f_bmp, rtol=1e-6)
