@@ -21,10 +21,11 @@ class DataStats(AggStatOperator):
         super().__init__()
         self.exact_cardinality = exact_cardinality
         self.stats: Dict[str, dict] = {}
+        self.num_rows = None
 
     def agg_requests(self, ctx: TransformContext, df: DataFrame):
-        aggs = []
         total = F.count(F.lit(1))
+        aggs = [total.alias(self._alias("__nrows__"))]
         self._pubs = [pub for pub, _ in ctx.pairs()]
         self._dtypes = {pub: df.schema[act].dataType.simpleString()
                         for pub, act in ctx.pairs()}
@@ -62,6 +63,7 @@ class DataStats(AggStatOperator):
     def consume_agg(self, row) -> None:
         d = row.asDict()
         prefix = self._agg_prefix + "__"
+        self.num_rows = int(d.get(f"{prefix}__nrows__", 0) or 0)
         self.stats = {}
         for pub in self._pubs:
             st = {k[len(prefix) + len(pub) + 2:]: v for k, v in d.items()

@@ -146,7 +146,7 @@ def inspect_dataset(df: DataFrame, exact_cardinality: bool = False) -> dict:
     sel = ColumnSelector(df.columns)
     ctx = TransformContext(sel, {c: c for c in df.columns}, {})
     ds.fit(ctx, df)
-    return {"num_rows": None, "columns": ds.stats}
+    return {"num_rows": ds.num_rows, "columns": ds.stats}
 
 
 # ---------------------------------------------------------------------------
