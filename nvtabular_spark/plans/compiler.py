@@ -114,6 +114,14 @@ class CompiledPlan:
             # group becomes ONE groupBy job feeding every member op
             fusion_groups: Dict[tuple, list] = {}
             standalone = []
+            seen_ops = set()
+            for op, ctx, _snap in pending_heavy:
+                if id(op) in seen_ops:
+                    raise ValueError(
+                        f"the same {type(op).__name__} instance is used at "
+                        f"two DAG nodes — concurrent fits would race on its "
+                        f"state; construct a separate instance per branch")
+                seen_ops.add(id(op))
             for op, ctx, snap in pending_heavy:
                 reqs = op.fused_fit_requests(ctx)
                 if reqs is None:

@@ -209,3 +209,15 @@ def test_fusion_multi_column_keys(spark, pipeline_df):
     exp = base.groupby(["cat", "cat2"])["y"].transform("mean")
     got = out.sort_values("rid")["cat_cat2_y_mean"]
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
+
+
+def test_shared_op_instance_rejected(spark, pipeline_df):
+    """One op instance at two DAG nodes would race its fit state across
+    driver threads — must fail loudly with guidance."""
+    op = ops.TargetEncoding(target="y", fold_col="fold",
+                            fold_is_precomputed=True)
+    flow = ((["cat"] >> op) - ["cat"]) \
+        + ((["cat"] >> op >> ops.Rename(postfix="_b")) - ["cat_b"]) \
+        + ["rid"]
+    with pytest.raises(ValueError, match="separate instance"):
+        nvt.Workflow(flow).fit(pipeline_df)
