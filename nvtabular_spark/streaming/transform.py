@@ -53,7 +53,7 @@ def sessionize_stream(stream_df: DataFrame, ts_col: str, key: str,
         last_ts, session_id = state.get() if state.exists else (None, 0)
         rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+            pdf = pdf.dropna(subset=[ts_col]).sort_values(ts_col)
             for t in pdf[ts_col]:
                 tsec = t.timestamp()
                 if last_ts is not None and tsec - last_ts > gap_seconds:
@@ -104,16 +104,20 @@ def lag_rolling_stream(stream_df: DataFrame, key: str, ts_col: str,
         buf = list(state.get()[0]) if state.exists else []
         rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+            pdf = pdf.dropna(subset=[ts_col]).sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                rec = [key_tuple[0], ts, float(v)]
+                # NULL/NaN values: emitted as-is, excluded from the
+                # rolling stats (pandas skipna semantics, matching the
+                # batch RollingAgg op)
+                missing = v is None or v != v
+                rec = [key_tuple[0], ts, None if missing else float(v)]
                 for k in lags:
                     rec.append(buf[-k] if len(buf) >= k else None)
                 past = [x for x in buf[-window_rows:] if x is not None]
                 rec.append(sum(past) / len(past) if past else None)
                 rec.append(len(past))
                 rows.append(rec)
-                buf.append(None if v != v else float(v))
+                buf.append(None if missing else float(v))
                 if len(buf) > depth:
                     buf = buf[-depth:]
         state.update((buf,))
@@ -179,8 +183,10 @@ def asof_join_stream(left_stream: DataFrame, right_stream: DataFrame,
         last_ts, last_val = state.get() if state.exists else (None, None)
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["__ts__", "__side__"],
-                                  ascending=[True, side_sort_asc])
+            # NaT timestamps cannot be ordered for an as-of lookup
+            pdf = pdf.dropna(subset=["__ts__"]) \
+                .sort_values(["__ts__", "__side__"],
+                             ascending=[True, side_sort_asc])
             for ts, side, rid, val in zip(pdf["__ts__"], pdf["__side__"],
                                           pdf["__id__"], pdf["__val__"]):
                 if side == 0:
