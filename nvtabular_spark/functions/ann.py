@@ -145,6 +145,9 @@ def ivf_train(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
             .limit(sample_rows))
     samp = samp.localCheckpoint(eager=False)  # sample once, reuse per iter
     init = samp.limit(n_centroids).collect()
+    if not init:
+        raise ValueError("ivf_train: empty corpus")
+    n_centroids = min(n_centroids, len(init))  # tiny-corpus guard
     centroids = [_unit(list(r["v"])) for r in init]
     for _ in range(iters):
         cents = _centroid_array(centroids)
