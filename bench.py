@@ -95,6 +95,10 @@ def tokenized_workload(spark, n_rows: int) -> dict:
         # north-rule storage layout: entity-bucketed + ts-sorted table →
         # the whole windowed feature pass plans WITHOUT an Exchange
         from nvtabular_spark.sources import write_bucketed
+        spark.sql("DROP TABLE IF EXISTS bench_seqs_bucketed")
+        import shutil
+        shutil.rmtree("spark-warehouse/bench_seqs_bucketed",
+                      ignore_errors=True)   # stale unmanaged leftovers
         write_bucketed(data, "bench_seqs_bucketed", buckets=CPUS * 2,
                        key="entity_id", sort_cols=["ts"])
         data = spark.table("bench_seqs_bucketed")
