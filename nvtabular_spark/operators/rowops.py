@@ -80,15 +80,17 @@ class Filter(Operator):
             # TargetEncoding target read via dependencies()) are backed
             # up and restored so the remap never leaks downstream.
             remap = {pub: act for pub, act in ctx.pairs() if pub != act}
-            backup = {f"__fbk__{pub}": F.col(pub)
-                      for pub in remap if pub in df.columns}
+            existed = {pub for pub in remap if pub in df.columns}
+            backup = {f"__fbk__{pub}": F.col(pub) for pub in existed}
             pred_df = df.withColumns(backup).withColumns(
                 {pub: F.col(act) for pub, act in remap.items()})
             df = pred_df.filter(self.f)
-            if backup:
+            # restore clobbered raw columns; drop pub columns the remap
+            # CREATED (they didn't exist before and must not leak)
+            if existed:
                 df = df.withColumns(
-                    {pub: F.col(f"__fbk__{pub}") for pub in remap
-                     if f"__fbk__{pub}" in backup}).drop(*backup)
+                    {pub: F.col(f"__fbk__{pub}") for pub in existed})
+            df = df.drop(*backup, *[p for p in remap if p not in existed])
         elif isinstance(self.f, Column):
             df = df.filter(self.f)
         else:
