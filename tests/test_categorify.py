@@ -254,3 +254,34 @@ def test_categorify_joint_list_reference_golden(spark):
     exploded = [x for lst in out["Engaging User"]
                 for x in (lst if lst is not None else [])]
     assert exploded == [4, 5, 3, 6, 3]
+
+
+@pytest.mark.parametrize("max_emb_size", [6, {"Author": 8, "Engaging_User": 7}])
+def test_categorify_max_size_reference_port(spark, max_emb_size):
+    """Port of reference test_categorify.py:444-505: max_size caps the
+    encoded id space (freq-hashing the tail into num_buckets OOV
+    slots); per-column dict sizes supported."""
+    pdf = pd.DataFrame({
+        "Author": ["User_A", "User_E", "User_B", "User_C", "User_A",
+                   "User_E", "User_B", "User_C", "User_D", "User_F",
+                   "User_F"],
+        "Engaging_User": ["User_B", "User_B", "User_A", "User_D",
+                          "User_B", "User_M", "User_A", "User_D",
+                          "User_N", "User_F", "User_E"],
+    })
+    df = spark.createDataFrame(pdf)
+    cat_names = ["Author", "Engaging_User"]
+    op = ops.Categorify(max_size=max_emb_size, num_buckets=3)
+    wf = nvt.Workflow(cat_names >> op)
+    out = wf.fit_transform(df).toPandas()
+    sizes = {k: v for k, v in max_emb_size.items()} \
+        if isinstance(max_emb_size, dict) \
+        else {n: max_emb_size for n in cat_names}
+    for name in cat_names:
+        # every encoded id fits the reference's bound
+        assert out[name].max() <= sizes[name] + 1
+        # fitted cardinality respects max_size
+        assert op._sizes[name] <= sizes[name] + 1
+        # embedding-size heuristic derived from the capped cardinality
+        props = op.output_properties()[name]
+        assert props["cardinality"] <= sizes[name] + 1
