@@ -80,6 +80,10 @@ def read_dataset(spark: SparkSession, paths, engine: str = "parquet",
     if engine == "csv":
         return spark.read.options(header="true", inferSchema="true",
                                   **options).csv(paths)
+    if engine == "json":
+        return spark.read.options(**options).json(paths)
+    if engine == "orc":
+        return spark.read.options(**options).orc(*paths)
     if engine == "table":  # Iceberg/catalog table name
         return spark.table(paths[0])
     raise ValueError(f"unknown engine {engine!r}")

@@ -124,3 +124,17 @@ def test_to_parquet_partition_on(spark, tmp_path):
         == ["k=a", "k=b"]
     back = spark.read.parquet(out)
     assert back.count() == 4 and set(back.columns) == {"k", "v"}
+
+
+def test_read_dataset_json_and_orc(spark, tmp_path):
+    import pandas as pd
+    from nvtabular_spark.sources import read_dataset
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    df = spark.createDataFrame(pdf)
+    jp, op_ = str(tmp_path / "j"), str(tmp_path / "o")
+    df.write.json(jp)
+    df.write.orc(op_)
+    back_j = read_dataset(spark, jp, engine="json")
+    back_o = read_dataset(spark, op_, engine="orc")
+    assert back_j.count() == 2 and set(back_j.columns) == {"k", "v"}
+    assert back_o.count() == 2 and set(back_o.columns) == {"k", "v"}
