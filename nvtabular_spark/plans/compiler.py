@@ -156,6 +156,14 @@ class CompiledPlan:
                     cols.append(fold_req.fold_expr.alias("__fold__"))
                 aggs = [a for r in reqs for a in r.aggs]
                 grouped = snap.groupBy(*cols).agg(*aggs)
+                # record the physical plan for plan-shape assertions
+                # (one Exchange, partial+final hash aggregate)
+                try:
+                    self.fit_report.setdefault("fused_plans", []).append(
+                        grouped._jdf.queryExecution().executedPlan()
+                        .toString())
+                except Exception:
+                    pass
                 import uuid
                 gdf, _ = materialize(
                     grouped, f"fusedfit_{uuid.uuid4().hex[:8]}")

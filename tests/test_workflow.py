@@ -221,3 +221,22 @@ def test_shared_op_instance_rejected(spark, pipeline_df):
         + ["rid"]
     with pytest.raises(ValueError, match="separate instance"):
         nvt.Workflow(flow).fit(pipeline_df)
+
+
+def test_fused_fit_plan_shape(spark, pipeline_df):
+    """The shared-key fit job must plan as ONE shuffle Exchange with
+    map-side partial aggregation (partial_* HashAggregate below the
+    Exchange) — the 100 TB shape."""
+    import re
+    jg = ops.JoinGroupby(cont_cols=["y"], stats=["mean"])
+    te = ops.TargetEncoding(target="y", fold_col="fold",
+                            fold_is_precomputed=True)
+    flow = ((["cat"] >> jg) + ((["cat"] >> te) - ["cat"]) + ["rid", "y"])
+    wf = nvt.Workflow(flow)
+    wf.fit(pipeline_df)
+    plans = wf.plan.fit_report.get("fused_plans", [])
+    assert len(plans) == 1
+    plan = plans[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial_" in plan          # map-side combine present
+    assert "SortMergeJoin" not in plan
