@@ -406,9 +406,16 @@ def q_minhash_lsh_pairs(spark, sf_dir, family="md5"):
 
 
 def q_simhash_pairs(spark, sf_dir, family="md5"):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.simhash_near_dups(docs, bits=16, max_hamming=4,
-                                   family=family)
+    # bits=64 / max_hamming=3 → 16-bit chunk keys (65,536 buckets per
+    # chunk, not 8 as the old bits=16/max_hamming=4 setting gave);
+    # max_bucket caps hot buckets at corpus scale — inactive at oracle
+    # scale (asserted by test_skew_caps_inactive_at_test_scale), so the
+    # result equals the exact answer
+    # full corpus (the old doc_id < 200 guard bounded the quadratic
+    # candidate volume of 3-bit chunk keys; 16-bit keys don't need it)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, bits=64, max_hamming=3,
+                                   max_bucket=1000, family=family)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -584,6 +591,13 @@ def oracle_sql() -> dict[str, str]:
     simhash_bits = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
         f"THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+    # 64-bit twin: bit 63 is the SIGNED long-min literal so the sum
+    # stays in BIGINT range (matches nvtabular_spark dedup._bit_mask)
+    simhash_bits64 = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({-(1 << 63) if b == 63 else (1 << b)} AS BIGINT) "
+        f"ELSE 0 END)" for b in range(64))
 
     fp_expr = ("md5(trim(regexp_replace(regexp_replace(lower(text), "
                "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))")
@@ -873,19 +887,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_transform(string_split(text, ' '),
                                     t -> {_md5h('t')}) hs
-              FROM documents WHERE doc_id < 200),
-            s AS (SELECT doc_id, CAST({simhash_bits} AS BIGINT) sh FROM h),
+              FROM documents),
+            s AS (SELECT doc_id, CAST({simhash_bits64} AS BIGINT) sh FROM h),
             banded AS (
               SELECT doc_id, sh, c.chunk,
-                     (sh >> (c.chunk * 3)) & 7 AS key
-              FROM s, (SELECT unnest(range(5)) chunk) c),
+                     (sh >> (c.chunk * 16)) & 65535 AS key
+              FROM s, (SELECT unnest(range(4)) chunk) c),
             pairs AS (
               SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, a.sh sh_a, b.sh sh_b
               FROM banded a JOIN banded b
                 ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
             SELECT id_a, id_b,
                    CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-            FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 4""",
+            FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
                        FROM embeddings WHERE vec_id < 200)

@@ -8,12 +8,12 @@ and large-scale training-data utilities (dedup, ANN, text analysis).
 """
 
 from . import operators as ops
-from .plans.graph import ColumnSelector, Node
+from .plans.graph import ColumnSelector, Node, Subgraph
 from .plans.schema import ColumnSchema, Schema, Tags
 from .plans.workflow import Workflow
 from .sources.dataset import Dataset
 
 __version__ = "0.1.0"
 
-__all__ = ["Workflow", "ColumnSelector", "Node", "Schema", "ColumnSchema",
-           "Tags", "Dataset", "ops", "__version__"]
+__all__ = ["Workflow", "ColumnSelector", "Node", "Subgraph", "Schema",
+           "ColumnSchema", "Tags", "Dataset", "ops", "__version__"]

@@ -213,15 +213,27 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int = 64, num_planes: int = 8,
+                        max_bucket: Optional[int] = 1000,
                         exact: bool = False) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold. ``exact=True`` does
     the O(n²) self-join (small corpora / verification); default buckets
     by hyperplane signature first (pairs in the same bucket only) —
-    recall < 1, tune num_planes down for higher recall."""
+    recall < 1, tune num_planes down for higher recall.
+
+    Scale: the bucket key space is 2^num_planes (256 at the default);
+    without a cap a clustered corpus piles into few buckets and the
+    self-join degenerates quadratic. ``max_bucket`` drops buckets
+    holding more rows than the cap before the join (same cap semantics
+    as the dedup LSH family); at 10⁹+ vectors raise ``num_planes`` so
+    the expected occupancy stays under the cap."""
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     if not exact:
         base = base.withColumn(
             "bucket", hyperplane_bits(F.col("v"), dim, num_planes))
+        if max_bucket:
+            counts = base.groupBy("bucket").count() \
+                .filter(F.col("count") <= max_bucket).drop("count")
+            base = base.join(counts, ["bucket"])
         a, b = base.alias("a"), base.alias("b")
         pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                        & (F.col("a.doc") < F.col("b.doc")))

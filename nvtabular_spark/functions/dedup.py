@@ -173,7 +173,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
 
 
-def simhash(col: Column, bits: int = 16, family: str = "md5") -> Column:
+def _bit_mask(b: int) -> int:
+    """Bit-b mask as a SIGNED 64-bit value (bit 63 = long-min), so a
+    full 64-bit simhash fits LongType on Spark and BIGINT on DuckDB.
+    Fold order (bit 0 first, bit 63 last) keeps every partial sum in
+    signed-64 range, so ANSI-mode Spark never overflows."""
+    return -(1 << 63) if b == 63 else (1 << b)
+
+
+def simhash(col: Column, bits: int = 64, family: str = "md5") -> Column:
     """SimHash over whitespace tokens (with multiplicity): bit b is set
     when the sum over tokens of (bit b of hash(token)) * 2 - 1 is > 0.
 
@@ -182,7 +190,7 @@ def simhash(col: Column, bits: int = 16, family: str = "md5") -> Column:
     array), then one fold of the counter array back into the integer —
     previously this ran ``bits`` separate traversals per row."""
     tok_hashes = F.transform(words(col), lambda w: hash64(w, family))
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    masks = F.array(*[F.lit(_bit_mask(b)).cast("long") for b in range(bits)])
     init = F.array_repeat(F.lit(0).cast("long"), bits)
     counts = F.aggregate(
         tok_hashes, init,
@@ -197,14 +205,31 @@ def simhash(col: Column, bits: int = 16, family: str = "md5") -> Column:
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", bits: int = 16,
-                      max_hamming: int = 2, family: str = "md5") -> DataFrame:
+                      id_col: str = "doc_id", bits: int = 64,
+                      max_hamming: int = 3,
+                      max_bucket: Optional[int] = 1000,
+                      family: str = "md5") -> DataFrame:
     """Pairs whose simhashes differ in ≤ max_hamming bits. Candidate
     generation: split the simhash into (max_hamming+1) chunks — by
     pigeonhole, any pair within distance shares ≥1 exact chunk — then
-    verify with bit_count on the XOR (JVM-side)."""
+    verify with bit_count on the XOR (JVM-side).
+
+    Scale: the key space per chunk is ``2^(bits // (max_hamming+1))``,
+    so wide hashes matter — the default (64, 3) gives 16-bit chunk keys
+    (65,536 buckets/chunk); narrow settings like (16, 4) give only 8
+    buckets/chunk and degenerate toward an N² self-join. ``max_bucket``
+    drops (chunk, key) buckets holding more rows than the cap before
+    the self-join — identical semantics to :func:`minhash_lsh_pairs`'s
+    cap, and the web-scale guard against boilerplate-heavy corpora
+    where one key captures a large corpus fraction."""
     chunks = max_hamming + 1
     per = bits // chunks
+    if per < 8:
+        import warnings
+        warnings.warn(
+            f"simhash_near_dups: bits={bits}, max_hamming={max_hamming} "
+            f"gives only {1 << per} buckets/chunk — candidate volume "
+            f"~N^2/{1 << per}; raise bits (default 64)")
     sh = df.select(F.col(id_col).alias("doc"),
                    simhash(F.col(text_col), bits, family).alias("sh"))
     banded = sh.select(
@@ -215,6 +240,10 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
                      .bitwiseAND(F.lit((1 << per) - 1)).alias("key"))
             for c in range(chunks)])).alias("ck")
     ).select("doc", "sh", "ck.chunk", "ck.key")
+    if max_bucket:
+        counts = banded.groupBy("chunk", "key").count() \
+            .filter(F.col("count") <= max_bucket).drop("count")
+        banded = banded.join(counts, ["chunk", "key"])
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                     & (F.col("a.key") == F.col("b.key"))
@@ -232,48 +261,92 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
                         max_posting: Optional[int] = 10000,
-                        family: str = "md5") -> DataFrame:
+                        family: str = "md5",
+                        prefix_filter: bool = True) -> DataFrame:
     """n-gram Jaccard similarity for every pair sharing ≥1 shingle
-    (inverted-index self-join), filtered at ``threshold``.
+    (inverted-index self-join), filtered at ``threshold`` — EXACT.
 
-    |A ∩ B| via the inverted index, |A ∪ B| = |A| + |B| - |∩|. The index
-    keys are 52-bit shingle HASHES (:func:`word_shingle_hashes`), not
-    strings — cheaper to build, fixed-width to shuffle; collision
-    probability ~|shingles|²/2^52 is negligible vs the estimator's own
-    discretization.
+    The index keys are 52-bit shingle HASHES
+    (:func:`word_shingle_hashes`), not strings — cheaper to build,
+    fixed-width to shuffle; collision probability ~|shingles|²/2^52 is
+    negligible vs the estimator's own discretization.
 
-    Plan shape: posting-table self-join on the shingle hash. The cap
-    semijoin (``keep``) and the two size joins are tiny aggregates that
-    AQE converts to broadcasts at runtime, so the only real shuffles
-    are the self-join on ``sh`` and the per-pair count. (A join-free
-    bucket-combinations variant and a window-capped variant were both
-    measured 4-5× SLOWER at sf0.1 — interpreted HOF pair materialization
-    and the per-shingle sort lose to the codegen'd join.)"""
-    shingled = (df.select(F.col(id_col).alias("doc"),
-                          F.explode(F.array_distinct(
-                              word_shingle_hashes(F.col(text_col), n,
-                                                  family))).alias("sh")))
-    # the posting table feeds FOUR consumers (sizes, cap counts, both
-    # join sides) — checkpoint it so the text is shingled once, not 4×;
-    # the materialized form is two fixed-width longs per posting, far
-    # smaller than the input text
-    shingled = shingled.localCheckpoint(eager=False)
-    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    ``prefix_filter=True`` (default) is the public AllPairs/PPJoin
+    formulation (Bayardo et al. WWW'07, Xiao et al. WWW'08), still
+    exact:
+
+    * candidate generation joins only each document's PREFIX postings —
+      the first ``|X| − ⌈t·|X|⌉ + 1`` shingles in a global canonical
+      order (ascending hash); any pair with J ≥ t must collide there;
+    * a LENGTH filter ``t·|B| ≤ |A|`` (both directions) is applied as a
+      join residual — a pair whose sizes already bound Jaccard below t
+      never materializes;
+    * the true intersection is verified per candidate with
+      ``array_intersect`` over the two (small, sorted) shingle arrays —
+      so the heavy per-pair COUNT shuffle of the naive plan disappears;
+      the only large shuffle left is the prefix-posting self-join,
+      whose input is roughly ``(1−t)`` of all postings per side.
+
+    ``prefix_filter=False`` keeps the naive full-posting-join +
+    group-count plan (used by the equivalence test).
+    """
+    t = float(threshold)
+    arr = F.array_sort(F.array_distinct(
+        word_shingle_hashes(F.col(text_col), n, family)))
+    docs = (df.select(F.col(id_col).alias("doc"), arr.alias("arr"))
+            .withColumn("sz", F.size("arr"))
+            .filter(F.col("sz") > 0))
+    # the doc table feeds 3-4 consumers (posting explode + both verify
+    # joins) — checkpoint so the text is shingled once
+    docs = docs.localCheckpoint(eager=False)
+
+    if prefix_filter:
+        plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        posting = (docs.select("doc", "sz",
+                               F.posexplode("arr").alias("pos", "sh"))
+                   .filter(F.col("pos") < plen).drop("pos"))
+    else:
+        posting = docs.select("doc", "sz", F.explode("arr").alias("sh"))
     if max_posting:
-        keep = shingled.groupBy("sh").count() \
+        keep = posting.groupBy("sh").count() \
             .filter(F.col("count") <= max_posting).drop("count")
-        shingled = shingled.join(keep, "sh")
-    a, b = shingled.alias("a"), shingled.alias("b")
+        posting = posting.join(keep, "sh")
+
+    a, b = posting.alias("a"), posting.alias("b")
+    length_ok = (F.col("a.sz") >= F.lit(t) * F.col("b.sz")) \
+        & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+    if prefix_filter:
+        cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                       & (F.col("a.doc") < F.col("b.doc")) & length_ok)
+                .select(F.col("a.doc").alias("id_a"),
+                        F.col("b.doc").alias("id_b"))
+                .distinct())
+        va = docs.select(F.col("doc").alias("id_a"),
+                         F.col("arr").alias("arr_a"),
+                         F.col("sz").alias("sz_a"))
+        vb = docs.select(F.col("doc").alias("id_b"),
+                         F.col("arr").alias("arr_b"),
+                         F.col("sz").alias("sz_b"))
+        inter = F.size(F.array_intersect("arr_a", "arr_b"))
+        return (cand.join(va, "id_a").join(vb, "id_b")
+                .withColumn("inter", inter)
+                .withColumn("jaccard",
+                            F.col("inter").cast("double")
+                            / (F.col("sz_a") + F.col("sz_b")
+                               - F.col("inter")))
+                .filter(F.col("jaccard") >= t)
+                .select("id_a", "id_b", "jaccard"))
+
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc") < F.col("b.doc")))
+                    & (F.col("a.doc") < F.col("b.doc")) & length_ok)
              .groupBy(F.col("a.doc").alias("id_a"),
                       F.col("b.doc").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
+             .agg(F.count(F.lit(1)).alias("inter"),
+                  F.first("a.sz").alias("sz_a"),
+                  F.first("b.sz").alias("sz_b")))
+    return (inter
             .withColumn("jaccard",
                         F.col("inter").cast("double")
                         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-            .filter(F.col("jaccard") >= threshold)
+            .filter(F.col("jaccard") >= t)
             .select("id_a", "id_b", "jaccard"))

@@ -19,6 +19,8 @@ from .rowops import (AddMetadata, AddProperties, AddTags, DropLowCardinality,
 from .target_encoding import TargetEncoding
 from .temporal import (AsOfJoin, Lag, Lead, RollingAgg, RollingBackfill,
                        Sessionize)
+# named sub-DAG boundary (reference merlin.dag.ops.subgraph.Subgraph)
+from ..plans.graph import Subgraph
 
 __all__ = [
     "Operator", "StatOperator", "TransformContext",
@@ -32,4 +34,5 @@ __all__ = [
     "TagAsItemFeatures", "TagAsItemID", "TagAsUserFeatures", "TagAsUserID",
     "TargetEncoding",
     "AsOfJoin", "Lag", "Lead", "RollingAgg", "RollingBackfill", "Sessionize",
+    "Subgraph",
 ]

@@ -221,9 +221,18 @@ class JoinGroupby(StatOperator):
     # -- shared-key fit fusion (base.StatOperator protocol) -------------------
     def fused_fit_requests(self, ctx: TransformContext):
         """All JoinGroupby stats are derivable from per-(key[, fold])
-        partials (count/sum/sum²/min/max), so every group joins the
-        compiler's shared groupBy job; ``consume_fused`` re-aggregates
-        the (small) partial table over the fold dimension."""
+        partials, so every group joins the compiler's shared groupBy
+        job; ``consume_fused`` re-aggregates the (small) partial table
+        over the fold dimension.
+
+        Dtype contract matches standalone :meth:`fit`: sum/min/max
+        partials stay in the column's NATIVE dtype (int64 in → int64
+        out, no silent double widening); only the moment stats
+        (mean/std/var) work in double. std/var partials are JVM
+        ``var_samp`` (Welford-stable) per (key[, fold]) and are merged
+        across partials with Chan's pairwise update in
+        ``consume_fused`` — no (ssq − s²/n) catastrophic cancellation
+        anywhere in the pipeline."""
         from .base import FusedFitRequest
         self._stats_dfs, self._paths = {}, {}
         reqs = []
@@ -233,13 +242,20 @@ class JoinGroupby(StatOperator):
             aggs = [F.count(F.lit(1)).alias(f"{p}__n")]
             need_moments = bool({"mean", "std", "var"} & set(self.stats))
             for c in self.cont_cols:
-                cc = F.col(c).cast("double")
-                cc = F.when(F.isnan(cc), F.lit(None)).otherwise(cc)
-                if need_moments or "sum" in self.stats:
+                # NaN→NULL guard that works for any dtype: only the
+                # isnan TEST casts to double; the value branch stays
+                # native, so int64 sum/min/max keep their dtype
+                raw = F.col(c)
+                cc = F.when(F.isnan(raw.cast("double")), F.lit(None)) \
+                    .otherwise(raw)
+                ccd = cc.cast("double")
+                if "sum" in self.stats:
+                    aggs.append(F.sum(cc).alias(f"{p}__sum_{c}"))
+                if need_moments:
                     aggs += [F.count(cc).alias(f"{p}__cnt_{c}"),
-                             F.sum(cc).alias(f"{p}__sum_{c}")]
+                             F.avg(ccd).alias(f"{p}__mu_{c}")]
                 if {"std", "var"} & set(self.stats):
-                    aggs.append(F.sum(cc * cc).alias(f"{p}__ssq_{c}"))
+                    aggs.append(F.var_samp(ccd).alias(f"{p}__vs_{c}"))
                 if "min" in self.stats:
                     aggs.append(F.min(cc).alias(f"{p}__min_{c}"))
                 if "max" in self.stats:
@@ -247,6 +263,36 @@ class JoinGroupby(StatOperator):
             reqs.append(FusedFitRequest(self, ctx, acts, aggs,
                                         tag=(keys, p)))
         return reqs
+
+    @staticmethod
+    def _chan_merge(cnt_col: str, mu_col: str, vs_col=None):
+        """Merge per-partial (n, mean, var_samp) triples into global
+        (n, mean, M2) with Chan's parallel-variance update — exact for
+        the mean, numerically stable for M2 (no mean² subtraction of
+        raw sums of squares). ``vs_col=None`` (mean-only callers) sets
+        per-partial M2 to 0; the merged mean is unaffected."""
+        m2 = F.lit(0.0) if vs_col is None else \
+            F.when(F.col(cnt_col) > 1,
+                   F.col(vs_col) * (F.col(cnt_col) - 1)) \
+            .otherwise(F.lit(0.0))
+        parts = F.collect_list(F.struct(
+            F.coalesce(F.col(cnt_col).cast("double"), F.lit(0.0)).alias("n"),
+            F.coalesce(F.col(mu_col), F.lit(0.0)).alias("m"),
+            F.coalesce(m2, F.lit(0.0)).alias("q")))
+        zero = F.struct(F.lit(0.0).alias("n"), F.lit(0.0).alias("m"),
+                        F.lit(0.0).alias("q"))
+
+        def step(a, x):
+            tot = a["n"] + x["n"]
+            safe = F.when(tot == 0, F.lit(1.0)).otherwise(tot)
+            delta = x["m"] - a["m"]
+            return F.struct(
+                tot.alias("n"),
+                (a["m"] + delta * x["n"] / safe).alias("m"),
+                (a["q"] + x["q"]
+                 + delta * delta * a["n"] * x["n"] / safe).alias("q"))
+
+        return F.aggregate(parts, zero, step)
 
     def consume_fused(self, req, grouped: DataFrame) -> None:
         keys, p = req.tag
@@ -257,20 +303,22 @@ class JoinGroupby(StatOperator):
             finals.append(F.sum(f"{p}__n").cast(count_t)
                           .alias(names["count"]))
         for c in self.cont_cols:
-            n = F.sum(f"{p}__cnt_{c}")
-            s = F.sum(f"{p}__sum_{c}")
+            merged = None
+            if {"mean", "std", "var"} & set(self.stats):
+                vs = f"{p}__vs_{c}" \
+                    if {"std", "var"} & set(self.stats) else None
+                merged = self._chan_merge(f"{p}__cnt_{c}", f"{p}__mu_{c}", vs)
             for stat in self.stats:
                 if stat == "count":
                     continue
                 if stat == "sum":
-                    e = s
+                    e = F.sum(f"{p}__sum_{c}")
                 elif stat == "mean":
-                    e = s / n
+                    e = F.when(merged["n"] > 0, merged["m"])
                 elif stat in ("std", "var"):
-                    ssq = F.sum(f"{p}__ssq_{c}")
-                    # clamp tiny negative round-off (constant groups)
-                    var = F.when(n > 1, F.greatest(
-                        (ssq - s * s / n) / (n - F.lit(1)), F.lit(0.0)))
+                    var = F.when(merged["n"] > 1,
+                                 F.greatest(merged["q"] / (merged["n"] - 1),
+                                            F.lit(0.0)))
                     e = F.sqrt(var) if stat == "std" else var
                 elif stat == "min":
                     e = F.min(f"{p}__min_{c}")

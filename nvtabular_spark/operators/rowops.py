@@ -100,11 +100,20 @@ class Filter(Operator):
             # callables that need a real DataFrame (returning a filtered
             # frame or a bool mask, filter.py:28-62) fall back to an
             # Arrow-batched mapInPandas evaluation.
+            # Only proxy-incompatibility errors reroute to the pandas
+            # fallback (a Column-style callable poking DataFrame-only
+            # attributes raises one of these); anything else is a real
+            # bug in the callable and must surface HERE, not per-batch
+            # on executors with a confusing mapInPandas traceback.
             pred = None
             try:
                 pred = self.f(_ColumnProxy(dict(ctx.pairs())))
-            except Exception:
-                pass
+            except (TypeError, KeyError, AttributeError) as e:
+                import logging
+                logging.getLogger(__name__).debug(
+                    "Filter callable is not Column-proxy compatible "
+                    "(%s: %s); using the Arrow mapInPandas path",
+                    type(e).__name__, e)
             if isinstance(pred, Column):
                 df = df.filter(pred)
             else:

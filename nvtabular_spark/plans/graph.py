@@ -26,14 +26,23 @@ class ColumnSelector:
     grouping, matching reference categorify.py:266-272.
     """
 
-    def __init__(self, names: Union[str, Sequence, "ColumnSelector", None] = None):
+    def __init__(self, names: Union[str, Sequence, "ColumnSelector", None] = None,
+                 tags: Optional[Sequence] = None):
         self.names: List = []
         self.subgroups: List[ColumnSelector] = []
+        #: tag-driven selection (reference merlin.dag
+        #: ``ColumnSelector(tags=[Tags.USER])``): names are resolved
+        #: from the workflow's input Schema at fit/fit_schema time —
+        #: a column matches when it carries ALL the listed tags
+        self.tags: List = list(tags or ())
+        self._tags_resolved = False
         if names is None:
             return
         if isinstance(names, ColumnSelector):
             self.names = list(names.names)
             self.subgroups = list(names.subgroups)
+            self.tags = list(names.tags)
+            self._tags_resolved = names._tags_resolved
             return
         if isinstance(names, str):
             names = [names]
@@ -62,7 +71,19 @@ class ColumnSelector:
         other = ColumnSelector(other)
         out.names.extend(other.names)
         out.subgroups.extend(other.subgroups)
+        out.tags.extend(t for t in other.tags if t not in out.tags)
+        out._tags_resolved = self._tags_resolved and other._tags_resolved
         return out
+
+    def resolve_tags(self, schema) -> None:
+        """Append the schema columns matching ALL of ``self.tags``
+        (idempotent; no-op for name-only selectors)."""
+        if not self.tags or self._tags_resolved:
+            return
+        for n in schema.select_by_tags(self.tags):
+            if n not in self.names:
+                self.names.append(n)
+        self._tags_resolved = True
 
     def __iter__(self):
         return iter(self.names)
@@ -74,7 +95,14 @@ class ColumnSelector:
         return isinstance(other, ColumnSelector) and other.names == self.names
 
     def __repr__(self):
+        if self.tags:
+            return f"ColumnSelector({self.names!r}, tags={self.tags!r})"
         return f"ColumnSelector({self.names!r})"
+
+    def __rshift__(self, op) -> "Node":
+        # ColumnSelector(tags=[...]) >> op starts a chain just like
+        # ["a"] >> op (reference test_workflow.py:84-86)
+        return Node(selector=self) >> op
 
 
 def _to_node(value) -> "Node":
@@ -106,6 +134,7 @@ class Node:
         self.selector = selector
         self.removed: List[str] = []   # names dropped via `-`
         self.subset: Optional[List[str]] = None  # names kept via `[...]`
+        self.subgraph_name: Optional[str] = None  # named sub-DAG boundary
 
     # -- algebra ----------------------------------------------------------
     def __rshift__(self, op) -> "Node":
@@ -117,10 +146,12 @@ class Node:
 
     def __add__(self, other) -> "Node":
         other = _to_node(other)
-        # flatten nested concat nodes for a tidier graph
+        # flatten nested concat nodes for a tidier graph (NEVER flatten
+        # a named Subgraph boundary — its name must survive the algebra)
         parts: List[Node] = []
         for n in (self, other):
-            if n.op is None and n.selector is None and not n.removed and n.subset is None:
+            if n.op is None and n.selector is None and not n.removed \
+                    and n.subset is None and n.subgraph_name is None:
                 parts.extend(n.parents)
             else:
                 parts.append(n)
@@ -158,6 +189,8 @@ class Node:
             return f"-{self.removed}"
         if self.subset is not None:
             return f"[{self.subset}]"
+        if self.subgraph_name is not None:
+            return f"subgraph:{self.subgraph_name}"
         return "+"
 
     def input_group_selector(self) -> ColumnSelector:
@@ -237,3 +270,19 @@ def input_column_names(root: Node) -> List[str]:
             seen.add(c)
             out.append(c)
     return out
+
+
+def Subgraph(name: str, output_node) -> Node:
+    """Name a sub-DAG so it can be re-extracted as a standalone
+    workflow after fitting (reference merlin.dag.ops.subgraph.Subgraph +
+    ``Workflow.get_subworkflow``, exercised by
+    tests/unit/workflow/test_workflow_subgraphs.py:24-100).
+
+    Spark-first formulation: the reference wraps the sub-DAG in an
+    operator with its own executor invocation; here a Subgraph is just
+    a NAMED pass-through node over the subtree — compilation is
+    unchanged (Catalyst still sees one composed DataFrame), the name
+    only marks the boundary for ``get_subworkflow``/serialization."""
+    node = Node(parents=[_to_node(output_node)])
+    node.subgraph_name = str(name)
+    return node

@@ -82,6 +82,14 @@ class Schema:
     def select_by_tag(self, tag: str) -> List[str]:
         return [n for n, c in self.column_schemas.items() if tag in c.tags]
 
+    def select_by_tags(self, tags) -> List[str]:
+        """Names of columns carrying ALL the given tags — the matching
+        rule of a tag-driven selector, ``ColumnSelector(tags=[...])``
+        (reference tests/unit/workflow/test_workflow.py:84,
+        test_workflow_schemas.py:197-208)."""
+        want = set([tags] if isinstance(tags, str) else tags)
+        return [n for n, c in self.column_schemas.items() if want <= c.tags]
+
     def to_dict(self) -> dict:
         return {"columns": [c.to_dict() for c in self.column_schemas.values()]}
 

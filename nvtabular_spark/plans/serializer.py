@@ -76,8 +76,12 @@ def save_workflow(workflow, path: str) -> None:
             "selector": list(node.selector.names) if node.selector else None,
             "selector_groups": [list(g.names) for g in
                                 node.selector.subgroups] if node.selector else [],
+            "selector_tags": list(node.selector.tags) if node.selector else [],
+            "selector_tags_resolved": bool(node.selector._tags_resolved)
+            if node.selector else False,
             "removed": node.removed,
             "subset": node.subset,
+            "subgraph_name": node.subgraph_name,
         }
         if node.op is not None:
             op = node.op
@@ -126,7 +130,9 @@ def load_workflow(path: str, spark=None):
     for rec in sorted(graph["nodes"], key=lambda r: r["id"]):
         parents = [nodes[pid] for pid in rec["parent_ids"]]
         if rec.get("selector") is not None:
-            sel = ColumnSelector(rec["selector"])
+            sel = ColumnSelector(rec["selector"],
+                                 tags=rec.get("selector_tags", ()))
+            sel._tags_resolved = bool(rec.get("selector_tags_resolved"))
             for g in rec.get("selector_groups", []):
                 sel.subgroups.append(ColumnSelector(g))
             node = Node(selector=sel)
@@ -157,6 +163,7 @@ def load_workflow(path: str, spark=None):
             node = Node(parents=parents)
             node.removed = rec.get("removed") or []
             node.subset = rec.get("subset")
+        node.subgraph_name = rec.get("subgraph_name")
         nodes[rec["id"]] = node
 
     root = nodes[max(nodes)]

@@ -14,8 +14,8 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 
 from .compiler import CompiledPlan
-from .graph import Node, _to_node
-from .schema import Schema
+from .graph import ColumnSelector, Node, _to_node
+from .schema import ColumnSchema, Schema
 
 
 class Workflow:
@@ -36,20 +36,102 @@ class Workflow:
         """Run the statistics pass: each StatOperator triggers its own
         (small) aggregation job in topological order, then stores
         broadcastable state. No full-data materialization happens."""
+        self._resolve_tag_selectors(df)
         pruned = self._prune(self._unwrap(df))
         self.input_schema = Schema.from_spark(pruned.schema)
         out = self.plan.run(pruned, fit=True)
         self.output_schema = self._build_output_schema(out)
         return self
 
+    def fit_schema(self, schema: Schema) -> "Workflow":
+        """Schema-only fit (reference workflow.py ``fit_schema``,
+        exercised by tests/unit/workflow/test_workflow_schemas.py:197):
+        resolve tag-driven selectors against a sidecar ``Schema`` and
+        derive the output column names/tags without touching data.
+        StatOperator state is NOT fitted — call :meth:`fit` for that."""
+        for node in self.plan.order:
+            if node.selector is not None:
+                node.selector.resolve_tags(schema)
+        self.input_schema = schema
+        out_schema = Schema([ColumnSchema(n)
+                             for n in self.plan.root.output_columns()])
+        for node in self.plan.order:
+            if node.op is None:
+                continue
+            sel = node.input_group_selector()
+            for col in node.op.output_column_names(sel):
+                if col in out_schema:
+                    out_schema[col].tags |= set(node.op.output_tags())
+        self.output_schema = out_schema
+        return self
+
+    def _resolve_tag_selectors(self, df) -> None:
+        """Resolve ``ColumnSelector(tags=...)`` nodes before running the
+        plan. Tags live in the SIDECAR schema, so a tag-driven workflow
+        needs either a ``Dataset`` whose cached ``.schema`` was tagged,
+        or a prior :meth:`fit_schema` call."""
+        unresolved = [n for n in self.plan.order
+                      if n.selector is not None and n.selector.tags
+                      and not n.selector._tags_resolved]
+        if not unresolved:
+            return
+        sidecar = None if isinstance(df, DataFrame) \
+            else getattr(df, "schema", None)
+        if not isinstance(sidecar, Schema):
+            raise ValueError(
+                "this workflow selects columns by tag "
+                f"({[n.selector.tags for n in unresolved]}); tags live in "
+                "the sidecar Schema, so fit/transform a nvt.Dataset whose "
+                ".schema carries the tags, or call "
+                "Workflow.fit_schema(schema) first")
+        for node in unresolved:
+            node.selector.resolve_tags(sidecar)
+
     def transform(self, df: DataFrame) -> DataFrame:
         """Lazily compose the transform; nothing executes until an
         action (write/collect) — mirroring reference workflow.py:86-88."""
+        self._resolve_tag_selectors(df)
         return self.plan.run(self._prune(self._unwrap(df)), fit=False)
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         self.fit(df)
         return self.transform(df)
+
+    def get_subworkflow(self, subgraph_name: str) -> "Workflow":
+        """Extract a named Subgraph as a standalone Workflow (reference
+        workflow.py:168-170). The returned workflow SHARES the fitted
+        node/op objects, so a post-fit extraction transforms with the
+        parent's statistics — the staged-serving pattern of
+        tests/unit/workflow/test_workflow_subgraphs.py:80-100."""
+        for node in self.plan.order:
+            if node.subgraph_name == subgraph_name:
+                # unwrap to the inner output node (the Subgraph node is
+                # a pure pass-through), matching reference
+                # Workflow(subgraph.output_node)
+                return Workflow(node.parents[0])
+        raise ValueError(
+            f"No subgraph named {subgraph_name!r} in this workflow; "
+            f"available: "
+            f"{[n.subgraph_name for n in self.plan.order if n.subgraph_name]}")
+
+    def remove_inputs(self, input_cols: List[str]) -> "Workflow":
+        """Remove input columns from the workflow in place (reference
+        workflow.py:172-193; used at inference to drop label columns
+        from the processed set). Selection leaves lose the names (and
+        any grouped subselector entries); downstream op outputs shrink
+        accordingly on the next transform."""
+        drop = set(input_cols)
+        for node in self.plan.order:
+            sel = node.selector
+            if sel is None:
+                continue
+            sel.names = [n for n in sel.names if n not in drop]
+            sel.subgroups = [g for g in
+                             (ColumnSelector([n for n in g.names
+                                              if n not in drop])
+                              for g in sel.subgroups) if g.names]
+        self.plan = CompiledPlan(self.output_node)
+        return self
 
     # -- introspection --------------------------------------------------------
     def input_columns(self) -> List[str]:

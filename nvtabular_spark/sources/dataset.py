@@ -61,8 +61,14 @@ class Dataset:
 
     @property
     def schema(self):
-        from ..plans.schema import Schema
-        return Schema.from_spark(self.df.schema)
+        """Sidecar Schema, CACHED so reference-style in-place tagging
+        (``dataset.schema.column_schemas[n] = ...with_tags(...)``,
+        reference tests/unit/workflow/test_workflow.py:79-84) persists
+        and is visible to ``Workflow.fit(dataset)``."""
+        if getattr(self, "_schema", None) is None:
+            from ..plans.schema import Schema
+            self._schema = Schema.from_spark(self.df.schema)
+        return self._schema
 
     def __repr__(self):
         return f"Dataset({self.df})"

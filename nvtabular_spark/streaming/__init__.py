@@ -1,4 +1,5 @@
 from .transform import (asof_join_stream, lag_rolling_stream, sessionize_stream,
                         transform_stream, windowed_agg_stream)
 
-__all__ = ["transform_stream", "windowed_agg_stream", "sessionize_stream"]
+__all__ = ["asof_join_stream", "lag_rolling_stream", "sessionize_stream",
+           "transform_stream", "windowed_agg_stream"]

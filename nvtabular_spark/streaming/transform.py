@@ -91,6 +91,10 @@ def lag_rolling_stream(stream_df: DataFrame, key: str, ts_col: str,
     import pandas as pd
 
     lags = sorted(set(int(k) for k in lags))
+    if not lags or lags[0] < 1:
+        raise ValueError(
+            f"lag_rolling_stream: lags must be a non-empty sequence of "
+            f"positive ints, got {list(lags)!r}")
     depth = max(max(lags), window_rows)
     key_t = stream_df.schema[key].dataType.simpleString()
     lag_cols = ", ".join(f"{value_col}_lag_{k} double" for k in lags)
@@ -190,7 +194,11 @@ def asof_join_stream(left_stream: DataFrame, right_stream: DataFrame,
             for ts, side, rid, val in zip(pdf["__ts__"], pdf["__side__"],
                                           pdf["__id__"], pdf["__val__"]):
                 if side == 0:
-                    last_ts, last_val = ts.timestamp(), val
+                    # skip NULL/NaN right values — the batch AsOfJoin
+                    # uses F.last(..., ignorenulls=True), so a NULL
+                    # must not clobber the last valid observation
+                    if not (val is None or val != val):
+                        last_ts, last_val = ts.timestamp(), val
                 else:
                     out.append((key_tuple[0], rid, ts, last_val))
         state.update((last_ts, last_val))

@@ -186,6 +186,40 @@ def test_skew_caps_inactive_at_test_scale(spark, docs_df):
                                  max_bucket=None).toPandas()
     assert key(c2) == key(u2)
 
+    c3 = dedup.simhash_near_dups(docs_df, max_bucket=1000).toPandas()
+    u3 = dedup.simhash_near_dups(docs_df, max_bucket=None).toPandas()
+    assert key(c3) == key(u3)
+
+
+def test_simhash_near_dups_bucket_cap_binds(spark):
+    """When a (chunk, key) bucket exceeds max_bucket it is dropped
+    entirely: identical docs all land in one bucket per chunk, so a cap
+    below the group size yields NO pairs, while the uncapped run pairs
+    them all."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": ["same text in every document here"] * 8,
+    }))
+    uncapped = dedup.simhash_near_dups(docs, max_bucket=None).toPandas()
+    assert len(uncapped) == 8 * 7 // 2
+    capped = dedup.simhash_near_dups(docs, max_bucket=4).toPandas()
+    assert len(capped) == 0
+
+
+def test_embedding_near_dups_bucketed_caps(spark, emb_df):
+    """Bucketed (non-exact) path: capped ≡ uncapped when no bucket
+    exceeds the cap, both ⊆ exact, and a binding cap drops the hot
+    bucket's pairs."""
+    kw = dict(threshold=0.9, dim=16, num_planes=4)
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    capped = ann.embedding_near_dups(emb_df, max_bucket=1000, **kw).toPandas()
+    uncapped = ann.embedding_near_dups(emb_df, max_bucket=None, **kw).toPandas()
+    assert key(capped) == key(uncapped)
+    exact = ann.embedding_near_dups(emb_df, exact=True, **kw).toPandas()
+    assert set(key(capped)) <= set(key(exact))
+    tiny = ann.embedding_near_dups(emb_df, max_bucket=1, **kw).toPandas()
+    assert len(tiny) == 0  # every pair needs >= 2 rows in a bucket
+
 
 def test_minhash_families_agree_on_dup_structure(spark, docs_df):
     """md5 (oracle-portable) and xxhash64 (production) families must
@@ -379,3 +413,18 @@ def test_real_png_decode_roundtrip_and_filters(spark):
     f_bmp = np.array(list(out[out.doc_id == "bmp"]["features"].iloc[0]))
     f_png = np.array(list(out[out.doc_id == "png"]["features"].iloc[0]))
     np.testing.assert_allclose(f_png, f_bmp, rtol=1e-6)
+
+
+def test_ngram_prefix_filter_equals_naive(spark, docs_df):
+    """PPJoin-style prefix/length filtering is an EXACT optimization:
+    identical (id_a, id_b, jaccard) to the naive full-posting plan, at
+    several thresholds."""
+    for t in (0.3, 0.5, 0.8):
+        fast = dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=t,
+                                         prefix_filter=True).toPandas()
+        naive = dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=t,
+                                          prefix_filter=False).toPandas()
+        key = lambda d: sorted(
+            (int(a), int(b), round(float(j), 9))
+            for a, b, j in d[["id_a", "id_b", "jaccard"]].to_numpy())
+        assert key(fast) == key(naive), f"threshold {t}"

@@ -173,3 +173,65 @@ def test_lag_rolling_stream_matches_batch_ops(spark, tmp_path):
             got[sc].to_numpy(dtype="float64"),
             batch[bc].to_numpy(dtype="float64"),
             equal_nan=True, err_msg=sc)
+
+
+def test_asof_join_stream_ignores_null_right_values(spark, tmp_path):
+    """A NULL/NaN right value must NOT clobber the last valid state —
+    batch AsOfJoin uses last(..., ignorenulls=True); the stream op must
+    agree."""
+    from nvtabular_spark.streaming import asof_join_stream
+
+    trades = pd.DataFrame({
+        "ent": ["e1"] * 3,
+        "ts": pd.to_datetime([15, 25, 35], unit="s"),
+        "tid": np.arange(3, dtype="int64"),
+    })
+    # true NULL at t=20 (a pandas NaN would reach Spark as NaN, which
+    # both the batch op and the stream treat as missing anyway)
+    rdf = spark.createDataFrame(
+        [("e1", 10, 100.0), ("e1", 20, None), ("e1", 30, 102.0)],
+        "ent string, sec long, quote double") \
+        .selectExpr("ent", "timestamp_seconds(sec) AS ts", "quote")
+    lp, rp = str(tmp_path / "ln"), str(tmp_path / "rn")
+    ldf = spark.createDataFrame(trades)
+    ldf.write.parquet(lp)
+    rdf.write.parquet(rp)
+    ls = spark.readStream.schema(ldf.schema).parquet(lp)
+    rs = spark.readStream.schema(rdf.schema).parquet(rp)
+    out = asof_join_stream(ls, rs, on="ent", ts_col="ts",
+                           value_col="quote", left_id_col="tid",
+                           allow_exact_matches=False)
+    q = (out.writeStream.format("memory").queryName("asof_null_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select tid, quote_asof from asof_null_stream") \
+        .orderBy("tid").toPandas()
+    # t=25 sees the NaN quote at t=20 but must keep 100.0 (t=10)
+    assert got["quote_asof"].tolist() == [100.0, 100.0, 102.0]
+
+    batch = nvt.Workflow(
+        ["tid"] >> ops.AsOfJoin(rdf, on="ent", ts_col="ts",
+                                allow_exact_matches=False,
+                                suffix="_asof")) \
+        .transform(ldf).orderBy("tid").toPandas()
+    np.testing.assert_allclose(got["quote_asof"].to_numpy(),
+                               batch["quote_asof"].to_numpy())
+
+
+def test_lag_rolling_stream_validates_lags(spark):
+    from nvtabular_spark.streaming import lag_rolling_stream
+    sdf = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="non-empty"):
+        lag_rolling_stream(sdf, key="value", ts_col="timestamp",
+                           value_col="value", lags=())
+    with pytest.raises(ValueError, match="positive"):
+        lag_rolling_stream(sdf, key="value", ts_col="timestamp",
+                           value_col="value", lags=(0, 1))
+
+
+def test_streaming_all_exports():
+    import nvtabular_spark.streaming as st
+    for name in ("asof_join_stream", "lag_rolling_stream",
+                 "sessionize_stream", "transform_stream",
+                 "windowed_agg_stream"):
+        assert name in st.__all__ and hasattr(st, name)
