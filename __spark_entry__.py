@@ -426,6 +426,18 @@ def q_embedding_near_dups(spark, sf_dir):
                       .alias("cos_r"))
 
 
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    # the SCALE path: hyperplane-bucketed candidate generation with the
+    # occupancy cap ON (inactive at oracle scale — bucketed result is
+    # recall<1 vs exact, and the oracle replicates the bucketing)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    out = ann.embedding_near_dups(emb, threshold=0.2, dim=64,
+                                  num_planes=8, max_bucket=1000)
+    return out.select("id_a", "id_b",
+                      (F.round("cosine_sim", 6) + F.lit(0.0))
+                      .alias("cos_r"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -540,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "column_similarity": q_column_similarity,
         "text_stats": q_text_stats,
@@ -601,6 +614,24 @@ def oracle_sql() -> dict[str, str]:
 
     fp_expr = ("md5(trim(regexp_replace(regexp_replace(lower(text), "
                "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))")
+
+    # hyperplane components are md5-derived CONSTANTS (ann.py
+    # hyperplane_bits): replicate them here with hashlib and inline ±1
+    # literals; the projection sum is written left-associative to match
+    # Spark's F.aggregate fold bit-for-bit (IEEE determinism)
+    import hashlib as _hl
+
+    def _plane_comp(p, d):
+        h = int(_hl.md5(f"{p}#{d}".encode()).hexdigest()[:15], 16)
+        return (h % 2) * 2 - 1
+
+    _bucket_terms = []
+    for p in range(8):
+        proj = " + ".join(f"(v[{d + 1}] * {_plane_comp(p, d)}.0)"
+                          for d in range(64))
+        _bucket_terms.append(
+            f"(CASE WHEN (0.0 + {proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    emb_bucket = " + ".join(_bucket_terms)
 
     return {
         "groupby_agg": """
@@ -906,6 +937,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_r
             FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.2""",
+        "embedding_near_dups_lsh": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                       FROM embeddings WHERE vec_id < 500),
+            bk AS (SELECT vec_id, v, ({emb_bucket}) AS bucket FROM e)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_r
+            FROM bk a JOIN bk b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.2""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings

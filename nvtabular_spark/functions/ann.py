@@ -168,15 +168,12 @@ def ivf_train(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
     return centroids
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
-             k: int = 10, nprobe: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF approximate top-k: corpus rows are assigned to their
-    max-cosine centroid in one pass (at scale: compute once, store as a
-    partition column of the bucketed table); each query probes its
-    ``nprobe`` nearest inverted lists and reranks candidates exactly.
-    Candidate volume ≈ corpus × nprobe / n_centroids — the knob that
-    makes 100 TB ANN affordable."""
+def ivf_assign(corpus: DataFrame, centroids, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """One-pass corpus→centroid assignment:
+    ``(neighbor_id, __cv__, __cl__)``. This is the expensive step of an
+    IVF probe (a full corpus scan), so at scale compute it ONCE and
+    persist it with :func:`ivf_write_assignment`."""
     cents = _centroid_array(centroids)
 
     def best_cluster(vec):
@@ -185,7 +182,45 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("__cv__"))
-    c = c.withColumn("__cl__", best_cluster(F.col("__cv__")))
+    return c.withColumn("__cl__", best_cluster(F.col("__cv__")))
+
+
+def ivf_write_assignment(corpus: DataFrame, centroids, path: str,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """Materialize the IVF assignment PARTITIONED BY cluster id, so a
+    probe over ``nprobe`` inverted lists becomes a partition-pruned
+    scan reading ~``nprobe / n_centroids`` of the corpus — the layout
+    that makes repeated ANN queries affordable at 100 TB."""
+    ivf_assign(corpus, centroids, id_col, vec_col) \
+        .write.mode("overwrite").partitionBy("__cl__").parquet(path)
+
+
+def ivf_read_assignment(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ivf_topk(corpus: Optional[DataFrame], queries: DataFrame, centroids,
+             k: int = 10, nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             assignment: Optional[DataFrame] = None) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their
+    max-cosine centroid in one pass (at scale: compute once with
+    :func:`ivf_write_assignment` and pass the stored table as
+    ``assignment`` — the per-query cost then drops to a partition-pruned
+    read of the probed clusters); each query probes its ``nprobe``
+    nearest inverted lists and reranks candidates exactly. Candidate
+    volume ≈ corpus × nprobe / n_centroids — the knob that makes 100 TB
+    ANN affordable."""
+    if assignment is not None:
+        c = assignment.select("neighbor_id",
+                              F.col("__cv__").cast("array<double>")
+                              .alias("__cv__"), "__cl__")
+    else:
+        if corpus is None:
+            raise ValueError("ivf_topk needs a corpus or an assignment")
+        c = ivf_assign(corpus, centroids, id_col, vec_col)
+    cents = _centroid_array(centroids)
 
     qv = F.col(vec_col).cast("array<double>")
     sims = F.transform(cents, lambda cc: dot(qv, cc) / _safe_norm(qv))

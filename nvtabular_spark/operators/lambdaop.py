@@ -36,6 +36,18 @@ class LambdaOp(Operator):
     def expr(self, col: Column, name, df, ctx):
         if self.is_expr:
             return self.f(col)
+        import inspect
+        n_params = len(inspect.signature(self.f).parameters)
+        if n_params >= 2:
+            # reference 2-arg contract f(col, gdf) (lambdaop.py:19-51,
+            # exercised by test_workflow_chaining.py:93): the second
+            # argument is a pandas view of the op's OTHER input columns
+            # under their public names, shipped as one struct column
+            fn = self.f
+            struct_col = F.struct(*[F.col(act).alias(pub)
+                                    for pub, act in ctx.pairs()])
+            udf = pandas_udf(lambda s, frame: fn(s, frame), self.dtype)
+            return udf(col, struct_col)
         udf = pandas_udf(self.f, self.dtype)
         return udf(col)
 

@@ -46,7 +46,26 @@ class TargetEncoding(StatOperator):
                  broadcast_limit: int = 5_000_000,
                  hash_family: str = "xxhash64", drop_folds: bool = True):
         super().__init__()
-        self.targets = [target] if isinstance(target, str) else list(target)
+        # target may be a str, a list, or a workflow NODE whose outputs
+        # are the target columns (reference node-dependency form,
+        # TargetEncoding(cont_features) — workflow/node.py dependencies;
+        # tests/unit/workflow/test_workflow_schemas.py:162). Node
+        # targets are resolved to their output names here; the node
+        # itself is attached as a dependency of the consuming DAG node
+        # by Node.__rshift__ via node_dependencies().
+        from ..plans.graph import Node as _Node
+        raw = [target] if isinstance(target, (str, _Node)) else list(target)
+        self.targets: List[str] = []
+        self._target_nodes: List = []
+        self._node_target_names: List[str] = []
+        for t in raw:
+            if isinstance(t, _Node):
+                outs = t.output_columns()
+                self._target_nodes.append(t)
+                self._node_target_names.extend(outs)
+                self.targets.extend(outs)
+            else:
+                self.targets.append(t)
         self.fold_col = fold_col
         self.kfold = kfold
         self.fold_seed = fold_seed
@@ -71,7 +90,16 @@ class TargetEncoding(StatOperator):
         self._table_rows: Dict[str, int] = {}
 
     def dependencies(self):
-        return self.targets + [self.fold_col]
+        # RAW workflow-input columns only; node-resolved targets are
+        # produced inside the DAG, not read from the source
+        node_made = set(self._node_target_names)
+        return [t for t in self.targets if t not in node_made] \
+            + [self.fold_col]
+
+    def node_dependencies(self):
+        """DAG nodes whose outputs this op consumes (targets given as
+        nodes); attached as Node.dependency_nodes by the graph algebra."""
+        return list(self._target_nodes)
 
     def _fold_expr(self) -> Column:
         if self.fold_is_precomputed:
@@ -291,7 +319,18 @@ class TargetEncoding(StatOperator):
         p = super().save_params()
         p.pop("means", None)
         p["target"] = self.targets  # init-arg name for load round-trip
+        # node-resolved target names must survive load (they are NOT
+        # raw inputs; dependencies() excludes them)
+        p["node_target_names"] = list(self._node_target_names)
         return p
+
+    @classmethod
+    def load_params(cls, params):
+        params = dict(params)
+        node_names = params.pop("node_target_names", [])
+        op = super().load_params(params)
+        op._node_target_names = list(node_names)
+        return op
 
     def save_state(self):
         return {"means": self.means, "table_rows": self._table_rows}

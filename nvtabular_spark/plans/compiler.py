@@ -249,14 +249,40 @@ class CompiledPlan:
             selector = node.input_group_selector()
             ctx = TransformContext(selector, parent_map, {})
 
+            # node dependencies (side inputs, e.g. a TargetEncoding
+            # target produced by another node): bridge each dependency
+            # output to its PUBLIC name so the op reads it like a raw
+            # column. Collisions with live columns are rejected — the
+            # dependency branch must Rename first.
+            dep_alias: Dict[str, str] = {}
+            for d in node.dependency_nodes:
+                for pub, act in maps[id(d)].items():
+                    if pub == act:
+                        continue
+                    if pub in df_work.columns or pub in deferred_cols:
+                        raise ValueError(
+                            f"dependency column '{pub}' of {node.label} "
+                            f"collides with an existing column; Rename "
+                            f"the dependency branch")
+                    dep_alias[pub] = act
+
             # flush pending batched fits when this node needs a deferred
             # column, or when it changes row cardinality (its row set
             # must not affect the pending aggregations' input)
-            needs = set(parent_map.values()) | set(op.dependencies())
+            needs = set(parent_map.values()) | set(op.dependencies()) \
+                | set(dep_alias.values())
             if (pending or pending_heavy) and (
                 needs & deferred_cols or not op.row_preserving
             ):
                 flush()
+
+            if dep_alias:
+                df_work = df_work.withColumns(
+                    {p: F.col(a) for p, a in dep_alias.items()})
+                if set(dep_alias.values()) <= lean_cols:
+                    df_lean = df_lean.withColumns(
+                        {p: F.col(a) for p, a in dep_alias.items()})
+                    lean_cols |= set(dep_alias)
 
             needs_fit = isinstance(op, StatOperator) and (fit or refit) \
                 and (refit or not op.fitted)

@@ -36,6 +36,10 @@ class ColumnSelector:
         #: a column matches when it carries ALL the listed tags
         self.tags: List = list(tags or ())
         self._tags_resolved = False
+        #: names given as bare scalars (NOT only via a subgroup) — a
+        #: selector like ["x", "y", ("x", "y")] keeps x and y as both
+        #: scalars AND a group (reference test_workflow_schemas.py:149)
+        self._scalars: List = []
         if names is None:
             return
         if isinstance(names, ColumnSelector):
@@ -43,6 +47,7 @@ class ColumnSelector:
             self.subgroups = list(names.subgroups)
             self.tags = list(names.tags)
             self._tags_resolved = names._tags_resolved
+            self._scalars = list(names._scalars)
             return
         if isinstance(names, str):
             names = [names]
@@ -50,20 +55,30 @@ class ColumnSelector:
             if isinstance(n, (list, tuple)):
                 sub = ColumnSelector(list(n))
                 self.subgroups.append(sub)
-                self.names.extend(sub.names)
+                self.names.extend(m for m in sub.names
+                                  if m not in self.names)
             else:
-                self.names.append(n)
+                self._scalars.append(n)
+                if n not in self.names:
+                    self.names.append(n)
 
     @property
     def grouped_names(self) -> List:
-        """Names with grouping preserved: scalars plus tuples for groups."""
-        grouped: List = []
-        seen_in_group = {n for g in self.subgroups for n in g.names}
-        for g in self.subgroups:
-            grouped.append(tuple(g.names))
-        for n in self.names:
-            if n not in seen_in_group:
-                grouped.append(n)
+        """Names with grouping preserved: tuples for groups plus every
+        EXPLICIT scalar (a name can be both — ["x", "y", ("x", "y")]
+        yields [("x","y"), "x", "y"]). Selectors rebuilt from a flat
+        name list plus manual subgroup appends (legacy serialized form)
+        fall back to names-minus-grouped."""
+        grouped: List = [tuple(g.names) for g in self.subgroups]
+        if self._scalars or not self.subgroups:
+            seen = set()
+            for n in self._scalars:
+                if n not in seen:
+                    seen.add(n)
+                    grouped.append(n)
+        else:
+            in_group = {n for g in self.subgroups for n in g.names}
+            grouped.extend(n for n in self.names if n not in in_group)
         return grouped
 
     def __add__(self, other):
@@ -71,6 +86,7 @@ class ColumnSelector:
         other = ColumnSelector(other)
         out.names.extend(other.names)
         out.subgroups.extend(other.subgroups)
+        out._scalars.extend(other._scalars)
         out.tags.extend(t for t in other.tags if t not in out.tags)
         out._tags_resolved = self._tags_resolved and other._tags_resolved
         return out
@@ -83,6 +99,7 @@ class ColumnSelector:
         for n in schema.select_by_tags(self.tags):
             if n not in self.names:
                 self.names.append(n)
+                self._scalars.append(n)
         self._tags_resolved = True
 
     def __iter__(self):
@@ -114,6 +131,14 @@ def _to_node(value) -> "Node":
         raise TypeError(
             "An Operator must be applied to columns: use ['col'] >> op"
         )
+    if isinstance(value, (list, tuple)) \
+            and any(isinstance(v, Node) for v in value):
+        # a list MIXING nodes and names concatenates its members
+        # (reference test_workflow_node.py:96-104: node1 + [node2, "e"])
+        node = _to_node(value[0])
+        for v in value[1:]:
+            node = node + _to_node(v)
+        return node
     if isinstance(value, (str, list, tuple, ColumnSelector)):
         return Node(selector=ColumnSelector(value))
     raise TypeError(f"Cannot convert {type(value)} to a workflow Node")
@@ -135,6 +160,9 @@ class Node:
         self.removed: List[str] = []   # names dropped via `-`
         self.subset: Optional[List[str]] = None  # names kept via `[...]`
         self.subgraph_name: Optional[str] = None  # named sub-DAG boundary
+        #: side-input nodes whose outputs the op reads but which do NOT
+        #: join the selector (reference WorkflowNode.dependencies)
+        self.dependency_nodes: List[Node] = []
 
     # -- algebra ----------------------------------------------------------
     def __rshift__(self, op) -> "Node":
@@ -142,7 +170,13 @@ class Node:
 
         if not isinstance(op, Operator):
             raise TypeError(f">> expects an Operator, got {type(op)}")
-        return Node(op=op, parents=[self])
+        node = Node(op=op, parents=[self])
+        # ops may consume OTHER DAG nodes' outputs as side inputs
+        # (reference node dependencies, e.g. TargetEncoding(node)) —
+        # attach them so they compile before this node
+        for dep in getattr(op, "node_dependencies", list)():
+            node.dependency_nodes.append(_to_node(dep))
+        return node
 
     def __add__(self, other) -> "Node":
         other = _to_node(other)
@@ -161,8 +195,18 @@ class Node:
 
     def __sub__(self, cols) -> "Node":
         out = Node(parents=[self])
-        out.removed = list(ColumnSelector(cols).names)
+        if isinstance(cols, Node):
+            # node - node removes the RIGHT node's output columns
+            # (reference node.py subtraction-by-node semantics,
+            # tests/unit/workflow/test_workflow_node.py:120-156)
+            out.removed = list(cols.output_columns())
+        else:
+            out.removed = list(ColumnSelector(cols).names)
         return out
+
+    def __rsub__(self, cols) -> "Node":
+        # ["a", "b"] - node  (reference test_workflow_node.py:141)
+        return _to_node(cols) - self
 
     def __getitem__(self, cols) -> "Node":
         out = Node(parents=[self])
@@ -246,6 +290,8 @@ def postorder(root: Node) -> List[Node]:
         seen[id(n)] = True
         for p in n.parents:
             visit(p)
+        for d in n.dependency_nodes:
+            visit(d)
         order.append(n)
 
     visit(root)

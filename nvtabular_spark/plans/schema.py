@@ -57,9 +57,12 @@ class ColumnSchema:
 
 
 class Schema:
-    def __init__(self, columns: Optional[List[ColumnSchema]] = None):
+    def __init__(self, columns: Optional[List] = None):
+        # accept bare names as a convenience (reference Schema(["x"]))
+        cols = [c if isinstance(c, ColumnSchema) else ColumnSchema(str(c))
+                for c in (columns or [])]
         self.column_schemas: Dict[str, ColumnSchema] = {
-            c.name: c for c in (columns or [])
+            c.name: c for c in cols
         }
 
     @classmethod

@@ -73,9 +73,13 @@ def save_workflow(workflow, path: str) -> None:
         rec = {
             "id": nid,
             "parent_ids": [plan.node_index[id(p)] for p in node.parents],
+            "dependency_ids": [plan.node_index[id(d)]
+                               for d in node.dependency_nodes],
             "selector": list(node.selector.names) if node.selector else None,
             "selector_groups": [list(g.names) for g in
                                 node.selector.subgroups] if node.selector else [],
+            "selector_scalars": list(node.selector._scalars)
+            if node.selector else [],
             "selector_tags": list(node.selector.tags) if node.selector else [],
             "selector_tags_resolved": bool(node.selector._tags_resolved)
             if node.selector else False,
@@ -130,11 +134,16 @@ def load_workflow(path: str, spark=None):
     for rec in sorted(graph["nodes"], key=lambda r: r["id"]):
         parents = [nodes[pid] for pid in rec["parent_ids"]]
         if rec.get("selector") is not None:
-            sel = ColumnSelector(rec["selector"],
-                                 tags=rec.get("selector_tags", ()))
+            sel = ColumnSelector(tags=rec.get("selector_tags", ()))
+            sel.names = list(rec["selector"])
             sel._tags_resolved = bool(rec.get("selector_tags_resolved"))
             for g in rec.get("selector_groups", []):
                 sel.subgroups.append(ColumnSelector(g))
+            scalars = rec.get("selector_scalars")
+            if scalars is None:  # legacy file: scalars = names not grouped
+                in_group = {n for g in sel.subgroups for n in g.names}
+                scalars = [n for n in sel.names if n not in in_group]
+            sel._scalars = list(scalars)
             node = Node(selector=sel)
         elif rec.get("op_class"):
             cls = registry.get(rec["op_class"]) or \
@@ -164,6 +173,8 @@ def load_workflow(path: str, spark=None):
             node.removed = rec.get("removed") or []
             node.subset = rec.get("subset")
         node.subgraph_name = rec.get("subgraph_name")
+        node.dependency_nodes = [nodes[did]
+                                 for did in rec.get("dependency_ids", [])]
         nodes[rec["id"]] = node
 
     root = nodes[max(nodes)]

@@ -126,6 +126,7 @@ class Workflow:
             if sel is None:
                 continue
             sel.names = [n for n in sel.names if n not in drop]
+            sel._scalars = [n for n in sel._scalars if n not in drop]
             sel.subgroups = [g for g in
                              (ColumnSelector([n for n in g.names
                                               if n not in drop])

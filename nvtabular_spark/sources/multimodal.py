@@ -4,10 +4,12 @@ The Spark-side plumbing is real and tested (schemas, Arrow batch shape,
 ``mapInPandas`` partition flow, metadata propagation). Codec status:
 
 * image — REAL pure-numpy decode for uncompressed 24-bit BMP
-  (:func:`decode_bmp`; encoder provided for fixtures), with real
-  grid-pool feature extraction and resize. JPEG/PNG need PIL — not in
-  this environment — so those formats raise ``NotImplementedError``
-  in strict mode or fall back to a deterministic fake otherwise.
+  (:func:`decode_bmp`), PNG (stdlib zlib, all five scanline filters)
+  and baseline JPEG (:mod:`.jpeg` — stream-driven Huffman + IDCT,
+  4:4:4/4:2:0/4:2:2, restart markers; encoder provided for fixtures),
+  with real grid-pool feature extraction and resize. Progressive JPEG
+  and formats needing PIL raise ``NotImplementedError`` in strict mode
+  or fall back to a deterministic fake otherwise.
 * audio — REAL pure-numpy decode for PCM-16 WAV (:func:`decode_wav`)
   with real RMS-energy frame features.
 * video — container parsing genuinely requires ffmpeg/av; stubbed
@@ -310,13 +312,16 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
                 return image_grid_features(decode_bmp(b), grid)
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 return image_grid_features(to_rgb(decode_png(b)), grid)
+            if b[:3] == b"\xff\xd8\xff":
+                from .jpeg import decode_jpeg
+                return image_grid_features(decode_jpeg(b), grid)
         except ValueError:
             pass
         if strict:
             raise NotImplementedError(
-                "JPEG/exotic image decode requires PIL/torchvision — "
-                "not available in this environment (BMP and PNG decode "
-                "natively)")
+                "exotic image decode requires PIL/torchvision — not "
+                "available in this environment (BMP, PNG and baseline "
+                "JPEG decode natively)")
         return _fake_decode(b, feature_dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -428,3 +428,71 @@ def test_ngram_prefix_filter_equals_naive(spark, docs_df):
             (int(a), int(b), round(float(j), 9))
             for a, b, j in d[["id_a", "id_b", "jaccard"]].to_numpy())
         assert key(fast) == key(naive), f"threshold {t}"
+
+
+def test_ivf_stored_assignment_equals_inline(spark, tmp_path):
+    """ivf_topk over a persisted (partitioned-by-cluster) assignment
+    table must equal the inline-assignment path."""
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(80, 16).astype("float64")
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(80), "embedding": [v.tolist() for v in vecs]}))
+    queries = corpus.filter("vec_id < 4")
+    cents = ann.ivf_train(corpus, n_centroids=4, iters=2)
+
+    inline = ann.ivf_topk(corpus, queries, cents, k=3, nprobe=2).toPandas()
+
+    p = str(tmp_path / "ivf_assign")
+    ann.ivf_write_assignment(corpus, cents, p)
+    stored = ann.ivf_read_assignment(spark, p)
+    via_store = ann.ivf_topk(None, queries, cents, k=3, nprobe=2,
+                             assignment=stored).toPandas()
+
+    key = lambda d: sorted(map(tuple, d[["query_id", "rank", "neighbor_id"]]
+                               .to_numpy()))
+    assert key(inline) == key(via_store)
+    # the stored layout is partitioned by cluster id (partition pruning
+    # is what makes repeated probes cheap)
+    import os
+    assert any(name.startswith("__cl__=") for name in os.listdir(p))
+
+
+def test_real_jpeg_decode_roundtrip_and_features(spark):
+    """Baseline JPEG is a REAL codec now: encode → decode round-trips
+    within lossy tolerance for 4:4:4 and 4:2:0, strict-mode feature
+    extraction accepts JPEG payloads, and a progressive SOF marker
+    still raises at the declared boundary."""
+    from nvtabular_spark.sources import multimodal as mm
+    from nvtabular_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 41, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([np.minimum(xx * 5, 255), np.minimum(yy * 6, 255),
+                    np.minimum(xx + yy, 255)], axis=-1).astype(np.uint8)
+    for ss, tol in (("444", 1.5), ("420", 3.0)):
+        payload = encode_jpeg(img, quality=92, subsampling=ss)
+        assert payload[:3] == b"\xff\xd8\xff" and payload[-2:] == b"\xff\xd9"
+        out = decode_jpeg(payload)
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < tol, (ss, err)
+
+    # strict-mode Spark path over JPEG payloads
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "payload": [encode_jpeg(img, subsampling="444"),
+                    encode_jpeg(img, subsampling="420")]})
+    df = spark.createDataFrame(pdf)
+    feats = mm.extract_image_features(df, grid=2, strict=True) \
+        .orderBy("doc_id").toPandas()
+    assert all(len(f) == 12 for f in feats["features"])
+    exp = mm.image_grid_features(img, grid=2)
+    got = np.array(list(feats["features"].iloc[0]))
+    np.testing.assert_allclose(got, exp, atol=2.0)  # lossy codec
+
+    # progressive JPEG (SOF2) is a declared NotImplementedError boundary
+    prog = bytearray(encode_jpeg(img))
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
