@@ -152,13 +152,16 @@ class TargetEncoding(StatOperator):
                 fpath, fallback_df=self._fold_dfs[key])
 
             folded = self._fold_dfs[key]
-            g_all = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
+            # the all-folds table stays a LAZY aggregation over the
+            # (small, materialized) fold parquet — writing it out was a
+            # second fit job per group for a table the broadcast build
+            # re-derives in microseconds
+            self._all_dfs[key] = folded.groupBy(
+                *[f"__te_{c}" for c in g]).agg(
                 *[F.sum(f"__cnt_{t}").alias(f"__cnt_{t}")
                   for t in self.targets],
                 *[F.sum(f"__sum_{t}").alias(f"__sum_{t}")
                   for t in self.targets])
-            self._all_dfs[key], _ = materialize(
-                g_all, f"te_all_{key}", self.out_path)
 
             if gi == 0:
                 self._derive_means(folded, fpath)
@@ -226,11 +229,11 @@ class TargetEncoding(StatOperator):
             folded, f"te_fold_{key}", self.out_path)
         folded = self._fold_dfs[key]
         self._table_rows[key] = parquet_rows(fpath, fallback_df=folded)
-        g_all = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
+        # lazy all-folds aggregation over the materialized fold parquet
+        # (see fit() — no second write job)
+        self._all_dfs[key] = folded.groupBy(*[f"__te_{c}" for c in g]).agg(
             *[F.sum(f"__cnt_{t}").alias(f"__cnt_{t}") for t in self.targets],
             *[F.sum(f"__sum_{t}").alias(f"__sum_{t}") for t in self.targets])
-        self._all_dfs[key], _ = materialize(
-            g_all, f"te_all_{key}", self.out_path)
         if not self.means:
             self._derive_means(folded, fpath)
 

@@ -89,9 +89,16 @@ class Workflow:
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Lazily compose the transform; nothing executes until an
-        action (write/collect) — mirroring reference workflow.py:86-88."""
+        action (write/collect) — mirroring reference workflow.py:86-88.
+        Given a ``Dataset`` wrapper, returns a ``Dataset`` (reference
+        contract: ``workflow.transform(dataset).to_ddf().compute()``);
+        given a plain DataFrame, returns a DataFrame."""
         self._resolve_tag_selectors(df)
-        return self.plan.run(self._prune(self._unwrap(df)), fit=False)
+        out = self.plan.run(self._prune(self._unwrap(df)), fit=False)
+        if not isinstance(df, DataFrame) and hasattr(df, "df"):
+            from ..sources.dataset import Dataset
+            return Dataset(out)
+        return out
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         self.fit(df)

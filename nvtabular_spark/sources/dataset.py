@@ -49,6 +49,9 @@ class Dataset:
     def compute(self):
         return self.df.toPandas()
 
+    #: pandas-frame alias so Dataset and DataFrame results interchange
+    toPandas = compute
+
     def to_parquet(self, output_path: str, shuffle: Optional[str] = "per_partition",
                    out_files_per_proc: Optional[int] = None,
                    partition_on: Optional[List[str]] = None, **kw) -> None:

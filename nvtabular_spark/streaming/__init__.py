@@ -1,5 +1,7 @@
-from .transform import (asof_join_stream, lag_rolling_stream, sessionize_stream,
+from .transform import (asof_join_stream, drop_exact_duplicates_stream,
+                        lag_rolling_stream, sessionize_stream,
                         transform_stream, windowed_agg_stream)
 
-__all__ = ["asof_join_stream", "lag_rolling_stream", "sessionize_stream",
+__all__ = ["asof_join_stream", "drop_exact_duplicates_stream",
+           "lag_rolling_stream", "sessionize_stream",
            "transform_stream", "windowed_agg_stream"]

@@ -210,3 +210,29 @@ def asof_join_stream(left_stream: DataFrame, right_stream: DataFrame,
     return (unioned.groupBy("__key__")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def drop_exact_duplicates_stream(stream_df: DataFrame,
+                                 text_col: str = "text",
+                                 ts_col: Optional[str] = None,
+                                 watermark: str = "1 hour",
+                                 normalized: bool = True) -> DataFrame:
+    """Streaming exact dedup: one row per normalized-text fingerprint
+    (the streaming twin of ``functions.dedup.drop_exact_duplicates``).
+
+    Divergence from batch (documented): batch keeps the MIN-id row of a
+    duplicate group; a stream cannot know the future minimum, so the
+    FIRST-ARRIVED row is kept. With ``ts_col`` the key state is bounded
+    by the watermark (``dropDuplicatesWithinWatermark`` — the 100 TB
+    shape: state evicts as event time advances); without it, keys are
+    kept forever (only for bounded/test streams)."""
+    from ..functions.text import fingerprint
+    key = fingerprint(F.col(text_col)) if normalized \
+        else F.md5(F.col(text_col))
+    keyed = stream_df.withColumn("__dk__", key)
+    if ts_col is not None:
+        keyed = keyed.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(["__dk__"])
+    else:
+        keyed = keyed.dropDuplicates(["__dk__"])
+    return keyed.drop("__dk__")

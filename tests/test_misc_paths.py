@@ -72,11 +72,13 @@ def test_dataset_wrapper_api_parity(spark, tmp_path):
     ds = nvt.Dataset(p, spark=spark)
     wf = nvt.Workflow((["cat"] >> ops.Categorify()) + ["rid"])
     out = wf.fit_transform(ds)
-    got = out.orderBy("rid").toPandas()
+    # Dataset in -> Dataset out (reference contract)
+    assert isinstance(out, nvt.Dataset)
+    got = out.to_ddf().orderBy("rid").toPandas()
     assert got["cat"].tolist() == [3, 4, 3]
-    nvt.Dataset(out).to_parquet(str(tmp_path / "out"), shuffle=None)
+    out.to_parquet(str(tmp_path / "out"), shuffle=None)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
-    assert "cat" in nvt.Dataset(out).schema.column_names
+    assert "cat" in out.schema.column_names
 
 
 def test_filter_callable(spark):

@@ -235,3 +235,40 @@ def test_streaming_all_exports():
                  "sessionize_stream", "transform_stream",
                  "windowed_agg_stream"):
         assert name in st.__all__ and hasattr(st, name)
+
+
+def test_drop_exact_duplicates_stream(spark, tmp_path):
+    """Streaming exact dedup keeps ONE row per normalized fingerprint
+    (first-arrived, vs batch's min-id — documented divergence)."""
+    from nvtabular_spark.streaming import drop_exact_duplicates_stream
+    pdf = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "ts": pd.to_datetime([10, 20, 30, 40, 50, 60], unit="s"),
+        "text": [
+            "the quick brown fox",
+            "the quick brown fox",       # exact dup
+            "The quick brown fox!",      # normalized dup
+            "something else entirely",
+            "SOMETHING ELSE entirely",   # normalized dup
+            "unique third document",
+        ],
+    })
+    p = str(tmp_path / "dd_in")
+    sdf = spark.createDataFrame(pdf)
+    sdf.write.parquet(p)
+    stream = spark.readStream.schema(sdf.schema).parquet(p)
+    out = drop_exact_duplicates_stream(stream, text_col="text",
+                                       ts_col="ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dd_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from dd_stream").toPandas()
+    assert len(got) == 3
+    # batch op agrees on the SET of surviving fingerprints
+    from nvtabular_spark.functions import dedup as d
+    batch = d.drop_exact_duplicates(sdf).toPandas()
+    from nvtabular_spark.functions.text import fingerprint
+    fp = lambda df: set(
+        spark.createDataFrame(df[["text"]]).select(
+            fingerprint(F.col("text")).alias("f")).toPandas()["f"])
+    assert fp(got) == fp(batch)
