@@ -232,12 +232,18 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
             f"~N^2/{1 << per}; raise bits (default 64)")
     sh = df.select(F.col(id_col).alias("doc"),
                    simhash(F.col(text_col), bits, family).alias("sh"))
+    def chunk_key(c: int) -> Column:
+        # max_hamming=0 → ONE chunk spanning all 64 bits: the key is
+        # the hash itself ((1<<64)-1 does not fit a signed long)
+        if per >= 64:
+            return F.col("sh")
+        return F.shiftright(F.col("sh"), c * per) \
+            .bitwiseAND(F.lit((1 << per) - 1))
+
     banded = sh.select(
         "doc", "sh",
         F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright(F.col("sh"), c * per)
-                     .bitwiseAND(F.lit((1 << per) - 1)).alias("key"))
+            F.struct(F.lit(c).alias("chunk"), chunk_key(c).alias("key"))
             for c in range(chunks)])).alias("ck")
     ).select("doc", "sh", "ck.chunk", "ck.key")
     if max_bucket:

@@ -127,3 +127,92 @@ def test_minhash_jaccard_consistency(spark, texts):
         else:
             assert list(a) == list(b)
             assert all(0 <= v < MINHASH_PRIME for v in a)
+
+
+_words = st.sampled_from(["fox", "dog", "cat", "run", "the", "a", "blue",
+                          "red", "big", "sky"])
+_docs = st.lists(st.lists(_words, min_size=0, max_size=12).map(" ".join),
+                 min_size=2, max_size=10)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=_docs, max_hamming=st.integers(0, 3))
+def test_simhash_pigeonhole_completeness(spark, texts, max_hamming):
+    """Candidate generation is COMPLETE: every pair within max_hamming
+    (computed directly from the simhashes) appears in the banded-join
+    output — the pigeonhole chunking may overgenerate, never drop."""
+    from nvtabular_spark.functions import dedup
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    sh = df.select("doc_id",
+                   dedup.simhash(df["text"], bits=64).alias("sh")) \
+        .orderBy("doc_id").toPandas()
+    vals = sh["sh"].tolist()
+    exp = set()
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            if bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1") \
+                    <= max_hamming:
+                exp.add((i, j))
+    got = dedup.simhash_near_dups(df, bits=64, max_hamming=max_hamming,
+                                  max_bucket=None).toPandas()
+    got_pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    assert exp == got_pairs
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=_docs,
+       threshold=st.sampled_from([0.2, 0.5, 0.8]))
+def test_ngram_prefix_plan_exact_on_random_docs(spark, texts, threshold):
+    """PPJoin prefix plan ≡ naive plan ≡ brute-force python Jaccard on
+    random word soup."""
+    from nvtabular_spark.functions import dedup
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    out = {}
+    for pf in (True, False):
+        r = dedup.ngram_jaccard_pairs(df, n=2, threshold=threshold,
+                                      max_posting=None,
+                                      prefix_filter=pf).toPandas()
+        out[pf] = sorted((int(a), int(b), round(float(j), 9))
+                         for a, b, j in
+                         r[["id_a", "id_b", "jaccard"]].to_numpy())
+    assert out[True] == out[False]
+
+    # brute force over python sets of word bigrams
+    def shingles(t):
+        ws = [w for w in t.split(" ") if w]
+        return {(ws[i], ws[i + 1]) for i in range(len(ws) - 1)}
+
+    exp = []
+    ss = [shingles(t) for t in texts]
+    for i in range(len(ss)):
+        for j in range(i + 1, len(ss)):
+            if not ss[i] or not ss[j]:
+                continue
+            jac = len(ss[i] & ss[j]) / len(ss[i] | ss[j])
+            if jac >= threshold:
+                exp.append((i, j, round(jac, 9)))
+    assert sorted(exp) == out[True]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(h=st.integers(8, 24), w=st.integers(8, 24),
+       seed=st.integers(0, 10 ** 6),
+       subsampling=st.sampled_from(["444", "420"]))
+def test_jpeg_roundtrip_property(h, w, seed, subsampling):
+    """encode→decode bounded error for arbitrary sizes (incl. non-
+    multiples of the MCU) on smooth random gradients."""
+    from nvtabular_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 200, 3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(base[c] + yy * (c + 1) + xx) % 230
+                    for c in range(3)], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=subsampling))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 12.0, (h, w, subsampling, err)
