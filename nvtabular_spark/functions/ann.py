@@ -247,7 +247,7 @@ def ivf_topk(corpus: Optional[DataFrame], queries: DataFrame, centroids,
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64, num_planes: int = 8,
+                        dim: int = 64, num_planes=8,
                         max_bucket: Optional[int] = 1000,
                         exact: bool = False) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold. ``exact=True`` does
@@ -259,10 +259,18 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     without a cap a clustered corpus piles into few buckets and the
     self-join degenerates quadratic. ``max_bucket`` drops buckets
     holding more rows than the cap before the join (same cap semantics
-    as the dedup LSH family); at 10⁹+ vectors raise ``num_planes`` so
-    the expected occupancy stays under the cap."""
+    as the dedup LSH family). ``num_planes="auto"`` sizes the key space
+    from the corpus count so EXPECTED occupancy stays well under the
+    cap (~max_bucket/4 per bucket for a uniform corpus), clamped to
+    [8, 30] — the knob the cap then only has to enforce on skew."""
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     if not exact:
+        if num_planes == "auto":
+            import math
+            n = df.count()
+            occupancy = max((max_bucket or 1000) // 4, 1)
+            num_planes = min(30, max(8, math.ceil(
+                math.log2(max(n, 1) / occupancy)) if n > occupancy else 8))
         base = base.withColumn(
             "bucket", hyperplane_bits(F.col("v"), dim, num_planes))
         if max_bucket:

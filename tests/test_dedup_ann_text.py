@@ -496,3 +496,15 @@ def test_real_jpeg_decode_roundtrip_and_features(spark):
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(bytes(prog))
+
+
+def test_embedding_near_dups_auto_planes(spark, emb_df):
+    """num_planes="auto" sizes the key space from corpus count: tiny
+    corpus → the 8-plane floor (same pairs as explicit 8 at dim=16
+    would differ — compare against explicit num_planes=8/dim=16)."""
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    auto = ann.embedding_near_dups(emb_df, threshold=0.9, dim=16,
+                                   num_planes="auto").toPandas()
+    explicit = ann.embedding_near_dups(emb_df, threshold=0.9, dim=16,
+                                       num_planes=8).toPandas()
+    assert key(auto) == key(explicit)  # 50 rows << occupancy → floor 8
