@@ -405,6 +405,29 @@ def q_minhash_lsh_pairs(spark, sf_dir, family="md5"):
                                    max_bucket=1000, family=family)
 
 
+def q_dedup_components(spark, sf_dir, family="md5"):
+    # full fuzzy-dedup clustering: LSH candidate pairs → connected
+    # components (large-star/small-star) → (id, component-min)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=3,
+                                    max_bucket=1000, family=family)
+    return dedup.connected_components(pairs)
+
+
+def q_near_dedup_survivors(spark, sf_dir, family="md5"):
+    # documents that survive fuzzy dedup (one per cluster, the min id)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=3,
+                                    max_bucket=1000, family=family)
+    return dedup.drop_near_duplicates(docs, pairs).select("doc_id")
+
+
+def q_text_repetition(spark, sf_dir):
+    # Gopher-style within-doc repetition signals over word 2-grams
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, n=2)
+
+
 def q_simhash_pairs(spark, sf_dir, family="md5"):
     # bits=64 / max_hamming=3 → 16-bit chunk keys (65,536 buckets per
     # chunk, not 8 as the old bits=16/max_hamming=4 setting gave);
@@ -550,6 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_components": q_dedup_components,
+        "near_dedup_survivors": q_near_dedup_survivors,
+        "text_repetition": q_text_repetition,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -632,6 +658,31 @@ def oracle_sql() -> dict[str, str]:
         _bucket_terms.append(
             f"(CASE WHEN (0.0 + {proj}) > 0 THEN {1 << p} ELSE 0 END)")
     emb_bucket = " + ".join(_bucket_terms)
+
+    # shared by minhash_lsh_pairs and the components/survivors closures
+    lsh_pairs = f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES3} AS sl
+              FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+              WHERE len(w) >= 3),
+            sig AS (
+              SELECT doc_id,
+                {_mh_lane(0)} s0,
+                {_mh_lane(1)} s1,
+                {_mh_lane(2)} s2,
+                {_mh_lane(3)} s3
+              FROM sh),
+            banded AS (
+              SELECT doc_id, 0 AS band,
+                     CAST(s0 AS VARCHAR) || ',' || CAST(s1 AS VARCHAR) AS key
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1,
+                     CAST(s2 AS VARCHAR) || ',' || CAST(s3 AS VARCHAR)
+              FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
     return {
         "groupby_agg": """
@@ -890,29 +941,47 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sz sa ON i.id_a = sa.doc_id
             JOIN sz sb ON i.id_b = sb.doc_id
             WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5""",
-        "minhash_lsh_pairs": f"""
-            WITH sh AS (
-              SELECT doc_id, {_SHINGLES3} AS sl
-              FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
-              WHERE len(w) >= 3),
-            sig AS (
-              SELECT doc_id,
-                {_mh_lane(0)} s0,
-                {_mh_lane(1)} s1,
-                {_mh_lane(2)} s2,
-                {_mh_lane(3)} s3
-              FROM sh),
-            banded AS (
-              SELECT doc_id, 0 AS band,
-                     CAST(s0 AS VARCHAR) || ',' || CAST(s1 AS VARCHAR) AS key
-              FROM sig
-              UNION ALL
-              SELECT doc_id, 1,
-                     CAST(s2 AS VARCHAR) || ',' || CAST(s3 AS VARCHAR)
-              FROM sig)
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""",
+        "minhash_lsh_pairs": lsh_pairs,
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS ({lsh_pairs}),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(id, label) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.id)
+            SELECT id, MIN(label) AS component FROM reach GROUP BY id""",
+        "near_dedup_survivors": f"""
+            WITH RECURSIVE pairs AS ({lsh_pairs}),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(id, label) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.id)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (
+              SELECT id FROM reach GROUP BY id
+              HAVING id <> MIN(label))""",
+        "text_repetition": """
+            WITH w AS (SELECT doc_id, len(text) tchars,
+                              string_split(text, ' ') w FROM documents),
+            ng AS (SELECT doc_id, tchars,
+                     unnest(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i+1])) AS ng
+                   FROM w WHERE len(w) >= 2),
+            cnt AS (SELECT doc_id, tchars, ng, COUNT(*) cnt
+                    FROM ng GROUP BY 1, 2, 3)
+            SELECT doc_id,
+              SUM(cnt) AS ngram_count,
+              COUNT(*) AS distinct_ngrams,
+              MAX(cnt) AS top_ngram_count,
+              1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_ngram_frac,
+              CAST(MAX(cnt * len(ng)) AS DOUBLE) / tchars
+                AS top_ngram_char_frac,
+              CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len(ng) ELSE 0 END)
+                   AS DOUBLE) / tchars AS dup_ngram_char_frac
+            FROM cnt GROUP BY doc_id, tchars""",
         "simhash_pairs": f"""
             WITH h AS (
               SELECT doc_id,

@@ -57,7 +57,10 @@ def main():
     n2 = deduped.count()
 
     # 3. near-dup removal: banded MinHash-LSH candidates, verified with
-    #    exact n-gram Jaccard, drop the higher id of each verified pair
+    #    exact n-gram Jaccard, then connected components over the
+    #    verified pair graph keep ONE doc per duplicate CLUSTER (the
+    #    standard fuzzy-dedup policy — pairwise dropping can keep two
+    #    docs bridged by a third, components cannot)
     cands = dedup.minhash_lsh_pairs(deduped, num_hashes=8, bands=4,
                                     family="xxhash64", max_bucket=1000)
     cand_docs = (cands.select(F.col("id_a").alias("doc_id"))
@@ -65,8 +68,7 @@ def main():
     verify_corpus = deduped.join(cand_docs, "doc_id")
     verified = dedup.ngram_jaccard_pairs(verify_corpus, threshold=0.7,
                                          family="xxhash64")
-    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    clean = deduped.join(drop, "doc_id", "left_anti")
+    clean = dedup.drop_near_duplicates(deduped, verified)
     n3 = clean.count()
 
     # 4. tokenize (hash vocab) + slice/pad via the Workflow DAG

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import hash64
@@ -113,3 +113,54 @@ def rolling_hash(col: Column, window: int = 8) -> Column:
     document sketch): hash of each ``window``-word shingle."""
     return F.transform(word_ngrams(col, window),
                        lambda s: hash64(s, "md5"))
+
+
+def repetition_stats(df: "DataFrame", text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> "DataFrame":
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", §A1.1 — public;
+    also used by RefinedWeb / Dolma quality filtering).
+
+    Per document, over space-split word ``n``-grams:
+
+    * ``ngram_count`` / ``distinct_ngrams`` / ``top_ngram_count``
+    * ``dup_ngram_frac`` — fraction of n-gram OCCURRENCES that are
+      repeats (``1 − distinct/count``)
+    * ``top_ngram_char_frac`` — the largest single-n-gram repetition
+      mass ``max(count·len(ngram)) / len(text)`` (tie-free, unlike
+      "chars of THE most frequent n-gram")
+    * ``dup_ngram_char_frac`` — repetition mass of all duplicated
+      n-grams ``Σ_{count>1} count·len(ngram) / len(text)`` (can
+      exceed 1 for highly repetitive text — callers threshold, not
+      sum, so it is left unclipped like Gopher's own definition)
+
+    Documents with fewer than ``n`` words produce no n-grams and are
+    absent from the output (inner semantics).
+
+    Scale shape: explode is a flatMap; both aggregations key on the
+    document id, so map-side partial aggregation applies and there is
+    ONE hash Exchange on ``id`` — no self-joins, no windows, no
+    Python. Safe at any corpus size.
+    """
+    ng = df.select(F.col(id_col).alias("id"),
+                   F.length(text_col).alias("tchars"),
+                   F.explode(word_ngrams(F.col(text_col), n)).alias("ng"))
+    cnt = ng.groupBy("id", "tchars", "ng") \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    agg = cnt.groupBy("id", "tchars").agg(
+        F.sum("cnt").alias("ngram_count"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("cnt").alias("top_ngram_count"),
+        F.max(F.col("cnt") * F.length("ng")).alias("top_mass"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("ng"))
+              .otherwise(F.lit(0))).alias("dup_mass"))
+    safe_chars = F.when(F.col("tchars") > 0, F.col("tchars"))  # NULL if 0
+    return agg.select(
+        F.col("id").alias(id_col),
+        "ngram_count", "distinct_ngrams", "top_ngram_count",
+        (F.lit(1.0) - F.col("distinct_ngrams").cast("double")
+         / F.col("ngram_count")).alias("dup_ngram_frac"),
+        (F.col("top_mass").cast("double") / safe_chars)
+        .alias("top_ngram_char_frac"),
+        (F.col("dup_mass").cast("double") / safe_chars)
+        .alias("dup_ngram_char_frac"))

@@ -508,3 +508,114 @@ def test_embedding_near_dups_auto_planes(spark, emb_df):
     explicit = ann.embedding_near_dups(emb_df, threshold=0.9, dim=16,
                                        num_planes=8).toPandas()
     assert key(auto) == key(explicit)  # 50 rows << occupancy → floor 8
+
+
+# ---------------------------------------------------------------------------
+# connected components / fuzzy-dedup clustering
+# ---------------------------------------------------------------------------
+
+def _union_find_components(edges):
+    """Reference min-id labeling via union-find (driver-side)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges if e[0] != e[1] for x in e}
+    groups = {}
+    for x in nodes:
+        groups.setdefault(find(x), []).append(x)
+    return {x: min(mem) for mem in groups.values() for x in mem}
+
+
+def test_connected_components_random_graph(spark):
+    import random
+    rng = random.Random(1234)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    expect = _union_find_components(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == expect
+
+
+def test_connected_components_chain_converges_fast(spark):
+    # a 1001-node path is the worst case for label propagation
+    # (diameter rounds); large-star/small-star must finish in O(log² n)
+    chain = [(i, i + 1) for i in range(1000)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    rows = dedup.connected_components(df, max_iter=20).collect()
+    assert len(rows) == 1001
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_self_loops_and_reversed(spark):
+    edges = [(5, 5), (2, 1), (1, 2), (9, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+    # pure self-loop node 5 carries no connectivity information and is
+    # not emitted; duplicate/reversed edges collapse
+    assert got == {1: 1, 2: 1, 3: 3, 9: 3}
+
+
+def test_drop_near_duplicates_keeps_min_per_cluster(spark, docs_df):
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 0), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.drop_near_duplicates(docs_df, pairs).collect())
+    assert kept == [0, 4]
+
+
+def test_drop_near_duplicates_no_pairs_is_identity(spark, docs_df):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.drop_near_duplicates(docs_df, empty).count() == \
+        docs_df.count()
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "a b a b a b",        # 2-grams: [a b, b a, a b, b a, a b]
+            "x y z",              # 2-grams: [x y, y z] — all unique
+            "w",                  # < 2 words → absent from output
+        ],
+    }))
+    out = {r["doc_id"]: r for r in
+           text.repetition_stats(df, n=2).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert r0["ngram_count"] == 5
+    assert r0["distinct_ngrams"] == 2
+    assert r0["top_ngram_count"] == 3
+    assert r0["dup_ngram_frac"] == pytest.approx(1 - 2 / 5)
+    # len("a b a b a b") == 11; top mass = 3 * len("a b") = 9
+    assert r0["top_ngram_char_frac"] == pytest.approx(9 / 11)
+    # dup mass = 3*3 ("a b") + 2*3 ("b a") = 15
+    assert r0["dup_ngram_char_frac"] == pytest.approx(15 / 11)
+    r1 = out[1]
+    assert r1["dup_ngram_frac"] == 0.0
+    assert r1["dup_ngram_char_frac"] == 0.0
+
+
+def test_repetition_stats_unigrams(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "text": ["spark spark duck"]}))
+    r = text.repetition_stats(df, n=1).collect()[0]
+    assert r["ngram_count"] == 3 and r["distinct_ngrams"] == 2
+    assert r["top_ngram_count"] == 2
+    # len = 16; dup mass = 2 * len("spark") = 10
+    assert r["dup_ngram_char_frac"] == pytest.approx(10 / 16)
