@@ -138,9 +138,12 @@ def repetition_stats(df: "DataFrame", text_col: str = "text",
     absent from the output (inner semantics).
 
     Scale shape: explode is a flatMap; both aggregations key on the
-    document id, so map-side partial aggregation applies and there is
-    ONE hash Exchange on ``id`` — no self-joins, no windows, no
-    Python. Safe at any corpus size.
+    document id so map-side partial aggregation applies to each. The
+    executed plan is two hash Exchanges — the first over per-partition
+    (id, ngram) partial counts (≈ distinct n-grams per doc), the
+    second over per-partition per-DOC partials (≤ one row per doc per
+    partition — negligible). No self-joins, no windows, no Python.
+    Safe at any corpus size.
     """
     ng = df.select(F.col(id_col).alias("id"),
                    F.length(text_col).alias("tchars"),

@@ -155,6 +155,12 @@ class Operator:
     def output_properties(self) -> dict:
         return {}
 
+    def output_dtype(self):
+        """Declared output Spark dtype for schema-only fits
+        (``Workflow.fit_schema``); None = inputs keep their dtype.
+        Default: the op's ``out_dtype`` cast target when it has one."""
+        return getattr(self, "out_dtype", None)
+
 
 class StatOperator(Operator):
     """Two-phase operator (reference stat_operator.py:16): ``fit`` runs

@@ -15,6 +15,7 @@ reference's own dask tests (tests/unit/test_dask_nvt.py:119-138).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Union
 
 from pyspark.sql import DataFrame
@@ -43,10 +44,11 @@ class JoinExternal(Operator):
 
     cheap_transform = False  # join-backed
 
-    def __init__(self, df_ext: DataFrame, on: Union[str, List[str]],
+    def __init__(self, df_ext, on: Union[str, List[str]],
                  how: str = "left", on_ext: Optional[Union[str, List[str]]] = None,
                  columns_ext: Optional[List[str]] = None,
-                 drop_duplicates_ext: bool = False, broadcast: bool = True):
+                 drop_duplicates_ext: bool = False, broadcast: bool = True,
+                 kind_ext: Optional[str] = None, cache: Optional[str] = None):
         if how not in ("left", "inner"):
             raise ValueError("JoinExternal supports only how='left'|'inner'")
         self.on = [on] if isinstance(on, str) else list(on)
@@ -56,14 +58,47 @@ class JoinExternal(Operator):
         self.columns_ext = columns_ext
         self.drop_duplicates_ext = drop_duplicates_ext
         self.broadcast = broadcast
-        self._ext = self._prep(df_ext)
+        #: accepted for reference API parity (join_external.py:75-79);
+        #: the format is inferred from the object and Spark manages
+        #: caching (broadcast) itself, so both are advisory here
+        self.kind_ext = kind_ext
+        self.cache = cache
+        self._ext = self._prep(self._resolve(df_ext))
+
+    @staticmethod
+    def _resolve(ext) -> DataFrame:
+        """Accept the reference's external-table kinds
+        (join_external.py kind_ext: dataframe / pandas / arrow /
+        parquet / csv path / Dataset) and return a Spark DataFrame."""
+        if isinstance(ext, DataFrame):
+            return ext
+        to_ddf = getattr(ext, "to_ddf", None)  # our Dataset wrapper
+        if callable(to_ddf):
+            return to_ddf()
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "JoinExternal needs an active SparkSession to load a "
+                f"{type(ext).__name__} external table")
+        if isinstance(ext, (str, os.PathLike)):
+            path = str(ext)
+            if path.endswith(".csv"):
+                return spark.read.csv(path, header=True, inferSchema=True)
+            return spark.read.parquet(path)
+        if hasattr(ext, "to_pandas"):  # pyarrow.Table
+            ext = ext.to_pandas()
+        return spark.createDataFrame(ext)  # pandas DataFrame
 
     def _prep(self, ext: DataFrame) -> DataFrame:
         if self.columns_ext:
             keep = list(dict.fromkeys(self.on_ext + self.columns_ext))
             ext = ext.select(*keep)
         if self.drop_duplicates_ext:
-            ext = ext.dropDuplicates(self.on_ext)
+            # FULL-row dedup over the selected columns, matching the
+            # reference's drop_duplicates(ignore_index=True)
+            # (join_external.py:135-139) — not key-based
+            ext = ext.dropDuplicates()
         # rename ext join keys to match left-side names
         for l, r in zip(self.on, self.on_ext):
             if l != r:
@@ -124,7 +159,25 @@ class JoinGroupby(StatOperator):
                  name_sep: str = "_", broadcast: bool = True,
                  coerce_dtypes: bool = False):
         super().__init__()
-        self.cont_cols = list(cont_cols or [])
+        # cont_cols may be a str, a list of str, or a workflow NODE
+        # whose outputs are the continuous columns (reference
+        # node-dependency form, tests/unit/ops/test_join.py:33
+        # test_joingroupby_dependency: JoinGroupby(cont_cols=["Cost"]
+        # >> NormalizeMinMax() >> Rename(...)))
+        from ..plans.graph import Node as _Node
+        raw = [cont_cols] if isinstance(cont_cols, (str, _Node)) \
+            else list(cont_cols or [])
+        self.cont_cols: List[str] = []
+        self._cont_nodes: List = []
+        self._node_cont_names: List[str] = []
+        for c in raw:
+            if isinstance(c, _Node):
+                outs = c.output_columns()
+                self._cont_nodes.append(c)
+                self._node_cont_names.extend(outs)
+                self.cont_cols.extend(outs)
+            else:
+                self.cont_cols.append(c)
         self.stats = list(stats or ["count"])
         bad = [s for s in self.stats if s not in _STAT_FNS]
         if bad:
@@ -140,7 +193,30 @@ class JoinGroupby(StatOperator):
         self._paths: Dict[str, str] = {}
 
     def dependencies(self):
-        return list(self.cont_cols)
+        # RAW workflow-input columns only; node-resolved cont_cols are
+        # produced inside the DAG, not read from the source
+        node_made = set(self._node_cont_names)
+        return [c for c in self.cont_cols if c not in node_made]
+
+    def node_dependencies(self):
+        """DAG nodes whose outputs this op consumes (cont_cols given as
+        nodes); attached as Node.dependency_nodes by the graph algebra."""
+        return list(self._cont_nodes)
+
+    def save_params(self):
+        p = super().save_params()
+        # node-resolved cont names must survive load (they are NOT raw
+        # inputs; dependencies() excludes them)
+        p["node_cont_names"] = list(self._node_cont_names)
+        return p
+
+    @classmethod
+    def load_params(cls, params):
+        params = dict(params)
+        node_names = params.pop("node_cont_names", [])
+        op = super().load_params(params)
+        op._node_cont_names = list(node_names)
+        return op
 
     def _group_keys(self, selector: ColumnSelector) -> List[tuple]:
         """Each grouped name (tuple for multi-key) becomes one stats table."""

@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 from .base import AggStatOperator, StatOperator, TransformContext
 
 
+def _is_list_col(df: DataFrame, name: str) -> bool:
+    from pyspark.sql.types import ArrayType
+    return isinstance(df.schema[name].dataType, ArrayType)
+
+
 class Normalize(AggStatOperator):
     """z-score: ``(x - mean) / std`` with sample std (ddof=1); columns
     with std == 0 pass through centered (guard mirrors
@@ -37,6 +42,26 @@ class Normalize(AggStatOperator):
         aggs = []
         self._pubs = [pub for pub, _ in ctx.pairs()]
         for pub, act in ctx.pairs():
+            if _is_list_col(df, act):
+                # list columns: moments over the FLATTENED values
+                # (reference moments.py:68-69 via _custom_moments) —
+                # a per-row fold inside the same single fused agg job
+                vals = F.filter(
+                    F.transform(F.col(act), lambda x: x.cast("double")),
+                    lambda x: x.isNotNull() & ~F.isnan(x))
+                vals = F.when(F.col(act).isNull(),
+                              F.array().cast("array<double>")) \
+                    .otherwise(vals)
+                aggs += [
+                    F.sum(F.size(vals)).alias(self._alias(f"{pub}__n")),
+                    F.sum(F.aggregate(vals, F.lit(0.0),
+                                      lambda a, x: a + x))
+                    .alias(self._alias(f"{pub}__s")),
+                    F.sum(F.aggregate(vals, F.lit(0.0),
+                                      lambda a, x: a + x * x))
+                    .alias(self._alias(f"{pub}__s2")),
+                ]
+                continue
             c = F.col(act).cast("double")
             c = F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ missing
             aggs += [
@@ -61,12 +86,24 @@ class Normalize(AggStatOperator):
         self._require_fitted()
         cols = {}
         for pub, act in ctx.pairs():
-            c = F.col(act).cast("double")
-            std = self.stds[pub]
-            expr = (c - F.lit(self.means[pub]))
-            if std > 0:
-                expr = expr / F.lit(std)
-            cols[ctx.out(pub)] = expr.cast(self.out_dtype)
+            # factory, NOT default-arg lambda: F.transform calls 2-arg
+            # callables as (element, index)
+            def _make_z(_m, _s):
+                def _z(c):
+                    expr = c.cast("double") - F.lit(_m)
+                    if _s > 0:
+                        expr = expr / F.lit(_s)
+                    return expr.cast(self.out_dtype)
+                return _z
+
+            _z = _make_z(self.means[pub], self.stds[pub])
+
+            if _is_list_col(df, act):
+                # element-wise z-score with the flattened-global moments
+                # (reference normalize.py:75-88 flatten → encode back)
+                cols[ctx.out(pub)] = F.transform(F.col(act), _z)
+            else:
+                cols[ctx.out(pub)] = _z(F.col(act))
         return df.withColumns(cols)
 
     def save_state(self):

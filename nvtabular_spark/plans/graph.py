@@ -82,6 +82,11 @@ class ColumnSelector:
         return grouped
 
     def __add__(self, other):
+        if isinstance(other, Node):
+            # selector + node joins the DAG algebra (reference contract:
+            # cat_names + cont_names + label_feature,
+            # tests/unit/ops/test_lambda.py:130)
+            return _to_node(self) + other
         out = ColumnSelector(self)
         other = ColumnSelector(other)
         out.names.extend(other.names)

@@ -34,6 +34,10 @@ class ColumnSchema:
         self.tags: Set[str] = set(tags or ())
         self.properties: dict = dict(properties or {})
 
+    def copy(self) -> "ColumnSchema":
+        return ColumnSchema(self.name, self.dtype, set(self.tags),
+                            dict(self.properties))
+
     def with_tags(self, tags) -> "ColumnSchema":
         out = ColumnSchema(self.name, self.dtype, self.tags, self.properties)
         out.tags |= set([tags] if isinstance(tags, str) else tags)

@@ -53,16 +53,41 @@ class Workflow:
             if node.selector is not None:
                 node.selector.resolve_tags(schema)
         self.input_schema = schema
-        out_schema = Schema([ColumnSchema(n)
-                             for n in self.plan.root.output_columns()])
+        # walk the DAG carrying a per-column schema so annotations
+        # (tags/properties/declared dtype) PROPAGATE through later
+        # renames — reference column-mapping contract
+        # (tests/unit/ops/test_lambda.py:195
+        # test_lambdaop_dtype_propagation: LambdaOp(dtype=...) >>
+        # Rename(...) keeps the dtype on the renamed column)
+        known = {c.name: c.copy()
+                 for c in schema.column_schemas.values()}
         for node in self.plan.order:
             if node.op is None:
                 continue
             sel = node.input_group_selector()
-            for col in node.op.output_column_names(sel):
-                if col in out_schema:
-                    out_schema[col].tags |= set(node.op.output_tags())
-        self.output_schema = out_schema
+            outs = node.op.output_column_names(sel)
+            ins = list(sel.names)
+            if len(outs) == len(ins):
+                # 1:1 element-wise/rename op: each output inherits its
+                # positional input's schema under the new name
+                for i, o in zip(ins, outs):
+                    src = known.get(i)
+                    cs = src.copy() if src is not None else ColumnSchema(o)
+                    cs.name = o
+                    known[o] = cs
+            props = node.op.output_properties()
+            dt = node.op.output_dtype()
+            for col in outs:
+                cs = known.setdefault(col, ColumnSchema(col))
+                cs.tags |= set(node.op.output_tags())
+                cs.properties.update(
+                    props.get(col, {}) if set(props) & set(outs)
+                    else props)
+                if dt:
+                    cs.dtype = dt
+        self.output_schema = Schema(
+            [known.get(n) or ColumnSchema(n)
+             for n in self.plan.root.output_columns()])
         return self
 
     def _resolve_tag_selectors(self, df) -> None:

@@ -406,3 +406,132 @@ def test_column_similarity_save_load_round_trip(spark, tmp_path):
     after = wf2.transform(df).orderBy("rid").toPandas()
     np.testing.assert_allclose(before["a_b_sim"], after["a_b_sim"],
                                rtol=1e-12)
+
+
+def test_normalize_lists(spark):
+    # ported: reference tests/unit/ops/test_normalize.py:88
+    # (test_normalize_lists) — list columns are z-scored with moments
+    # over the FLATTENED values
+    df = spark.createDataFrame(pd.DataFrame(
+        {"rid": [0, 1, 2], "vals": [[0.0, 1.0, 2.0], [3.0, 4.0], [5.0]]}))
+    out = nvt.Workflow((["vals"] >> ops.Normalize()) + ["rid"]) \
+        .fit_transform(df).orderBy("rid").toPandas()
+    flat = np.arange(6, dtype="float64")
+    exp = (flat - flat.mean()) / flat.std(ddof=1)
+    np.testing.assert_allclose(np.concatenate(out["vals"].to_numpy()), exp,
+                               rtol=1e-12)
+
+
+def test_normalize_std_zero(spark):
+    # ported: reference test_normalize.py:111 — constant column
+    # normalizes to all zeros (centered pass-through when std == 0)
+    df = spark.createDataFrame(pd.DataFrame({"a": [10.0] * 7}))
+    out = nvt.Workflow(["a"] >> ops.Normalize()).fit_transform(df).toPandas()
+    assert (out["a"] == 0).all()
+
+
+def test_normalize_list_null_and_nan_elements(spark):
+    # null rows stay null; NaN elements are excluded from the fitted
+    # moments but propagate through the element-wise transform
+    df = spark.createDataFrame(pd.DataFrame({
+        "rid": [0, 1, 2],
+        "v": [[1.0, float("nan")], None, [2.0, 3.0]]}))
+    out = nvt.Workflow((["v"] >> ops.Normalize()) + ["rid"]) \
+        .fit_transform(df).orderBy("rid").toPandas()
+    vals = np.array([1.0, 2.0, 3.0])
+    exp = (vals - vals.mean()) / vals.std(ddof=1)
+    got = out["v"].tolist()
+    assert got[1] is None
+    np.testing.assert_allclose([got[0][0], got[2][0], got[2][1]],
+                               exp, rtol=1e-12)
+    assert np.isnan(got[0][1])
+
+
+def test_joingroupby_node_dependency(spark):
+    # ported: reference tests/unit/ops/test_join.py:33
+    # (test_joingroupby_dependency) — cont_cols given as a workflow NODE
+    # whose outputs feed the groupby stats
+    df = spark.createDataFrame(pd.DataFrame({
+        "Author": ["User_A", "User_A", "User_A", "User_B", "User_B"],
+        "Cost": [100.0, 200.0, 300.0, 400.0, 400.0]}))
+    normalized_cost = ["Cost"] >> ops.NormalizeMinMax() \
+        >> ops.Rename(postfix="_normalized")
+    gf = ["Author"] >> ops.JoinGroupby(stats=["sum"],
+                                       cont_cols=normalized_cost)
+    out = nvt.Workflow(gf).fit_transform(df).orderBy("Author").toPandas()
+    assert out["Author_Cost_normalized_sum"].tolist() == \
+        [1.0, 1.0, 1.0, 2.0, 2.0]
+
+
+def test_joingroupby_node_dependency_save_load(spark, tmp_path):
+    df = spark.createDataFrame(pd.DataFrame({
+        "Author": ["User_A", "User_A", "User_B"],
+        "Cost": [1.0, 3.0, 2.0]}))
+    normalized = ["Cost"] >> ops.NormalizeMinMax() \
+        >> ops.Rename(postfix="_n")
+    wf = nvt.Workflow(["Author"] >> ops.JoinGroupby(
+        stats=["sum"], cont_cols=normalized))
+    expect = wf.fit_transform(df).orderBy("Author").toPandas()
+    wf.save(str(tmp_path / "wf"))
+    wf2 = nvt.Workflow.load(str(tmp_path / "wf"), spark)
+    got = wf2.transform(df).orderBy("Author").toPandas()
+    pd.testing.assert_frame_equal(got, expect)
+
+
+@pytest.mark.parametrize("kind_ext", ["spark", "pandas", "arrow",
+                                      "parquet", "csv", "dataset"])
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_join_external_kinds(spark, tmp_path, kind_ext, how):
+    # ported: reference tests/unit/ops/test_join.py:115
+    # (test_join_external engine × kind_ext × how matrix)
+    left = pd.DataFrame({"id": [1, 2, 3, 4, 2], "x": [10., 20., 30., 40., 21.]})
+    ext = pd.DataFrame({"id": [1, 2, 3, 3],
+                        "new_col": [101, 102, 103, 103],
+                        "new_col_2": ["keep"] * 4,
+                        "new_col_3": ["ignore"] * 4})
+    if kind_ext == "spark":
+        df_ext = spark.createDataFrame(ext)
+    elif kind_ext == "pandas":
+        df_ext = ext
+    elif kind_ext == "arrow":
+        import pyarrow as pa
+        df_ext = pa.Table.from_pandas(ext)
+    elif kind_ext == "parquet":
+        p = str(tmp_path / "external.parquet")
+        spark.createDataFrame(ext).write.parquet(p)
+        df_ext = p
+    elif kind_ext == "csv":
+        p = str(tmp_path / "external.csv")
+        ext.to_csv(p, index=False)
+        df_ext = p
+    else:
+        from nvtabular_spark.sources.dataset import Dataset
+        df_ext = Dataset(spark.createDataFrame(ext))
+
+    joined = ["id", "x"] >> ops.JoinExternal(
+        df_ext, "id", how=how, columns_ext=["id", "new_col", "new_col_2"],
+        drop_duplicates_ext=True)
+    out = nvt.Workflow(joined).fit_transform(
+        spark.createDataFrame(left)).toPandas()
+
+    check = left.merge(
+        ext[["id", "new_col", "new_col_2"]].drop_duplicates(),
+        how=how, on="id").sort_values(["id", "x"]).reset_index(drop=True)
+    got = out.sort_values(["id", "x"]).reset_index(drop=True)[check.columns]
+    assert "new_col_3" not in out.columns
+    assert len(got) == len(check)
+    pd.testing.assert_frame_equal(
+        got.astype({"new_col": "float64"}),
+        check.astype({"new_col": "float64"}))
+
+
+def test_join_external_full_row_dedup(spark):
+    # drop_duplicates_ext is FULL-ROW dedup (reference
+    # join_external.py:135-139): duplicate keys with DIFFERENT payloads
+    # both survive and fan out the join
+    left = spark.createDataFrame(pd.DataFrame({"id": [1]}))
+    ext = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 1, 1], "v": [7, 7, 8]}))
+    out = nvt.Workflow(["id"] >> ops.JoinExternal(
+        ext, "id", drop_duplicates_ext=True)).fit_transform(left).toPandas()
+    assert sorted(out["v"].tolist()) == [7, 8]

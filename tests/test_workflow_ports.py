@@ -345,3 +345,69 @@ def test_node_dependency_values_and_save_load(spark, tmp_path):
     again = wf3.transform(df).orderBy("rid").toPandas()
     np.testing.assert_allclose(again["TE_cat_cost_log"].to_numpy(),
                                got["TE_cat_cost_log"].to_numpy(), rtol=1e-12)
+
+
+def test_lambdaop_misalign(spark):
+    # ported: reference tests/unit/ops/test_lambda.py:130 — a LambdaOp
+    # on one branch must not disturb pass-through branches; the fn may
+    # return a bare ndarray (np.where), coerced to a Series for Arrow
+    import numpy as np
+    pdf = pd.DataFrame({
+        "a": np.arange(12),
+        "b": np.random.RandomState(7).choice(
+            ["apple", "banana", "orange"], 12),
+        "c": np.random.RandomState(8).choice([0, 1], 12)})
+    df = spark.createDataFrame(pdf)
+
+    def zero_if_four(col):
+        import numpy as _np
+        return _np.where(col == 4, 0, 1)
+
+    wf = nvt.Workflow(ColumnSelector(["b"]) + ColumnSelector(["a"])
+                      + (ColumnSelector(["c"])
+                         >> ops.LambdaOp(zero_if_four, dtype="int")))
+    out = wf.fit_transform(df).orderBy("a").toPandas()
+    pd.testing.assert_frame_equal(
+        out[["a", "b"]], pdf.sort_values("a")[["a", "b"]]
+        .reset_index(drop=True))
+    assert out["c"].tolist() == [1] * 12  # c values are 0/1, never 4
+
+
+def test_lambdaop_schema_computation(spark):
+    # ported: reference test_lambda.py:161 — dtype/tags/properties
+    # declared on LambdaOp land in the fit_schema output schema
+    import numpy as np
+    schema = Schema(["c"])
+    wf = nvt.Workflow(ColumnSelector(["c"]) >> ops.LambdaOp(
+        lambda col: col.astype("float64"), dtype=np.float64,
+        tags=["target"], properties={"prop1": True}))
+    wf.fit_schema(schema)
+    cs = wf.output_schema["c"]
+    assert cs.dtype == "double"
+    assert cs.tags == {"target"}
+    assert cs.properties == {"prop1": True}
+
+
+def test_lambdaop_dtype_propagation_through_rename(spark):
+    # ported: reference test_lambda.py:195 — the declared dtype rides
+    # through a downstream Rename to the renamed output column
+    import numpy as np
+    schema = Schema(["c"])
+    wf = nvt.Workflow(ColumnSelector(["c"])
+                      >> ops.LambdaOp(lambda col: col.astype("float64"),
+                                      dtype=np.float64)
+                      >> ops.Rename(postfix="_renamed"))
+    wf.fit_schema(schema)
+    assert wf.output_schema.column_names == ["c_renamed"]
+    assert wf.output_schema["c_renamed"].dtype == "double"
+
+
+def test_lambdaop_numpy_dtype_runtime(spark):
+    # numpy dtype param maps to the Spark type at runtime too
+    pdf = pd.DataFrame({"c": [1.0, 2.0]})
+    import numpy as np
+    wf = nvt.Workflow(ColumnSelector(["c"]) >> ops.LambdaOp(
+        lambda col: col * 2, dtype=np.float32))
+    out = wf.fit_transform(spark.createDataFrame(pdf))
+    assert dict(out.dtypes)["c"] == "float"
+    assert out.toPandas()["c"].tolist() == [2.0, 4.0]
