@@ -24,3 +24,11 @@ def to_lower(s):
 
 def str_length(s):
     return s.str.len().astype("float64")
+
+
+def slice_5(s):
+    return s.str.slice(0, 5)
+
+
+def slice_2(s):
+    return s.str.slice(0, 2)

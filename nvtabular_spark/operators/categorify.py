@@ -116,6 +116,7 @@ class Categorify(StatOperator):
         self._vocab_dfs: Dict[str, DataFrame] = {}
         self._paths: Dict[str, str] = {}
         self._sizes: Dict[str, int] = {}
+        self._member_keys: Dict[str, str] = {}
 
     # -- option resolution ---------------------------------------------------
     def _opt(self, option, key: str, default):
@@ -162,6 +163,17 @@ class Categorify(StatOperator):
         final aggregation."""
         self._vocab_dfs, self._paths, self._sizes = {}, {}, {}
         groups = self._groups(ctx.selector)
+        # output column → vocab key, for schema domain properties
+        # (reference domain contract: joint members share one domain,
+        # tests/unit/ops/test_categorify.py:562 test_categorify_domain_name)
+        self._member_keys = {}
+        for g in groups:
+            key = self._group_key(g)
+            if self.encode_type == "combo" and len(g) > 1:
+                self._member_keys[key] = key
+            else:
+                for c in g:
+                    self._member_keys[c] = key
 
         # classify groups
         stackable: list = []   # (key, col, tag, cast_string, is_list)
@@ -625,12 +637,22 @@ class Categorify(StatOperator):
         return ["categorical"]
 
     def output_properties(self):
+        """Per-OUTPUT-column properties incl. the reference ``domain``
+        contract ({name, min, max} — categorify.py output schema;
+        joint members share one domain name/max, combo outputs carry
+        the combined name)."""
+        member_keys = getattr(self, "_member_keys", None) or \
+            {k: k for k in self._sizes}
         props = {}
-        for key, size in self._sizes.items():
-            props[key] = {
+        for col, key in member_keys.items():
+            size = self._sizes.get(key)
+            if size is None:
+                continue
+            props[col] = {
                 "cardinality": size,
                 "embedding_size": embedding_size(size),
                 "cat_path": self._paths.get(key),
+                "domain": {"name": key, "min": 0, "max": size},
             }
         return props
 
@@ -646,11 +668,17 @@ class Categorify(StatOperator):
         self.fitted = True
 
     def save_state(self):
-        return {"sizes": self._sizes}
+        return {"sizes": self._sizes,
+                "member_keys": getattr(self, "_member_keys", {})}
+
+    def load_state(self, state):
+        self._sizes = dict(state.get("sizes", {}))
+        self._member_keys = dict(state.get("member_keys", {}))
 
     def clear(self):
         super().clear()
         self._vocab_dfs, self._paths, self._sizes = {}, {}, {}
+        self._member_keys = {}
 
 
 def _spark_int_type(dtype: str):

@@ -25,6 +25,24 @@ class Workflow:
         self.input_schema: Optional[Schema] = None
         self.output_schema: Optional[Schema] = None
 
+    @property
+    def input_dtypes(self) -> dict:
+        """Name → Spark dtype of the PRUNED workflow inputs (reference
+        workflow.py input_dtypes, tests/unit/workflow/test_workflow.py:617:
+        columns the DAG never references are absent). Available after
+        fit / fit_schema / load."""
+        if self.input_schema is None:
+            return {}
+        return {c.name: c.dtype
+                for c in self.input_schema.column_schemas.values()}
+
+    @property
+    def output_dtypes(self) -> dict:
+        if self.output_schema is None:
+            return {}
+        return {c.name: c.dtype
+                for c in self.output_schema.column_schemas.values()}
+
     @staticmethod
     def _unwrap(df):
         # accept the Dataset API-parity wrapper transparently

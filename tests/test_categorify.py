@@ -285,3 +285,59 @@ def test_categorify_max_size_reference_port(spark, max_emb_size):
         # embedding-size heuristic derived from the capped cardinality
         props = op.output_properties()[name]
         assert props["cardinality"] <= sizes[name] + 1
+
+
+@pytest.mark.parametrize("cat_names", [[("Author", "Engaging User")],
+                                       ["Author", "Engaging User"]])
+@pytest.mark.parametrize("kind", ["joint", "combo"])
+def test_categorify_domain_name(spark, cat_names, kind):
+    # ported: reference tests/unit/ops/test_categorify.py:562 — every
+    # categorical output column carries properties["domain"]["name"];
+    # joint members share one name, combo outputs carry the combined
+    # name, independent columns get distinct names
+    df = spark.createDataFrame(pd.DataFrame({
+        "Author": ["User_A", "User_E", "User_B", "User_C"],
+        "Engaging User": ["User_B", "User_B", "User_A", "User_D"],
+        "Post": [1, 2, 3, 4]}))
+    wf = nvt.Workflow(cat_names >> ops.Categorify(encode_type=kind))
+    wf.fit_transform(df)
+
+    domain_names = []
+    for col in wf.output_schema.column_names:
+        cs = wf.output_schema[col]
+        assert cs.properties != {}
+        assert "name" in cs.properties["domain"]
+        domain_names.append(cs.properties["domain"]["name"])
+    if len(cat_names) == 1 and kind == "combo":
+        assert domain_names == ["Author_Engaging User"]
+    elif len(cat_names) == 1 and kind == "joint":
+        assert len(set(domain_names)) == 1
+    else:
+        assert len(set(domain_names)) > 1
+
+
+def test_categorify_domain_max(spark):
+    # ported: reference test_categorify.py:597 — domain max > 0 on
+    # every output column after a joint fit incl. a shared group
+    df = spark.createDataFrame(pd.DataFrame({
+        "Author": ["User_A", "User_E", "User_B", "User_C"],
+        "Engaging User": ["User_B", "User_B", "User_A", "User_D"],
+        "Post": [1, 2, 3, 4]}))
+    wf = nvt.Workflow(["Post", ("Author", "Engaging User")]
+                      >> ops.Categorify(encode_type="joint"))
+    wf.fit_transform(df)
+    for col in ["Post", "Author", "Engaging User"]:
+        assert wf.output_schema[col].properties["domain"]["max"] > 0
+
+
+def test_categorify_domain_survives_save_load(spark, tmp_path):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a", "b", "a"]}))
+    wf = nvt.Workflow(["g"] >> ops.Categorify())
+    wf.fit(df)
+    p = str(tmp_path / "wf_dom")
+    wf.save(p)
+    wf2 = nvt.Workflow.load(p, spark)
+    op = [n.op for n in wf2.plan.order if isinstance(n.op, ops.Categorify)][0]
+    props = op.output_properties()["g"]
+    assert props["domain"]["name"] == "g"
+    assert props["domain"]["max"] == props["cardinality"] > 0

@@ -450,3 +450,110 @@ def test_subgraph_serialization_round_trip(spark, pipeline_df, tmp_path):
     pd.testing.assert_frame_equal(before, after)
     sub = wf2.get_subworkflow("enc")
     assert sorted(sub.transform(pipeline_df).columns) == ["cat"]
+
+
+def test_workflow_move_saved(spark, tmp_path):
+    # ported: reference tests/unit/workflow/test_workflow.py:582
+    # (test_workflow_move_saved) — a saved workflow directory (incl.
+    # Categorify vocab parquet artifacts) must keep working after being
+    # MOVED: artifact paths must be relative to the save root
+    import shutil
+    from nvtabular_spark.functions.udfs import slice_2, slice_5
+    raw = "US>SC>519 US>CA>807 US>MI>505 US>CA>510 CA>NB US>CA>534".split()
+    df = spark.createDataFrame(pd.DataFrame({"geo": raw}))
+    state = ["geo"] >> ops.LambdaOp(slice_5, dtype="string") \
+        >> ops.Rename(postfix="_state")
+    country = ["geo"] >> ops.LambdaOp(slice_2, dtype="string") \
+        >> ops.Rename(postfix="_country")
+    wf = nvt.Workflow((state + country + ["geo"]) >> ops.Categorify())
+    expected = wf.fit_transform(df).orderBy("geo").toPandas()
+
+    out = str(tmp_path / "output" / "workflow")
+    wf.save(out)
+    moved = str(tmp_path / "output" / "workflow2")
+    shutil.move(out, moved)
+    wf2 = nvt.Workflow.load(moved, spark)
+    got = wf2.transform(df).orderBy("geo").toPandas()
+    pd.testing.assert_frame_equal(got, expected)
+
+
+def test_workflow_double_fit(spark):
+    # ported: reference test_workflow.py:55 — fitting twice from
+    # scratch gives identical results (stat state fully cleared)
+    df = spark.createDataFrame(pd.DataFrame({"a": ["x", "y", "x", "z"]}))
+    wf = nvt.Workflow(["a"] >> ops.Categorify())
+    r1 = wf.fit_transform(df).orderBy("a").toPandas()
+    r2 = wf.fit_transform(df).orderBy("a").toPandas()
+    pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_workflow_input_output_dtypes(spark):
+    # ported: reference test_workflow.py:617 — input_dtypes covers only
+    # DAG-referenced columns; output_dtypes matches the output schema
+    df = spark.createDataFrame(pd.DataFrame({
+        "genre": ["drama", "comedy"], "user": ["a", "b"],
+        "unneeded": [1, 2]}))
+    wf = nvt.Workflow(
+        [("genre", "user"), "genre"] >> ops.Categorify(encode_type="combo"))
+    wf.fit(df)
+    assert "unneeded" not in wf.input_dtypes
+    assert set(wf.input_dtypes) == {"genre", "user"}
+    assert set(wf.output_dtypes) == {"genre_user", "genre"}
+
+
+def test_workflow_saved_schema(spark, tmp_path):
+    # ported: reference test_workflow.py:653 — fitted input/output
+    # schemas survive the save/load round-trip
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a", "b", "a"]}))
+    wf = nvt.Workflow(["g"] >> ops.Categorify())
+    wf.fit(df)
+    p = str(tmp_path / "wf_schema")
+    wf.save(p)
+    wf2 = nvt.Workflow.load(p, spark)
+    assert wf2.input_schema.to_dict() == wf.input_schema.to_dict()
+    assert wf2.output_schema.to_dict() == wf.output_schema.to_dict()
+    assert wf2.input_dtypes == wf.input_dtypes
+
+
+def test_transform_without_fit_no_stat_ops(spark):
+    # ported: reference test_workflow.py:553 (test_transform_geolocation)
+    # — a DAG with no StatOperators transforms without fitting
+    raw = "US>SC>519 US>CA>807 US>MI>505 US>CA>510 CA>NB US>CA>534".split()
+    df = spark.createDataFrame(pd.DataFrame({"geo_location": raw}))
+    from nvtabular_spark.functions.udfs import slice_2, slice_5
+    state = ["geo_location"] >> ops.LambdaOp(slice_5, dtype="string") \
+        >> ops.Rename(postfix="_state")
+    country = ["geo_location"] >> ops.LambdaOp(slice_2, dtype="string") \
+        >> ops.Rename(postfix="_country")
+    feats = (state + country + ["geo_location"]) \
+        >> ops.HashBucket(num_buckets=100)
+    out = nvt.Workflow(feats).transform(df).toPandas()
+    assert out.columns.tolist() == \
+        ["geo_location_state", "geo_location_country", "geo_location"]
+    assert ((out >= 0) & (out < 100)).all().all()
+
+
+def test_fit_simple_chained_stat_then_lambda(spark):
+    # ported: reference test_workflow.py:536 (test_fit_simple)
+    pdf = pd.DataFrame({"x": [0., 1., 2., None, 0., 1., 2.],
+                        "y": [None, 3., 4., 5., 3., 4., 5.]})
+    df = spark.createDataFrame(pdf)
+
+    def sq(s):   # nested → cloudpickled by value
+        return s * s
+
+    wf = nvt.Workflow(["x", "y"] >> ops.FillMedian() >> ops.LambdaOp(sq))
+    out = wf.fit_transform(df).toPandas()
+    assert sorted(out["x"].tolist()) == [0., 0., 1., 1., 1., 4., 4.]
+    assert sorted(out["y"].tolist()) == [9., 9., 16., 16., 16., 25., 25.]
+
+
+def test_grab_additional_input_columns(spark):
+    # ported: reference test_workflow.py:97 — a concat node pulls extra
+    # raw inputs alongside an op branch, preserving order
+    df = spark.createDataFrame(pd.DataFrame(
+        {"x": [1., -2.], "y": [3., 4.], "z": [0., 0.]}))
+    node2 = (["x"] >> ops.FillMissing()) >> ops.Clip(min_value=0)
+    out = nvt.Workflow(node2 + ["y"]).fit_transform(df).toPandas()
+    assert out.columns.tolist() == ["x", "y"]
+    assert out["x"].tolist() == [1.0, 0.0]
