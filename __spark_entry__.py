@@ -428,6 +428,18 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(docs, n=2)
 
 
+def q_duplicate_spans(spark, sf_dir, family="md5"):
+    # substring-level dedup (Lee et al. 2022): maximal word spans >= k
+    # that appear in more than one document
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, k=8, family=family)
+
+
+def q_duplicate_span_stats(spark, sf_dir, family="md5"):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_span_stats(docs, k=8, family=family)
+
+
 def q_simhash_pairs(spark, sf_dir, family="md5"):
     # bits=64 / max_hamming=3 → 16-bit chunk keys (65,536 buckets per
     # chunk, not 8 as the old bits=16/max_hamming=4 setting gave);
@@ -576,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "near_dedup_survivors": q_near_dedup_survivors,
         "text_repetition": q_text_repetition,
+        "duplicate_spans": q_duplicate_spans,
+        "duplicate_span_stats": q_duplicate_span_stats,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -658,6 +672,40 @@ def oracle_sql() -> dict[str, str]:
         _bucket_terms.append(
             f"(CASE WHEN (0.0 + {proj}) > 0 THEN {1 << p} ELSE 0 END)")
     emb_bucket = " + ".join(_bucket_terms)
+
+    # duplicate-span closure shared by both span queries: positional
+    # 8-gram rolling hashes → cross-doc duplicated hashes → merged
+    # per-doc spans (gaps-and-islands, identical frames both engines)
+    sp8 = dedup.shingle_hashes_sql("w", 8, _md5h)
+    spans_cte = f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') w
+                       FROM documents),
+            sh AS (SELECT doc_id, {sp8} AS hl FROM w WHERE len(w) >= 8),
+            post AS (SELECT doc_id, u.pos AS pos, u.h AS h
+                     FROM (SELECT doc_id,
+                             unnest(list_transform(range(len(hl)),
+                               i -> struct_pack(pos := i, h := hl[i+1])))
+                             AS u
+                           FROM sh)),
+            dup AS (SELECT h FROM post GROUP BY h
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            occ AS (SELECT p.doc_id, p.pos, p.pos + 8 AS e
+                    FROM post p JOIN dup USING (h)),
+            m AS (SELECT doc_id, pos, e,
+                    CASE WHEN max(e) OVER pw IS NULL
+                           OR pos > max(e) OVER pw THEN 1 ELSE 0 END AS ni
+                  FROM occ
+                  WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)),
+            isl AS (SELECT doc_id, pos, e,
+                      SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+                    FROM m),
+            spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                             MAX(e) AS span_end
+                      FROM isl GROUP BY doc_id, island)"""
 
     # shared by minhash_lsh_pairs and the components/survivors closures
     lsh_pairs = f"""
@@ -963,6 +1011,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (
               SELECT id FROM reach GROUP BY id
               HAVING id <> MIN(label))""",
+        "duplicate_spans": spans_cte + """
+            SELECT doc_id, span_start, span_end FROM spans""",
+        "duplicate_span_stats": spans_cte + """,
+            per AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+                           SUM(span_end - span_start) AS dup_words
+                    FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_words,
+                   COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+                   COALESCE(p.dup_words, 0) AS dup_words,
+                   CASE WHEN len(string_split(d.text, ' ')) > 0
+                        THEN CAST(COALESCE(p.dup_words, 0) AS DOUBLE)
+                             / len(string_split(d.text, ' '))
+                   END AS dup_word_frac
+            FROM documents d LEFT JOIN per p USING (doc_id)""",
         "text_repetition": """
             WITH w AS (SELECT doc_id, len(text) tchars,
                               string_split(text, ' ') w FROM documents),

@@ -473,3 +473,77 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     losers = comp.where(F.col("id") != F.col("component")) \
         .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    family: str = "md5") -> DataFrame:
+    """Word-index spans ``[span_start, span_end)`` of length ≥ ``k``
+    whose content appears in MORE THAN ONE document — the
+    substring-level exact-dedup signal of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"
+    (public), as used by NeMo-Curator-class pipelines.
+
+    Method: every position's ``k``-gram rolling hash
+    (:func:`word_shingle_hashes` — one flatMap, no strings
+    materialized) becomes a posting ``(doc, pos, h)``; hashes seen in
+    ≥ 2 distinct docs mark their occurrences as duplicated
+    ``[pos, pos+k)`` windows, which are then merged into maximal
+    per-doc spans (gaps-and-islands over a doc-keyed window).
+
+    Scale shape: ONE groupBy on the hash (map-side partial agg), one
+    linear semi-join back onto the postings (each occurrence appears
+    once — NO quadratic candidate join anywhere), one doc-keyed window
+    for the merge. Safe at any corpus size without occupancy caps —
+    unlike pair generation, a hot boilerplate hash here contributes
+    only its own occurrences, not a cross product.
+    """
+    from pyspark.sql import Window
+
+    hashes = word_shingle_hashes(F.col(text_col), k, family)
+    posting = df.select(F.col(id_col).alias("doc"),
+                        F.posexplode(hashes).alias("pos", "h"))
+    dup = (posting.groupBy("h")
+           .agg(F.count_distinct("doc").alias("nd"))
+           .filter(F.col("nd") >= 2).select("h"))
+    occ = posting.join(dup, "h").select(
+        "doc", "pos", (F.col("pos") + F.lit(k)).alias("e"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    occ = occ.withColumn(
+        "ni", F.when(prev_end.isNull() | (F.col("pos") > prev_end),
+                     F.lit(1)).otherwise(F.lit(0)))
+    occ = occ.withColumn(
+        "island",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (occ.groupBy("doc", "island")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 F.max("e").cast("long").alias("span_end"))
+            .select(F.col("doc").alias(id_col), "span_start", "span_end"))
+
+
+def duplicate_span_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8,
+                         family: str = "md5") -> DataFrame:
+    """Per-document duplicated-span mass: how much of each doc is
+    covered by cross-document duplicate spans (≥ ``k`` words). The
+    standard quality filter drops docs whose ``dup_word_frac`` exceeds
+    a threshold. Docs never touched by a duplicate span report zeros.
+    """
+    spans = duplicate_spans(df, text_col, id_col, k, family)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_words"))
+    base = df.select(F.col(id_col),
+                     F.size(words(F.col(text_col))).cast("long")
+                     .alias("n_words"))
+    out = base.join(per_doc, id_col, "left")
+    n_spans = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
+    dw = F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
+    return out.select(
+        id_col, "n_words",
+        n_spans.alias("n_dup_spans"),
+        dw.alias("dup_words"),
+        F.when(F.col("n_words") > 0,
+               dw.cast("double") / F.col("n_words"))
+        .alias("dup_word_frac"))

@@ -619,3 +619,61 @@ def test_repetition_stats_unigrams(spark):
     assert r["top_ngram_count"] == 2
     # len = 16; dup mass = 2 * len("spark") = 10
     assert r["dup_ngram_char_frac"] == pytest.approx(10 / 16)
+
+
+# ---------------------------------------------------------------------------
+# duplicate spans (substring-level dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_planted(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            f"start {shared} end",          # span at words [1, 9)
+            f"{shared} trailing words here",  # span at words [0, 8)
+            "completely different content with no overlap at all",
+        ]}))
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in dedup.duplicate_spans(df, k=8).collect()}
+    assert spans == {(0, 1, 9), (1, 0, 8)}
+
+
+def test_duplicate_spans_merge_overlapping(spark):
+    # two docs share a 10-word run → k=8 gives 3 overlapping 8-windows
+    # in each doc that must merge into ONE maximal span
+    run = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [f"{run} tailA tailB", f"prefix {run}"]}))
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in dedup.duplicate_spans(df, k=8).collect()}
+    assert spans == {(0, 0, 10), (1, 1, 11)}
+
+
+def test_duplicate_span_stats_fractions(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            f"{shared} x y",                 # 8 of 10 words duplicated
+            shared,                          # 8 of 8
+            "unique text entirely its own lane",  # 0 of 6
+        ]}))
+    stats = {r["doc_id"]: r for r in
+             dedup.duplicate_span_stats(df, k=8).collect()}
+    assert stats[0]["dup_words"] == 8 and stats[0]["n_words"] == 10
+    assert stats[0]["dup_word_frac"] == pytest.approx(0.8)
+    assert stats[1]["dup_word_frac"] == pytest.approx(1.0)
+    assert stats[2]["n_dup_spans"] == 0
+    assert stats[2]["dup_word_frac"] == 0.0
+
+
+def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
+    # the signal is CROSS-document duplication: a doc repeating its own
+    # 8-gram (but unique corpus-wide) produces no spans
+    run = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [f"{run} {run}", "some other words " * 3]}))
+    assert dedup.duplicate_spans(df, k=8).count() == 0
