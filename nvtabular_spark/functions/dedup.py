@@ -386,10 +386,13 @@ def _large_star(e: DataFrame) -> DataFrame:
             .distinct())
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
     """Small-star: u and all its smaller neighbors re-point at the
-    smallest of them."""
-    o = _oriented(e)
+    smallest of them. ``oriented=True`` skips the canonicalization
+    shuffle when the input is already (larger → smaller) and distinct
+    — true for every large-star output, saving one full-edge-set
+    Exchange per convergence round."""
+    o = e if oriented else _oriented(e)
     mins = o.groupBy("u").agg(F.min("v").alias("mn"))
     nbrs = o.join(mins, "u").select(F.col("v").alias("u"),
                                     F.col("mn").alias("v"))
@@ -421,14 +424,18 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     part of the LLM-pipeline extension surface (fuzzy dedup needs
     clusters, not just pairs, to drop all-but-one copy).
 
-    Each round materializes via ``localCheckpoint`` so the iterative
-    lineage never grows; the per-round signature (count + XOR-style
-    hash-sum) detects convergence with one tiny aggregate, no
-    driver-side edge copies.
+    Memory/lineage discipline: each round ``localCheckpoint``s — the
+    truncation is LOAD-BEARING, because each round's plan references
+    the previous edge set several times (union+reverse, join with its
+    own groupBy), so an untruncated logical plan grows EXPONENTIALLY
+    and plan canonicalization alone OOMs after ~10 rounds. Old
+    checkpoint blocks are released by Spark's ContextCleaner once the
+    previous round's DataFrame is dropped (the loop rebinds ``e``
+    every round); a JVM GC hint every few rounds expedites that under
+    heap pressure so peak block storage stays a few rounds of edges.
+    The per-round signature (count + xor of edge hashes) detects
+    convergence with one tiny aggregate, no driver-side edge copies.
     """
-    e = _oriented(pairs.select(F.col(src).alias("u"),
-                               F.col(dst).alias("v"))).localCheckpoint()
-
     def _sig(edges: DataFrame):
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
@@ -438,11 +445,20 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
         return (row["n"], row["h"])
 
+    e = _oriented(pairs.select(F.col(src).alias("u"),
+                               F.col(dst).alias("v"))).localCheckpoint()
+    spark = pairs.sparkSession
     sig = _sig(e)
-    for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+    for i in range(max_iter):
+        # large-star output is already oriented+distinct → small-star
+        # skips its canonicalization shuffle
+        e2 = _small_star(_large_star(e), oriented=True).localCheckpoint()
         sig2 = _sig(e2)
-        e = e2
+        e = e2   # previous round's DataFrame dropped → cleaner-eligible
+        if (i + 1) % 5 == 0:
+            # nudge the ContextCleaner to actually release dropped
+            # checkpoint blocks before heap pressure builds
+            spark.sparkContext._jvm.System.gc()
         if sig2 == sig:
             break
         sig = sig2
@@ -477,7 +493,8 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 8,
-                    family: str = "md5") -> DataFrame:
+                    family: str = "md5",
+                    cache_postings: bool = False) -> DataFrame:
     """Word-index spans ``[span_start, span_end)`` of length ≥ ``k``
     whose content appears in MORE THAN ONE document — the
     substring-level exact-dedup signal of Lee et al. 2022,
@@ -497,12 +514,22 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     for the merge. Safe at any corpus size without occupancy caps —
     unlike pair generation, a hot boilerplate hash here contributes
     only its own occurrences, not a cross product.
+
+    The posting relation feeds BOTH the duplicate-hash groupBy and the
+    join probe side; by default Catalyst plans two scans, i.e. the
+    text is hashed twice — the deliberate 100 TB default, because
+    persisting a corpus-sized posting table is worse than one extra
+    map pass. ``cache_postings=True`` checkpoints the postings instead
+    (hash once) — the right call for corpora that fit executor
+    storage.
     """
     from pyspark.sql import Window
 
     hashes = word_shingle_hashes(F.col(text_col), k, family)
     posting = df.select(F.col(id_col).alias("doc"),
                         F.posexplode(hashes).alias("pos", "h"))
+    if cache_postings:
+        posting = posting.localCheckpoint(eager=False)
     dup = (posting.groupBy("h")
            .agg(F.count_distinct("doc").alias("nd"))
            .filter(F.col("nd") >= 2).select("h"))
@@ -524,13 +551,15 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
 
 def duplicate_span_stats(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 8,
-                         family: str = "md5") -> DataFrame:
+                         family: str = "md5",
+                         cache_postings: bool = False) -> DataFrame:
     """Per-document duplicated-span mass: how much of each doc is
     covered by cross-document duplicate spans (≥ ``k`` words). The
     standard quality filter drops docs whose ``dup_word_frac`` exceeds
     a threshold. Docs never touched by a duplicate span report zeros.
     """
-    spans = duplicate_spans(df, text_col, id_col, k, family)
+    spans = duplicate_spans(df, text_col, id_col, k, family,
+                            cache_postings)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_words"))

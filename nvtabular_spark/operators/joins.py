@@ -63,13 +63,17 @@ class JoinExternal(Operator):
         #: caching (broadcast) itself, so both are advisory here
         self.kind_ext = kind_ext
         self.cache = cache
-        self._ext = self._prep(self._resolve(df_ext))
+        self._ext = self._prep(self._resolve(df_ext, kind_ext))
 
     @staticmethod
-    def _resolve(ext) -> DataFrame:
+    def _resolve(ext, kind_ext: Optional[str] = None) -> DataFrame:
         """Accept the reference's external-table kinds
         (join_external.py kind_ext: dataframe / pandas / arrow /
-        parquet / csv path / Dataset) and return a Spark DataFrame."""
+        parquet / csv path / Dataset) and return a Spark DataFrame.
+        An explicit ``kind_ext`` of ``"csv"``/``"parquet"`` decides the
+        path reader; otherwise the format is inferred from a ``.csv``
+        suffix (a declared format must win — a ``.tsv`` csv file would
+        otherwise be read as parquet)."""
         if isinstance(ext, DataFrame):
             return ext
         to_ddf = getattr(ext, "to_ddf", None)  # our Dataset wrapper
@@ -83,8 +87,13 @@ class JoinExternal(Operator):
                 f"{type(ext).__name__} external table")
         if isinstance(ext, (str, os.PathLike)):
             path = str(ext)
-            if path.endswith(".csv"):
+            kind = (kind_ext or "").lower()
+            if kind == "csv" or (not kind and path.endswith(".csv")):
                 return spark.read.csv(path, header=True, inferSchema=True)
+            if kind and kind != "parquet":
+                raise ValueError(
+                    f"JoinExternal kind_ext={kind_ext!r} is not a "
+                    "readable path format here (use 'csv' or 'parquet')")
             return spark.read.parquet(path)
         if hasattr(ext, "to_pandas"):  # pyarrow.Table
             ext = ext.to_pandas()

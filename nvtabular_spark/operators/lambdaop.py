@@ -25,21 +25,35 @@ from .base import Operator
 
 _NUMPY_TO_SPARK = {
     "float64": "double", "float32": "float", "float16": "float",
+    "float128": "double",
     "int64": "bigint", "int32": "int", "int16": "smallint",
-    "int8": "tinyint", "uint32": "bigint", "uint64": "bigint",
+    "int8": "tinyint",
+    "uint8": "smallint", "uint16": "int", "uint32": "bigint",
+    "uint64": "bigint",
     "bool": "boolean", "object": "string", "str": "string",
+    "datetime64[ns]": "timestamp", "datetime64[us]": "timestamp",
+    "datetime64[ms]": "timestamp", "datetime64[s]": "timestamp",
 }
 
 
 def _spark_dtype(dtype) -> str:
     """Accept a Spark type string OR a numpy dtype/type (the reference
-    API takes np.float64 etc., lambdaop.py dtype param)."""
+    API takes np.float64 etc., lambdaop.py dtype param). Unsigned ints
+    widen to the next signed Spark type. An unmapped numpy dtype raises
+    a clear ValueError instead of leaking a KeyError or an invalid
+    Spark type string into pandas_udf."""
     if dtype is None:
         return "double"
     if isinstance(dtype, str) and dtype not in _NUMPY_TO_SPARK:
-        return dtype
+        return dtype  # assume a Spark type string ("double", "array<int>", …)
     import numpy as np
-    return _NUMPY_TO_SPARK[np.dtype(dtype).name]
+    name = np.dtype(dtype).name if not isinstance(dtype, str) else dtype
+    try:
+        return _NUMPY_TO_SPARK[name]
+    except KeyError:
+        raise ValueError(
+            f"LambdaOp dtype {dtype!r} (numpy {name!r}) has no Spark "
+            "mapping; pass a Spark type string instead") from None
 
 
 def _as_series(result):

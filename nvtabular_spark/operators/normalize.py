@@ -30,7 +30,16 @@ class Normalize(AggStatOperator):
     """z-score: ``(x - mean) / std`` with sample std (ddof=1); columns
     with std == 0 pass through centered (guard mirrors
     normalize.py:86-90). Batchable: its fit is one count/sum/sum² agg
-    (moments.py:28-116), fused with sibling stat ops into one job."""
+    (moments.py:28-116), fused with sibling stat ops into one job.
+
+    Numerical note: the one-pass ``(s2 − s²/n)/(n−1)`` finalize (scalar
+    AND flattened-list paths) deliberately mirrors the reference's own
+    ``_custom_moments`` sum formula — same cancellation behavior for
+    large-offset/small-variance data (e.g. epoch timestamps), where
+    both engines degrade toward std≈0 and the guard centers without
+    scaling. Pre-shift such columns (e.g. subtract a base timestamp)
+    before normalizing; the fused JoinGroupby var path uses Chan
+    merging because there dtype/precision parity is contractual."""
 
     def __init__(self, out_dtype: str = "double"):
         super().__init__()

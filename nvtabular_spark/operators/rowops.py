@@ -18,6 +18,8 @@ from ..plans.graph import ColumnSelector
 
 
 class Rename(Operator):
+    preserves_dtype = True  # schema-only op: values untouched
+
     """Rename via callable, postfix, or fixed name (reference
     rename.py:20-78; ``name`` requires a single input column)."""
 
@@ -62,6 +64,8 @@ class Rename(Operator):
 
 
 class Filter(Operator):
+    preserves_dtype = True  # row/metadata op: values untouched
+
     """Row filter (reference filter.py:28-62). Accepts either a Spark
     Column / SQL-string predicate (fast path, stays in codegen) or a
     callable ``DataFrame -> Column`` evaluated against the selected
@@ -187,6 +191,8 @@ class _ColumnProxy:
 
 
 class Dropna(Operator):
+    preserves_dtype = True  # row/metadata op: values untouched
+
     """Drop rows with nulls in the selected columns (dropna.py:21-37)."""
 
     row_preserving = False
@@ -198,6 +204,8 @@ class Dropna(Operator):
 
 
 class AddMetadata(Operator):
+    preserves_dtype = True  # row/metadata op: values untouched
+
     """Data no-op; annotates the sidecar schema with tags/properties
     (reference add_metadata.py:21-72)."""
 
@@ -303,6 +311,8 @@ class ReduceDtypeSize(AggStatOperator):
 
 
 class DropLowCardinality(AggStatOperator):
+    preserves_dtype = True  # drops columns/rows, never rewrites values
+
     """Drops categorical columns whose distinct count < min_cardinality
     (reference drop_low_cardinality.py:21-89; there it is schema-driven
     from Categorify metadata — here we measure with

@@ -18,6 +18,20 @@ from .graph import ColumnSelector, Node, _to_node
 from .schema import ColumnSchema, Schema
 
 
+def _apply_props(cs: ColumnSchema, props: dict, col: str, outs) -> None:
+    """Attach an op's output_properties to one output column. The dict
+    is treated as a PER-COLUMN mapping only when every output column is
+    a key and every value is itself a dict (the Categorify shape);
+    otherwise it is a flat property bag applied to every output — a
+    user property whose NAME happens to collide with a column name must
+    not change routing or crash the update."""
+    if props and set(outs) <= set(props) \
+            and all(isinstance(props[o], dict) for o in outs):
+        cs.properties.update(props[col])
+    else:
+        cs.properties.update(props)
+
+
 class Workflow:
     def __init__(self, output_node):
         self.output_node: Node = _to_node(output_node)
@@ -70,7 +84,11 @@ class Workflow:
         for node in self.plan.order:
             if node.selector is not None:
                 node.selector.resolve_tags(schema)
-        self.input_schema = schema
+        # prune to DAG-referenced columns, matching fit()'s contract
+        # (the input_dtypes docstring promises unreferenced columns are
+        # absent on EVERY path)
+        wanted = [c for c in self.input_columns() if c in schema]
+        self.input_schema = Schema([schema[c].copy() for c in wanted])
         # walk the DAG carrying a per-column schema so annotations
         # (tags/properties/declared dtype) PROPAGATE through later
         # renames — reference column-mapping contract
@@ -85,22 +103,27 @@ class Workflow:
             sel = node.input_group_selector()
             outs = node.op.output_column_names(sel)
             ins = list(sel.names)
+            dt = node.op.output_dtype()
             if len(outs) == len(ins):
-                # 1:1 element-wise/rename op: each output inherits its
-                # positional input's schema under the new name
+                # 1:1 op: each output inherits its positional input's
+                # tags/properties under the new name. The dtype rides
+                # along ONLY when the op declares one (`dt`) or is a
+                # pure schema op (`preserves_dtype`) — a value-encoding
+                # op without a declared dtype (Categorify, HashBucket
+                # list outputs, …) must report UNKNOWN, not the input's
+                # dtype
+                keep_dtype = getattr(node.op, "preserves_dtype", False)
                 for i, o in zip(ins, outs):
                     src = known.get(i)
                     cs = src.copy() if src is not None else ColumnSchema(o)
                     cs.name = o
+                    if not keep_dtype:
+                        cs.dtype = None
                     known[o] = cs
-            props = node.op.output_properties()
-            dt = node.op.output_dtype()
             for col in outs:
                 cs = known.setdefault(col, ColumnSchema(col))
                 cs.tags |= set(node.op.output_tags())
-                cs.properties.update(
-                    props.get(col, {}) if set(props) & set(outs)
-                    else props)
+                _apply_props(cs, node.op.output_properties(), col, outs)
                 if dt:
                     cs.dtype = dt
         self.output_schema = Schema(
@@ -216,14 +239,13 @@ class Workflow:
             if node.op is None:
                 continue
             sel = node.input_group_selector()
-            for col in node.op.output_column_names(sel):
+            outs = node.op.output_column_names(sel)
+            props = node.op.output_properties()
+            for col in outs:
                 if col in schema:
                     cs = schema[col]
                     cs.tags |= set(node.op.output_tags())
-                    props = node.op.output_properties()
-                    cs.properties.update(props.get(col, {}) if
-                                         set(props) & set(node.op.output_column_names(sel))
-                                         else props)
+                    _apply_props(cs, props, col, outs)
         return schema
 
     # -- serialization --------------------------------------------------------
