@@ -440,6 +440,27 @@ def q_duplicate_span_stats(spark, sf_dir, family="md5"):
     return dedup.duplicate_span_stats(docs, k=8, family=family)
 
 
+def q_pii_scrub(spark, sf_dir):
+    # plant deterministic PII (email + URL + IPv4 derived from doc_id)
+    # into the corpus, then scrub and count — exercises the regex
+    # semantics on both engines with non-trivial matches
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"), sid,
+                 F.lit("@example.com via http://site.example/p/"), sid,
+                 F.lit(" from 10.0."), (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".7 ok")).alias("text"))
+    counts = text.pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        text.scrub_pii(F.col("text")).alias("scrubbed"),
+        counts["url"].cast("long").alias("n_url"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"))
+
+
 def q_simhash_pairs(spark, sf_dir, family="md5"):
     # bits=64 / max_hamming=3 → 16-bit chunk keys (65,536 buckets per
     # chunk, not 8 as the old bits=16/max_hamming=4 setting gave);
@@ -590,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "duplicate_spans": q_duplicate_spans,
         "duplicate_span_stats": q_duplicate_span_stats,
+        "pii_scrub": q_pii_scrub,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1011,6 +1033,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (
               SELECT id FROM reach GROUP BY id
               HAVING id <> MIN(label))""",
+        "pii_scrub": (lambda pu, pe, pi: f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com via http://site.example/p/'
+                     || CAST(doc_id AS VARCHAR)
+                     || ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                     || '.7 ok' AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{pu}', '<URL>', 'g'),
+                     '{pe}', '<EMAIL>', 'g'),
+                     '{pi}', '<IP>', 'g') AS scrubbed,
+                   len(regexp_extract_all(text, '{pu}')) AS n_url,
+                   len(regexp_extract_all(text, '{pe}')) AS n_email,
+                   len(regexp_extract_all(text, '{pi}')) AS n_ipv4
+            FROM planted""")(text.PII_PATTERNS["url"],
+                             text.PII_PATTERNS["email"],
+                             text.PII_PATTERNS["ipv4"]),
         "duplicate_spans": spans_cte + """
             SELECT doc_id, span_start, span_end FROM spans""",
         "duplicate_span_stats": spans_cte + """,

@@ -167,3 +167,33 @@ def repetition_stats(df: "DataFrame", text_col: str = "text",
         .alias("top_ngram_char_frac"),
         (F.col("dup_mass").cast("double") / safe_chars)
         .alias("dup_ngram_char_frac"))
+
+
+#: conservative PII patterns chosen to behave identically under Java
+#: regex (Spark) and RE2 (DuckDB): pure greedy character classes, no
+#: backtracking-dependent constructs
+PII_PATTERNS = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+PII_REPLACEMENTS = {"url": "<URL>", "email": "<EMAIL>", "ipv4": "<IP>"}
+
+
+def scrub_pii(col: Column, kinds=("url", "email", "ipv4")) -> Column:
+    """Replace PII-shaped substrings with typed placeholder tokens —
+    the pre-training scrub step of NeMo-Curator-class pipelines
+    (public practice; regex-based PII redaction). URL runs first so an
+    email inside a URL is swallowed by the URL token. Pure
+    ``regexp_replace`` chain — whole-stage codegen, no Python."""
+    out = col
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind],
+                               PII_REPLACEMENTS[kind])
+    return out
+
+
+def pii_counts(col: Column, kinds=("url", "email", "ipv4")) -> dict:
+    """Per-kind PII match counts (name → Column)."""
+    return {kind: F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+            for kind in kinds}

@@ -677,3 +677,37 @@ def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
         "doc_id": [0, 1],
         "text": [f"{run} {run}", "some other words " * 3]}))
     assert dedup.duplicate_spans(df, k=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+def test_scrub_pii_and_counts(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "mail me at jane.doe+x@corp.example.org today",
+            "see https://a.example/path?q=1 or http://b.example and "
+            "ping 192.168.1.200 now",
+            "nothing sensitive here",
+        ]}))
+    counts = text.pii_counts(F.col("text"))
+    out = df.select(
+        "doc_id", text.scrub_pii(F.col("text")).alias("s"),
+        counts["url"].alias("nu"), counts["email"].alias("ne"),
+        counts["ipv4"].alias("ni")).orderBy("doc_id").collect()
+    assert out[0]["s"] == "mail me at <EMAIL> today"
+    assert (out[0]["ne"], out[0]["nu"], out[0]["ni"]) == (1, 0, 0)
+    assert out[1]["s"] == "see <URL> or <URL> and ping <IP> now"
+    assert (out[1]["nu"], out[1]["ni"]) == (2, 1)
+    assert out[2]["s"] == "nothing sensitive here"
+
+
+def test_scrub_pii_url_swallows_embedded_email(spark):
+    # URL scrub runs first: an email-shaped substring inside a URL must
+    # not leave a dangling <EMAIL> inside the <URL> token
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "text": ["go http://x.example/u@y.example.com/z end"]}))
+    s = df.select(text.scrub_pii(F.col("text")).alias("s")).collect()[0]["s"]
+    assert s == "go <URL> end"

@@ -535,3 +535,17 @@ def test_join_external_full_row_dedup(spark):
     out = nvt.Workflow(["id"] >> ops.JoinExternal(
         ext, "id", drop_duplicates_ext=True)).fit_transform(left).toPandas()
     assert sorted(out["v"].tolist()) == [7, 8]
+
+
+def test_join_external_kind_ext_overrides_suffix(spark, tmp_path):
+    # an explicit kind_ext="csv" must win over a non-.csv suffix
+    ext = pd.DataFrame({"id": [1, 2], "v": [10, 20]})
+    p = str(tmp_path / "lookup.txt")
+    ext.to_csv(p, index=False)
+    left = spark.createDataFrame(pd.DataFrame({"id": [1, 2]}))
+    out = nvt.Workflow(["id"] >> ops.JoinExternal(
+        p, "id", kind_ext="csv")).fit_transform(left) \
+        .orderBy("id").toPandas()
+    assert out["v"].tolist() == [10, 20]
+    with pytest.raises(ValueError, match="kind_ext"):
+        ops.JoinExternal(p, "id", kind_ext="avro")

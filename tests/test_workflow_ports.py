@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 import nvtabular_spark as nvt
 from nvtabular_spark import ColumnSelector, Schema, ops
+from nvtabular_spark.plans.schema import ColumnSchema
 
 
 # -- test_workflow_chaining.py ports -----------------------------------------
@@ -411,3 +412,43 @@ def test_lambdaop_numpy_dtype_runtime(spark):
     out = wf.fit_transform(spark.createDataFrame(pdf))
     assert dict(out.dtypes)["c"] == "float"
     assert out.toPandas()["c"].tolist() == [2.0, 4.0]
+
+
+def test_fit_schema_value_encoding_dtype_unknown(spark):
+    # regression: 1:1 schema inheritance must NOT claim the input dtype
+    # for value-encoding ops — HashBucket turns strings into ints, so
+    # the schema-only dtype is unknown (None), never "string"
+    schema = Schema([ColumnSchema("c", dtype="string")])
+    wf = nvt.Workflow(ColumnSelector(["c"]) >> ops.HashBucket(num_buckets=10))
+    wf.fit_schema(schema)
+    assert wf.output_schema["c"].dtype is None
+    # while a pure rename keeps it
+    wf2 = nvt.Workflow(ColumnSelector(["c"]) >> ops.Rename(postfix="_r"))
+    wf2.fit_schema(schema)
+    assert wf2.output_schema["c_r"].dtype == "string"
+
+
+def test_fit_schema_input_dtypes_pruned(spark):
+    schema = Schema([ColumnSchema("a", dtype="double"),
+                     ColumnSchema("unused", dtype="string")])
+    wf = nvt.Workflow(ColumnSelector(["a"]) >> ops.Rename(postfix="_r"))
+    wf.fit_schema(schema)
+    assert set(wf.input_dtypes) == {"a"}
+
+
+def test_fit_schema_property_name_collides_with_column(spark):
+    # a flat user property whose NAME matches an output column must
+    # neither crash nor reroute
+    schema = Schema(["c"])
+    wf = nvt.Workflow(ColumnSelector(["c"]) >> ops.LambdaOp(
+        lambda col: col, dtype="double", properties={"c": 1, "other": 2}))
+    wf.fit_schema(schema)
+    assert wf.output_schema["c"].properties == {"c": 1, "other": 2}
+
+
+def test_lambdaop_uint8_and_unknown_dtype(spark):
+    import numpy as np
+    op = ops.LambdaOp(lambda s: s, dtype=np.uint8)
+    assert op.dtype == "smallint"
+    with pytest.raises(ValueError, match="no Spark mapping"):
+        ops.LambdaOp(lambda s: s, dtype=np.complex128)
