@@ -1,8 +1,9 @@
 """End-to-end LLM training-data pipeline over the documents corpus:
 
-    text stats → quality filter → exact dedup → MinHash-LSH candidates
-    → n-gram-Jaccard verify → near-dup removal → hash-tokenize →
-    slice/pad → training-set parquet
+    PII scrub → text stats + repetition filter → quality filter →
+    exact dedup → duplicate-span filter → MinHash-LSH candidates →
+    n-gram-Jaccard verify → cluster-based near-dup removal →
+    hash-tokenize → slice/pad → training-set parquet
 
 Every stage is expression/join-level Spark (no row Python); the LSH
 candidate pass is banded (never all-pairs) and the exact Jaccard only
@@ -42,15 +43,34 @@ def main():
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n0 = docs.count()
 
-    # 1. quality filter: language + quality score + length gates
+    # 0. PII scrub (URL/email/IPv4 → typed placeholder tokens)
+    docs = docs.select("doc_id",
+                       text.scrub_pii(F.col("text")).alias("text"))
+
+    # 1. quality filter: language + quality score + length gates +
+    #    Gopher repetition gate (dup-2-gram char mass)
     c = F.col("text")
     scored = docs.select(
         "doc_id", "text",
         text.lang_id(c).alias("lang_pred"),
         text.quality_score(c).alias("quality"),
         text.token_count(c).alias("n_tok"))
-    kept = scored.filter((F.col("quality") > 0.3) & (F.col("n_tok") >= 5))
+    rep = text.repetition_stats(docs, n=2) \
+        .select("doc_id", "dup_ngram_char_frac")
+    kept = (scored.join(rep, "doc_id", "left")
+            .filter((F.col("quality") > 0.3) & (F.col("n_tok") >= 5)
+                    & (F.coalesce("dup_ngram_char_frac", F.lit(0.0))
+                       <= 0.6))
+            .drop("dup_ngram_char_frac"))
     n1 = kept.count()
+
+    # 1b. substring-dedup gate: drop docs mostly covered by spans that
+    #     also appear in other documents (Lee et al. 2022 signal)
+    span_frac = dedup.duplicate_span_stats(kept, k=8, family="xxhash64") \
+        .select("doc_id", "dup_word_frac")
+    kept = (kept.join(span_frac, "doc_id", "left")
+            .filter(F.coalesce("dup_word_frac", F.lit(0.0)) <= 0.9)
+            .drop("dup_word_frac"))
 
     # 2. exact dedup (normalized fingerprint, keep canonical)
     deduped = dedup.drop_exact_duplicates(kept)
