@@ -1,6 +1,9 @@
 """Operator library — full inventory per SURVEY.md §2."""
 
 from .base import Operator, StatOperator, TransformContext
+# reference parity: nvtabular.ops re-exports ColumnSelector
+# (/root/reference/nvtabular/ops/__init__.py:17)
+from ..plans.graph import ColumnSelector
 from .categorify import Categorify, embedding_size, get_embedding_sizes
 from .column_similarity import ColumnSimilarity
 from .data_stats import DataStats
