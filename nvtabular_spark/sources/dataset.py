@@ -258,3 +258,52 @@ def tokenized_sequences(spark: SparkSession, n_rows: int, seed: int = 42,
         x.alias("x"),
         y.alias("y"),
     )
+
+
+def verify_distribution(df: DataFrame, col: str, distro: str = "uniform",
+                        alpha: float = 0.1, bins: int = 1000):
+    """Goodness-of-fit check for generated data — the Spark twin of the
+    reference's ``DatasetGen.verify_df`` (tools/data_gen.py:321-331,
+    scipy ``kstest`` against the uniform / powerlaw CDF).
+
+    Returns ``(ks_stat, p_value)`` for ``col`` (values scaled to
+    [0, 1]) against:
+
+    * ``"uniform"``  — CDF(x) = x
+    * ``"powerlaw"`` — CDF(x) = x**alpha (scipy ``powerlaw(a)``
+      convention, as the reference uses)
+
+    Computed DISTRIBUTIVELY with no scipy: one groupBy over
+    ``floor(x·bins)`` buckets builds the ECDF on a ``bins``-point grid
+    (discretization error ≤ 1/bins, far below any decision threshold);
+    the sup-difference is the KS statistic and the p-value comes from
+    the asymptotic Kolmogorov series — public formulas throughout.
+    """
+    import math
+
+    import numpy as np
+
+    x = F.col(col).cast("double")
+    counts = (df.select(F.least(F.greatest(F.floor(x * bins), F.lit(0)),
+                                F.lit(bins - 1)).alias("b"))
+              .groupBy("b").count().orderBy("b").collect())
+    n = sum(r["count"] for r in counts)
+    if n == 0:
+        raise ValueError(f"verify_distribution: column {col!r} is empty")
+    hist = np.zeros(bins)
+    for r in counts:
+        hist[int(r["b"])] = r["count"]
+    ecdf = np.cumsum(hist) / n
+    grid = (np.arange(1, bins + 1)) / bins      # right edge of each bucket
+    if distro == "uniform":
+        cdf = grid
+    elif distro == "powerlaw":
+        cdf = np.power(grid, alpha)
+    else:
+        raise ValueError(f"unknown distro {distro!r}")
+    stat = float(np.max(np.abs(ecdf - cdf)))
+    # asymptotic Kolmogorov p-value (two-sided)
+    lam = (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)) * stat
+    p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+                  for k in range(1, 101))
+    return stat, max(0.0, min(1.0, p))

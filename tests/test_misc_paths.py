@@ -140,3 +140,28 @@ def test_read_dataset_json_and_orc(spark, tmp_path):
     back_o = read_dataset(spark, op_, engine="orc")
     assert back_j.count() == 2 and set(back_j.columns) == {"k", "v"}
     assert back_o.count() == 2 and set(back_o.columns) == {"k", "v"}
+
+
+def test_verify_distribution_datagen(spark):
+    # ported intent: reference tests/unit/test_tools.py:50-92
+    # (test_powerlaw / test_uniform) — the generator's columns fit
+    # their generating distribution and FAIL the wrong one
+    from nvtabular_spark.sources.dataset import (synthetic_tabular,
+                                                 verify_distribution)
+    df = synthetic_tabular(spark, 20000, seed=7, cat_cardinality=1000,
+                           powerlaw=1.5)
+    # cont_0 ~ uniform on [-1, 1] → scale to [0, 1]
+    scaled = df.select(((F.col("cont_0") + 1) / 2).alias("u"))
+    stat, p = verify_distribution(scaled, "u", "uniform")
+    assert stat < 0.02 and p > 0.01, (stat, p)
+
+    # cat rank = floor(u^1.5 * card) → rank/card has CDF x^(1/1.5)
+    ranks = df.select(
+        (F.split(F.col("cat_0"), "_")[1].cast("double") / 1000)
+        .alias("r"))
+    stat_pl, p_pl = verify_distribution(ranks, "r", "powerlaw",
+                                        alpha=1 / 1.5)
+    assert stat_pl < 0.02, (stat_pl, p_pl)
+    # and the SAME column decisively fails a uniform hypothesis
+    stat_u, _ = verify_distribution(ranks, "r", "uniform")
+    assert stat_u > 0.1, stat_u

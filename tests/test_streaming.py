@@ -272,3 +272,31 @@ def test_drop_exact_duplicates_stream(spark, tmp_path):
         spark.createDataFrame(df[["text"]]).select(
             fingerprint(F.col("text")).alias("f")).toPandas()["f"])
     assert fp(got) == fp(batch)
+
+
+def test_pii_scrub_and_repetition_on_stream(spark, tmp_path):
+    """The stateless text ops (PII scrub, quality/token expressions)
+    apply unchanged to a Structured Stream — pure Column expressions
+    need no state and must equal the batch result."""
+    from nvtabular_spark.functions import text
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["mail a@b.example.com now",
+                 "visit https://x.example today"]})
+    path = str(tmp_path / "pii_stream")
+    spark.createDataFrame(pdf).write.parquet(path)
+    static = spark.read.parquet(path)
+
+    def apply(df):
+        return df.select("doc_id",
+                         text.scrub_pii(F.col("text")).alias("s"),
+                         text.token_count(F.col("text")).alias("n"))
+
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    q = (apply(stream).writeStream.format("memory")
+         .queryName("pii_stream").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("select * from pii_stream").orderBy("doc_id").toPandas()
+    exp = apply(static).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["s"].tolist() == ["mail <EMAIL> now", "visit <URL> today"]
