@@ -100,7 +100,10 @@ class ValueCount(AggStatOperator):
         return col
 
     def output_properties(self):
-        return {"value_count": self.counts}
+        # per-OUTPUT-column mapping (reference schema contract,
+        # tests/unit/ops/test_value_count.py:63: each list column's
+        # schema carries properties["value_count"] = {min, max})
+        return {pub: {"value_count": c} for pub, c in self.counts.items()}
 
     def save_state(self):
         return {"counts": self.counts}

@@ -163,7 +163,13 @@ class Workflow:
         out = self.plan.run(self._prune(self._unwrap(df)), fit=False)
         if not isinstance(df, DataFrame) and hasattr(df, "df"):
             from ..sources.dataset import Dataset
-            return Dataset(out)
+            ds = Dataset(out)
+            # a fitted workflow knows its output schema (tags/props,
+            # e.g. ValueCount's value_count) — expose it on the result
+            # Dataset (reference: transformed.schema[col].properties)
+            if self.output_schema is not None:
+                ds._schema = self.output_schema
+            return ds
         return out
 
     def fit_transform(self, df: DataFrame) -> DataFrame:

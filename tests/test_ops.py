@@ -549,3 +549,39 @@ def test_join_external_kind_ext_overrides_suffix(spark, tmp_path):
     assert out["v"].tolist() == [10, 20]
     with pytest.raises(ValueError, match="kind_ext"):
         ops.JoinExternal(p, "id", kind_ext="avro")
+
+
+def test_value_count_schema_properties(spark):
+    # ported: reference tests/unit/ops/test_value_count.py:63 — the
+    # transformed Dataset's schema carries value_count {min,max} on the
+    # list column
+    from nvtabular_spark.sources.dataset import Dataset
+    df = spark.createDataFrame(pd.DataFrame({"feature": [[1, 2], [3]]}))
+    wf = nvt.Workflow(["feature"] >> ops.ValueCount())
+    wf.fit(Dataset(df))
+    transformed = wf.transform(Dataset(df))
+    cs = transformed.schema["feature"]
+    assert cs.properties["value_count"] == {"min": 1, "max": 2}
+    assert "list" in cs.tags
+
+
+def test_list_slice_ndarray_elements(spark):
+    # ported: reference tests/unit/ops/test_list_slice.py:107 — numpy
+    # int32 list elements flow through ListSlice(pad=True)
+    import numpy as np
+    # ndarray-backed list column via the ARROW conversion path (the
+    # supported numpy route — Spark's row-based inference rejects raw
+    # np.int32 elements)
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        df = spark.createDataFrame(
+            pd.DataFrame({"test": [np.arange(1, 4, dtype=np.int32)]}))
+        df = df.localCheckpoint()  # materialize before restoring conf
+    finally:
+        spark.conf.set(key, old)
+    out = nvt.Workflow(["test"] >> ops.ListSlice(10, pad=True)) \
+        .fit_transform(df).toPandas()
+    assert list(out["test"][0])[:3] == [1, 2, 3]
+    assert len(out["test"][0]) == 10
