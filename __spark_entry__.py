@@ -440,6 +440,16 @@ def q_duplicate_span_stats(spark, sf_dir, family="md5"):
     return dedup.duplicate_span_stats(docs, k=8, family=family)
 
 
+def q_random_projection(spark, sf_dir):
+    # JL sign projection 64 → 8 dims; per-output scalar doubles so the
+    # driver's float canonicalization applies
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = ann.random_projection(F.col("embedding"), dim=64, out_dim=8)
+    return emb.select(
+        "vec_id",
+        *[F.element_at(proj, j + 1).alias(f"rp{j}") for j in range(8)])
+
+
 def q_pii_scrub(spark, sf_dir):
     # plant deterministic PII (email + URL + IPv4 derived from doc_id)
     # into the corpus, then scrub and count — exercises the regex
@@ -612,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "duplicate_span_stats": q_duplicate_span_stats,
         "pii_scrub": q_pii_scrub,
+        "random_projection": q_random_projection,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1112,6 +1123,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_r
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.2""",
+        "random_projection": (lambda: (
+            lambda scale: f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                       FROM embeddings)
+            SELECT vec_id,
+              {', '.join(
+                  f'((0.0 + '
+                  + ' + '.join(f'(v[{d + 1}] * {_plane_comp(j, d)}.0)'
+                               for d in range(64))
+                  + f') * {scale}) AS rp{j}' for j in range(8))}
+            FROM e""")(repr(1.0 / 8 ** 0.5)))(),
         "embedding_near_dups_lsh": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
                        FROM embeddings WHERE vec_id < 500),

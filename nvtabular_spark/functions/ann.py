@@ -289,3 +289,30 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                          F.col("b.doc").alias("id_b"),
                          sim.alias("cosine_sim"))
             .filter(F.col("cosine_sim") >= threshold))
+
+
+def random_projection(vec: Column, dim: int, out_dim: int = 16,
+                      family: str = "md5") -> Column:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
+    public): ``y_j = (Σ_i x_i · r_ij) / sqrt(out_dim)`` with
+    ``r_ij ∈ {−1, +1}`` derived deterministically from
+    ``hash(j#i) mod 2`` — the same plane construction as
+    :func:`hyperplane_bits`, kept so the SQL twin can inline the sign
+    constants. Distance-preserving dimensionality reduction for
+    embedding columns: project once, then run any of the ANN paths on
+    the cheaper ``out_dim`` vectors. Pure expressions, no shuffle."""
+    def sign_component(j: int):
+        return lambda d: (F.pmod(hash64(F.concat(F.lit(f"{j}#"),
+                                                 d.cast("string")), family),
+                                 F.lit(2)) * 2 - 1).cast("double")
+
+    scale = 1.0 / (out_dim ** 0.5)
+    outs = []
+    for j in range(out_dim):
+        comp = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                           sign_component(j))
+        proj = F.aggregate(F.zip_with(vec.cast("array<double>"), comp,
+                                      lambda x, y: x * y),
+                           F.lit(0.0), lambda a, v: a + v)
+        outs.append(proj * F.lit(scale))
+    return F.array(*outs)

@@ -711,3 +711,41 @@ def test_scrub_pii_url_swallows_embedded_email(spark):
         "doc_id": [0], "text": ["go http://x.example/u@y.example.com/z end"]}))
     s = df.select(text.scrub_pii(F.col("text")).alias("s")).collect()[0]["s"]
     assert s == "go <URL> end"
+
+
+def test_random_projection_preserves_neighborhoods(spark):
+    """JL sign projection: deterministic, and an unbiased inner-product
+    estimator — pairwise inner products and norms are preserved within
+    the 1/sqrt(out_dim) JL error scale. (Top-k recall is NOT asserted:
+    the synthetic embeddings are near-isotropic, so their neighbor
+    ranking is noise-dominated and no distance-preserving sketch could
+    recover it.)"""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    proj = ann.random_projection(F.col("embedding"), dim=64, out_dim=32)
+    pdf = emb.select("vec_id", "embedding", proj.alias("p")).toPandas()
+
+    # determinism
+    pdf2 = emb.select(ann.random_projection(
+        F.col("embedding"), dim=64, out_dim=32).alias("p")).toPandas()
+    assert pdf["p"].apply(tuple).tolist() == pdf2["p"].apply(tuple).tolist()
+
+    E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    P = np.stack(pdf["p"].to_numpy())
+    # normalize rows so the JL error scale is 1/sqrt(out_dim)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    Pn_raw = P / np.linalg.norm(E, axis=1, keepdims=True)
+
+    # sign projection is an unbiased inner-product estimator:
+    # E[<Px,Py>] = <x,y>, std ≈ 1/sqrt(out_dim) ≈ 0.177 for unit
+    # vectors at out_dim=32 — the MEAN absolute error over many pairs
+    # must sit near that scale, far below the ±1 cosine range
+    errs = []
+    n = len(En)
+    for a in range(0, n, 3):
+        for b in range(a + 1, n, 7):
+            errs.append(abs(float(Pn_raw[a] @ Pn_raw[b])
+                            - float(En[a] @ En[b])))
+    assert np.mean(errs) < 0.25, np.mean(errs)
+    # and norms are preserved on average (E[|Px|²] = |x|²)
+    ratio = np.linalg.norm(P, axis=1) / np.linalg.norm(E, axis=1)
+    assert abs(float(np.mean(ratio)) - 1.0) < 0.15, np.mean(ratio)

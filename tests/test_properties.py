@@ -216,3 +216,74 @@ def test_jpeg_roundtrip_property(h, w, seed, subsampling):
     assert out.shape == img.shape
     err = np.abs(out.astype(int) - img.astype(int)).mean()
     assert err < 12.0, (h, w, subsampling, err)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=12)
+    .map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=6), k=st.integers(2, 4))
+def test_duplicate_spans_matches_python_oracle(spark, docs, k):
+    """duplicate_spans == a brute-force python reference: every k-gram
+    occurring in >= 2 docs marks [pos, pos+k), merged per doc."""
+    from nvtabular_spark.functions import dedup
+
+    # python oracle
+    grams = {}
+    tokenized = [d.split(" ") if d else [""] for d in docs]
+    for i, ws in enumerate(tokenized):
+        for p in range(len(ws) - k + 1):
+            grams.setdefault(tuple(ws[p:p + k]), set()).add(i)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    expect = set()
+    for i, ws in enumerate(tokenized):
+        spans = sorted(p for p in range(len(ws) - k + 1)
+                       if tuple(ws[p:p + k]) in dup)
+        cur = None
+        for p in spans:
+            if cur and p <= cur[1]:
+                cur = (cur[0], max(cur[1], p + k))
+            else:
+                if cur:
+                    expect.add((i, cur[0], cur[1]))
+                cur = (p, p + k)
+        if cur:
+            expect.add((i, cur[0], cur[1]))
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in dedup.duplicate_spans(df, k=k).collect()}
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "b", "ccc"]), min_size=0, max_size=10)
+    .map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=5))
+def test_repetition_stats_matches_python_oracle(spark, docs):
+    from collections import Counter
+    from nvtabular_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+    got = {r["doc_id"]: r for r in T.repetition_stats(df, n=2).collect()}
+    for i, d in enumerate(docs):
+        ws = d.split(" ")
+        grams = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+        if len(ws) < 2 or not grams:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        r = got[i]
+        assert r["ngram_count"] == len(grams)
+        assert r["distinct_ngrams"] == len(c)
+        assert r["top_ngram_count"] == max(c.values())
+        tchars = len(d)
+        assert r["top_ngram_char_frac"] == pytest.approx(
+            max(n * len(g) for g, n in c.items()) / tchars)
+        assert r["dup_ngram_char_frac"] == pytest.approx(
+            sum(n * len(g) for g, n in c.items() if n > 1) / tchars)
