@@ -1053,15 +1053,18 @@ def oracle_sql() -> dict[str, str]:
                      || ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
                      || '.7 ok' AS text
               FROM documents)
+            , s1 AS (SELECT doc_id, text,
+                       regexp_replace(text, '{pu}', '<URL>', 'g') AS t1
+                     FROM planted),
+            s2 AS (SELECT doc_id, text, t1,
+                     regexp_replace(t1, '{pe}', '<EMAIL>', 'g') AS t2
+                   FROM s1)
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                     '{pu}', '<URL>', 'g'),
-                     '{pe}', '<EMAIL>', 'g'),
-                     '{pi}', '<IP>', 'g') AS scrubbed,
+                   regexp_replace(t2, '{pi}', '<IP>', 'g') AS scrubbed,
                    len(regexp_extract_all(text, '{pu}')) AS n_url,
-                   len(regexp_extract_all(text, '{pe}')) AS n_email,
-                   len(regexp_extract_all(text, '{pi}')) AS n_ipv4
-            FROM planted""")(text.PII_PATTERNS["url"],
+                   len(regexp_extract_all(t1, '{pe}')) AS n_email,
+                   len(regexp_extract_all(t2, '{pi}')) AS n_ipv4
+            FROM s2""")(text.PII_PATTERNS["url"],
                              text.PII_PATTERNS["email"],
                              text.PII_PATTERNS["ipv4"]),
         "duplicate_spans": spans_cte + """

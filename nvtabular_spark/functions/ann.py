@@ -67,21 +67,31 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cosine_sim"))
 
 
+def _plane_signs(tag: int, dim: int) -> List[float]:
+    """±1 plane components sign(md5hash(tag#d) mod 2) — the SAME value
+    the previous per-row expression ``pmod(hash64(concat('{tag}#', d),
+    'md5'), 2)*2-1`` produced, but computed ONCE driver-side: the signs
+    are data-independent, and Catalyst does not constant-fold through
+    higher-order-function lambdas, so the expression form cost
+    dim×planes md5 evaluations PER ROW. Oracle parity unchanged
+    (__spark_entry__ computes the identical constants in Python)."""
+    import hashlib
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{tag}#{d}".encode()).hexdigest()[:15], 16)
+        out.append(float((h % 2) * 2 - 1))
+    return out
+
+
 def hyperplane_bits(vec: Column, dim: int, num_planes: int = 8,
                     family: str = "md5") -> Column:
     """Deterministic random-hyperplane signature: plane p has ±1
-    components sign(md5hash(p#d) mod 2); bit p = (vec · plane_p) > 0."""
-    def plane_component(p: int):
-        # single-arg lambda: 2-arg would become (element, index) in
-        # F.transform and shadow the closure
-        return lambda d: (F.pmod(hash64(F.concat(F.lit(f"{p}#"),
-                                                 d.cast("string")), family),
-                                 F.lit(2)) * 2 - 1).cast("double")
-
+    components sign(md5hash(p#d) mod 2); bit p = (vec · plane_p) > 0.
+    Plane signs are inlined as literals (:func:`_plane_signs`) — the
+    per-row work is just the dot-product folds."""
     acc = F.lit(0)
     for p in range(num_planes):
-        comp = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                           plane_component(p))
+        comp = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
         proj = F.aggregate(F.zip_with(vec.cast("array<double>"), comp,
                                       lambda x, y: x * y),
                            F.lit(0.0), lambda a, v: a + v)
@@ -291,26 +301,20 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
             .filter(F.col("cosine_sim") >= threshold))
 
 
-def random_projection(vec: Column, dim: int, out_dim: int = 16,
-                      family: str = "md5") -> Column:
+def random_projection(vec: Column, dim: int, out_dim: int = 16) -> Column:
     """Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
     public): ``y_j = (Σ_i x_i · r_ij) / sqrt(out_dim)`` with
-    ``r_ij ∈ {−1, +1}`` derived deterministically from
-    ``hash(j#i) mod 2`` — the same plane construction as
-    :func:`hyperplane_bits`, kept so the SQL twin can inline the sign
-    constants. Distance-preserving dimensionality reduction for
-    embedding columns: project once, then run any of the ANN paths on
-    the cheaper ``out_dim`` vectors. Pure expressions, no shuffle."""
-    def sign_component(j: int):
-        return lambda d: (F.pmod(hash64(F.concat(F.lit(f"{j}#"),
-                                                 d.cast("string")), family),
-                                 F.lit(2)) * 2 - 1).cast("double")
-
+    ``r_ij ∈ {−1, +1}`` from the shared md5-derived plane table
+    (:func:`_plane_signs` — same construction as
+    :func:`hyperplane_bits`, inlined driver-side so the SQL twin can
+    inline identical constants and rows pay only the fold). Distance-
+    preserving dimensionality reduction for embedding columns: project
+    once, then run any of the ANN paths on the cheaper ``out_dim``
+    vectors. Pure expressions, no shuffle."""
     scale = 1.0 / (out_dim ** 0.5)
     outs = []
     for j in range(out_dim):
-        comp = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                           sign_component(j))
+        comp = F.array(*[F.lit(s) for s in _plane_signs(j, dim)])
         proj = F.aggregate(F.zip_with(vec.cast("array<double>"), comp,
                                       lambda x, y: x * y),
                            F.lit(0.0), lambda a, v: a + v)

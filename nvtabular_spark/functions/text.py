@@ -171,9 +171,11 @@ def repetition_stats(df: "DataFrame", text_col: str = "text",
 
 #: conservative PII patterns chosen to behave identically under Java
 #: regex (Spark) and RE2 (DuckDB): pure greedy character classes, no
-#: backtracking-dependent constructs
+#: backtracking-dependent constructs, and NO \s shorthand — Java's \s
+#: includes \x0B while RE2's does not, so the whitespace class is
+#: spelled out explicitly
 PII_PATTERNS = {
-    "url": r"https?://[^\s]+",
+    "url": "https?://[^ \\t\\n\\x0B\\f\\r]+",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
 }
@@ -194,6 +196,15 @@ def scrub_pii(col: Column, kinds=("url", "email", "ipv4")) -> Column:
 
 
 def pii_counts(col: Column, kinds=("url", "email", "ipv4")) -> dict:
-    """Per-kind PII match counts (name → Column)."""
-    return {kind: F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
-            for kind in kinds}
+    """Per-kind PII match counts (name → Column), CONSISTENT with
+    :func:`scrub_pii`: each kind is counted on the text with all
+    EARLIER kinds already scrubbed, so an email inside a URL counts as
+    (and is redacted as) exactly one URL — ``n_<kind>`` equals the
+    number of ``<KIND>`` tokens the scrub emits."""
+    out = {}
+    cur = col
+    for kind in kinds:
+        out[kind] = F.regexp_count(cur, F.lit(PII_PATTERNS[kind]))
+        cur = F.regexp_replace(cur, PII_PATTERNS[kind],
+                               PII_REPLACEMENTS[kind])
+    return out

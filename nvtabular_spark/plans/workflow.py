@@ -166,9 +166,20 @@ class Workflow:
             ds = Dataset(out)
             # a fitted workflow knows its output schema (tags/props,
             # e.g. ValueCount's value_count) — expose it on the result
-            # Dataset (reference: transformed.schema[col].properties)
+            # Dataset (reference: transformed.schema[col].properties).
+            # Build a FRESH schema from the actual output dtypes and
+            # overlay the fitted annotations: sharing the workflow's
+            # Schema object would let in-place tagging on one Dataset
+            # mutate the workflow and every other transform result
             if self.output_schema is not None:
-                ds._schema = self.output_schema
+                sch = Schema.from_spark(out.schema)
+                for cs in sch.column_schemas.values():
+                    if cs.name in self.output_schema:
+                        src = self.output_schema[cs.name]
+                        import copy
+                        cs.tags |= set(src.tags)
+                        cs.properties.update(copy.deepcopy(src.properties))
+                ds._schema = sch
             return ds
         return out
 

@@ -284,8 +284,13 @@ def verify_distribution(df: DataFrame, col: str, distro: str = "uniform",
     import numpy as np
 
     x = F.col(col).cast("double")
-    counts = (df.select(F.least(F.greatest(F.floor(x * bins), F.lit(0)),
-                                F.lit(bins - 1)).alias("b"))
+    # NULL/NaN carry no distribution information: a null bucket key
+    # would crash the histogram fill and skew the ECDF denominator
+    counts = (df.select(x.alias("x"))
+              .where(x.isNotNull() & ~F.isnan(x))
+              .select(F.least(F.greatest(F.floor(F.col("x") * bins),
+                                         F.lit(0)),
+                              F.lit(bins - 1)).alias("b"))
               .groupBy("b").count().orderBy("b").collect())
     n = sum(r["count"] for r in counts)
     if n == 0:
