@@ -187,6 +187,13 @@ class Workflow:
         self.fit(df)
         return self.transform(df)
 
+    @property
+    def subworkflows(self) -> List[str]:
+        """Names of the named Subgraph boundaries in this DAG
+        (reference workflow.py:142-143)."""
+        return [n.subgraph_name for n in self.plan.order
+                if n.subgraph_name]
+
     def get_subworkflow(self, subgraph_name: str) -> "Workflow":
         """Extract a named Subgraph as a standalone Workflow (reference
         workflow.py:168-170). The returned workflow SHARES the fitted

@@ -557,3 +557,14 @@ def test_grab_additional_input_columns(spark):
     out = nvt.Workflow(node2 + ["y"]).fit_transform(df).toPandas()
     assert out.columns.tolist() == ["x", "y"]
     assert out["x"].tolist() == [1.0, 0.0]
+
+
+def test_subworkflows_property(spark):
+    # ported: reference workflow.py:142 — list of named subgraph
+    # boundaries
+    from nvtabular_spark import Subgraph
+    sub = Subgraph("stage1", ["a"] >> ops.Rename(postfix="_r"))
+    wf = nvt.Workflow(sub + ["b"])
+    assert wf.subworkflows == ["stage1"]
+    wf2 = nvt.Workflow(["a"] >> ops.Rename(postfix="_r"))
+    assert wf2.subworkflows == []
