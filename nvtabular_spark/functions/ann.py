@@ -17,7 +17,6 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import hash64
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -11,7 +11,7 @@ fingerprinting over a ``documents`` corpus.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -14,7 +14,7 @@ to stay JVM-side entirely.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
