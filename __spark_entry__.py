@@ -1076,7 +1076,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    len(string_split(d.text, ' ')) AS n_words,
                    COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
-                   COALESCE(p.dup_words, 0) AS dup_words,
+                   CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
                    CASE WHEN len(string_split(d.text, ' ')) > 0
                         THEN CAST(COALESCE(p.dup_words, 0) AS DOUBLE)
                              / len(string_split(d.text, ' '))
@@ -1092,7 +1092,7 @@ def oracle_sql() -> dict[str, str]:
             cnt AS (SELECT doc_id, tchars, ng, COUNT(*) cnt
                     FROM ng GROUP BY 1, 2, 3)
             SELECT doc_id,
-              SUM(cnt) AS ngram_count,
+              CAST(SUM(cnt) AS BIGINT) AS ngram_count,
               COUNT(*) AS distinct_ngrams,
               MAX(cnt) AS top_ngram_count,
               1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_ngram_frac,

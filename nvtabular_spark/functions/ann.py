@@ -17,6 +17,8 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import planning
+
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -87,7 +89,15 @@ def hyperplane_bits(vec: Column, dim: int, num_planes: int = 8,
     """Deterministic random-hyperplane signature: plane p has ±1
     components sign(md5hash(p#d) mod 2); bit p = (vec · plane_p) > 0.
     Plane signs are inlined as literals (:func:`_plane_signs`) — the
-    per-row work is just the dot-product folds."""
+    per-row work is just the dot-product folds.
+
+    Only ``family="md5"`` is supported (plane signs are md5-derived
+    driver-side); any other value raises rather than silently
+    returning md5 buckets."""
+    if family != "md5":
+        raise ValueError(
+            f"hyperplane_bits: unsupported family {family!r}; plane "
+            "signs are md5-derived (see _plane_signs)")
     acc = F.lit(0)
     for p in range(num_planes):
         comp = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
@@ -258,7 +268,8 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int = 64, num_planes=8,
                         max_bucket: Optional[int] = 1000,
-                        exact: bool = False) -> DataFrame:
+                        exact: bool = False,
+                        approx_count: Optional[int] = None) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold. ``exact=True`` does
     the O(n²) self-join (small corpora / verification); default buckets
     by hyperplane signature first (pairs in the same bucket only) —
@@ -271,12 +282,22 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     as the dedup LSH family). ``num_planes="auto"`` sizes the key space
     from the corpus count so EXPECTED occupancy stays well under the
     cap (~max_bucket/4 per bucket for a uniform corpus), clamped to
-    [8, 30] — the knob the cap then only has to enforce on skew."""
+    [8, 30] — the knob the cap then only has to enforce on skew.
+
+    The "auto" corpus count comes from ``approx_count`` when given,
+    else from plan statistics (file sizes ÷ row width — no job, no
+    scan; embeddings are fixed-width so the estimate is tight), else a
+    bounded LIMIT probe capped at 4M rows.  A log₂-scale knob tolerates
+    a few× count error; at 100 TB pass ``approx_count`` explicitly."""
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     if not exact:
         if num_planes == "auto":
             import math
-            n = df.count()
+            n = approx_count
+            if n is None:
+                n = planning.estimate_row_count(df)
+            if n is None:
+                n = df.limit(4_000_000).count()
             occupancy = max((max_bucket or 1000) // 4, 1)
             num_planes = min(30, max(8, math.ceil(
                 math.log2(max(n, 1) / occupancy)) if n > occupancy else 8))

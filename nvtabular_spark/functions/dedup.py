@@ -24,6 +24,7 @@ from typing import List, Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import planning
 from .hashing import hash64
 from .text import fingerprint, words
 
@@ -268,9 +269,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         threshold: float = 0.8,
                         max_posting: Optional[int] = 10000,
                         family: str = "md5",
-                        prefix_filter="auto") -> DataFrame:
+                        prefix_filter="auto",
+                        approx_count: Optional[int] = None) -> DataFrame:
     """n-gram Jaccard similarity for every pair sharing ≥1 shingle
-    (inverted-index self-join), filtered at ``threshold`` — EXACT.
+    (inverted-index self-join), filtered at ``threshold``.
+
+    EXACT only with ``max_posting=None``: the default cap
+    (``max_posting=10000``) drops postings for shingles hotter than the
+    cap (boilerplate), which can miss true pairs whose ONLY shared
+    shingles are that hot — the standard web-scale recall/robustness
+    trade.  With the cap disabled both physical plans (naive and
+    prefix) return identical, exact results.
 
     The index keys are 52-bit shingle HASHES
     (:func:`word_shingle_hashes`), not strings — cheaper to build,
@@ -299,11 +308,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     only amortizes once the candidate volume it avoids is large, so
     small corpora run the naive plan (measured crossover ~10⁵ docs at
     t=0.5 on local[32]) and large corpora run the prefix plan. Both
-    plans are EXACT, so the choice is pure physical optimization.
+    plans agree (and with ``max_posting=None`` are exact), so the
+    choice is pure physical optimization.  The "auto" probe is a
+    bounded ``LIMIT``-threshold check (scans at most the crossover row
+    count, never the whole corpus); pass ``approx_count`` (any already
+    known or estimated corpus size) to skip even that probe job.
     """
     t = float(threshold)
     if prefix_filter == "auto":
-        prefix_filter = df.count() >= 200_000
+        if approx_count is not None:
+            prefix_filter = approx_count >= 200_000
+        else:
+            est = planning.estimate_row_count(df)
+            # stats estimate can be off by the compression ratio —
+            # only trust it far from the crossover, else probe exactly
+            if est is not None and not (20_000 < est < 2_000_000):
+                prefix_filter = est >= 200_000
+            else:
+                prefix_filter = planning.at_least_n_rows(df, 200_000)
     arr = F.array_sort(F.array_distinct(
         word_shingle_hashes(F.col(text_col), n, family)))
     docs = (df.select(F.col(id_col).alias("doc"), arr.alias("arr"))
@@ -402,6 +424,43 @@ def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
             .distinct())
 
 
+def _parse_jvm_mem(s: str) -> Optional[int]:
+    """'12g' / '512m' / '2048' (MiB-less = bytes per JVM rules) → bytes."""
+    s = s.strip().lower()
+    try:
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        if s and s[-1] in mult:
+            return int(float(s[:-1]) * mult[s[-1]])
+        return int(s)
+    except ValueError:
+        return None
+
+
+def _check_driver_heap(spark, min_gb: int = 4) -> bool:
+    """Warn when the driver heap is too small for large component runs.
+
+    Measured (ROUND_NOTES r3): a 2M-edge graph OOMs the default 1g
+    driver heap during checkpoint-block cleanup; 12g completes in
+    28 s.  In local mode the driver IS the executor, so the whole
+    per-round checkpointed edge set lives in its block store.  We warn
+    rather than raise — small graphs are fine on 1g — but a production
+    run at millions of edges needs ``spark.driver.memory=12g``-class.
+    Returns True when a warning was issued (testability hook).
+    """
+    mem = spark.conf.get("spark.driver.memory", None)
+    mem_bytes = _parse_jvm_mem(mem) if mem else 1 << 30  # JVM default 1g
+    if mem_bytes is not None and mem_bytes < min_gb * (1 << 30):
+        import warnings
+        warnings.warn(
+            f"connected_components: spark.driver.memory is "
+            f"{mem or 'unset (1g default)'} — graphs beyond ~1M edges "
+            "need a 12g-class driver heap (2M edges OOMs at 1g; 12g "
+            "runs in 28 s). Set spark.driver.memory before building "
+            "the session.", ResourceWarning, stacklevel=3)
+        return True
+    return False
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          max_iter: int = 50) -> DataFrame:
@@ -435,6 +494,12 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     heap pressure so peak block storage stays a few rounds of edges.
     The per-round signature (count + xor of edge hashes) detects
     convergence with one tiny aggregate, no driver-side edge copies.
+
+    Deploy requirement: at millions of edges the (local-mode) driver
+    block store holds a few rounds of checkpointed edge sets — use a
+    ``spark.driver.memory=12g``-class heap (2M edges OOMs the 1g
+    default; 12g completes in 28 s). A ResourceWarning fires when the
+    configured heap looks too small.
     """
     def _sig(edges: DataFrame):
         row = edges.agg(
@@ -445,9 +510,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
         return (row["n"], row["h"])
 
+    spark = pairs.sparkSession
+    _check_driver_heap(spark)
     e = _oriented(pairs.select(F.col(src).alias("u"),
                                F.col(dst).alias("v"))).localCheckpoint()
-    spark = pairs.sparkSession
     sig = _sig(e)
     for i in range(max_iter):
         # large-star output is already oriented+distinct → small-star

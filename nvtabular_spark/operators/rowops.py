@@ -18,10 +18,11 @@ from ..plans.graph import ColumnSelector
 
 
 class Rename(Operator):
-    preserves_dtype = True  # schema-only op: values untouched
-
     """Rename via callable, postfix, or fixed name (reference
     rename.py:20-78; ``name`` requires a single input column)."""
+
+    preserves_dtype = True  # schema-only op: values untouched
+
 
     def __init__(self, f: Optional[Callable] = None, postfix: Optional[str] = None,
                  name: Optional[str] = None):
@@ -64,12 +65,13 @@ class Rename(Operator):
 
 
 class Filter(Operator):
-    preserves_dtype = True  # row/metadata op: values untouched
-
     """Row filter (reference filter.py:28-62). Accepts either a Spark
     Column / SQL-string predicate (fast path, stays in codegen) or a
     callable ``DataFrame -> Column`` evaluated against the selected
     columns."""
+
+    preserves_dtype = True  # row/metadata op: values untouched
+
 
     row_preserving = False
 
@@ -191,9 +193,10 @@ class _ColumnProxy:
 
 
 class Dropna(Operator):
+    """Drop rows with nulls in the selected columns (dropna.py:21-37)."""
+
     preserves_dtype = True  # row/metadata op: values untouched
 
-    """Drop rows with nulls in the selected columns (dropna.py:21-37)."""
 
     row_preserving = False
 
@@ -204,10 +207,11 @@ class Dropna(Operator):
 
 
 class AddMetadata(Operator):
-    preserves_dtype = True  # row/metadata op: values untouched
-
     """Data no-op; annotates the sidecar schema with tags/properties
     (reference add_metadata.py:21-72)."""
+
+    preserves_dtype = True  # row/metadata op: values untouched
+
 
     def __init__(self, tags=None, properties=None):
         self.tags = list(tags or [])
@@ -311,14 +315,15 @@ class ReduceDtypeSize(AggStatOperator):
 
 
 class DropLowCardinality(AggStatOperator):
-    preserves_dtype = True  # drops columns/rows, never rewrites values
-
     """Drops categorical columns whose distinct count < min_cardinality
     (reference drop_low_cardinality.py:21-89; there it is schema-driven
     from Categorify metadata — here we measure with
     approx_count_distinct, exact on small data).
 
     Not deferrable: its output columns depend on the fitted result."""
+
+    preserves_dtype = True  # drops columns/rows, never rewrites values
+
 
     defer_ok = False
 

@@ -78,6 +78,7 @@ class CompiledPlan:
         pending: list = []            # [(op, ctx)] deferred AggStatOperators
         pending_heavy: list = []      # [(op, ctx, df)] deferred heavy fits
         deferred_cols: set = set()    # actual output names not yet created
+        bridged: Dict[str, str] = {}  # dependency pub -> actual already aliased
 
         def apply_lean(op, ctx):
             nonlocal df_lean, lean_cols
@@ -255,9 +256,16 @@ class CompiledPlan:
             # column. Collisions with live columns are rejected — the
             # dependency branch must Rename first.
             dep_alias: Dict[str, str] = {}
+            reused_acts: set = set()
             for d in node.dependency_nodes:
                 for pub, act in maps[id(d)].items():
                     if pub == act:
+                        continue
+                    if bridged.get(pub) == act:
+                        # an earlier consumer of the same dependency
+                        # already bridged pub -> act; reuse, don't
+                        # treat our own alias as a collision
+                        reused_acts.add(act)
                         continue
                     if pub in df_work.columns or pub in deferred_cols:
                         raise ValueError(
@@ -270,7 +278,7 @@ class CompiledPlan:
             # column, or when it changes row cardinality (its row set
             # must not affect the pending aggregations' input)
             needs = set(parent_map.values()) | set(op.dependencies()) \
-                | set(dep_alias.values())
+                | set(dep_alias.values()) | reused_acts
             if (pending or pending_heavy) and (
                 needs & deferred_cols or not op.row_preserving
             ):
@@ -283,6 +291,7 @@ class CompiledPlan:
                     df_lean = df_lean.withColumns(
                         {p: F.col(a) for p, a in dep_alias.items()})
                     lean_cols |= set(dep_alias)
+                bridged.update(dep_alias)
 
             needs_fit = isinstance(op, StatOperator) and (fit or refit) \
                 and (refit or not op.fitted)

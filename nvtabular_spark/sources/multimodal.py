@@ -24,6 +24,7 @@ no executor ever holds a partition's blobs fully decoded; pair with
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator, Optional
 
 import numpy as np
@@ -315,7 +316,12 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
             if b[:3] == b"\xff\xd8\xff":
                 from .jpeg import decode_jpeg
                 return image_grid_features(decode_jpeg(b), grid)
-        except ValueError:
+        # truncated/corrupt streams surface as struct.error / IndexError
+        # / KeyError / EOFError from the codecs, and progressive JPEG as
+        # NotImplementedError — ALL must hit the non-strict fallback,
+        # not kill the whole mapInPandas task
+        except (ValueError, NotImplementedError, struct.error,
+                IndexError, KeyError, EOFError):
             pass
         if strict:
             raise NotImplementedError(

@@ -39,12 +39,50 @@ def canon_cell(v):
     return repr(v)
 
 
+def canon_col(s: pd.Series):
+    """Canonicalize ONE column from its typed array.
+
+    Column-wise on purpose: the old iterrows() path let pandas upcast a
+    mixed int/float row to float64, so an int64 Spark column and a
+    float64 oracle column (e.g. DuckDB HUGEINT from a bare SUM) both
+    canonicalized to '137.0' and the drift shipped (round-3 verdict).
+    The driver hashes columns dtype-sensitively; so must we.
+    """
+    vals = s.tolist()
+    if pd.api.types.is_float_dtype(s.dtype):
+        return ["∅" if v is None or v != v else repr(round(float(v), 9))
+                for v in vals]
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return ["∅" if v is None or v is pd.NA else repr(int(v))
+                for v in vals]
+    if pd.api.types.is_bool_dtype(s.dtype):
+        return [repr(bool(v)) for v in vals]
+    return [canon_cell(v) for v in vals]
+
+
+def dtype_class(dt) -> str:
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "other"
+
+
+def dtype_drift(sdf: pd.DataFrame, odf: pd.DataFrame):
+    """Columns whose canonical dtype class differs between engines."""
+    return [(c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in sorted(sdf.columns)
+            if dtype_class(sdf[c].dtype) != dtype_class(odf[c].dtype)]
+
+
 def canon(df: pd.DataFrame):
     cols = sorted(df.columns)
-    rows = []
-    for _, row in df[cols].iterrows():
-        rows.append("|".join(canon_cell(row[c]) for c in cols))
-    rows.sort()
+    colvals = [canon_col(df[c]) for c in cols]
+    rows = sorted("|".join(cells) for cells in zip(*colvals))
     return cols, rows
 
 
@@ -92,6 +130,11 @@ def main():
             failed.append((name, f"cols {sorted(sdf.columns)} vs "
                                  f"{sorted(odf.columns)}"))
             print(f"✗ {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            continue
+        drift = dtype_drift(sdf, odf)
+        if drift:
+            failed.append((name, f"dtype drift {drift}"))
+            print(f"✗ {name}: dtype drift {drift}")
             continue
         sc, sr = canon(sdf)
         oc, orows = canon(odf)
