@@ -31,6 +31,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Loader for CPU-bound per-row hashing queries: testdata tables
+    are single-row-group parquet (one scan task), so raise the
+    parallelism floor before the expensive expressions; no-op on
+    multi-split inputs."""
+    from nvtabular_spark.functions.planning import ensure_min_parallelism
+    return ensure_min_parallelism(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -371,7 +380,7 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_signature(spark, sf_dir, family="md5"):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(F.col("text"), num_hashes=4, shingle_n=3,
                                   family=family)
     out = docs.filter(F.size(text.words(F.col("text"))) >= 3) \
@@ -382,7 +391,7 @@ def q_minhash_signature(spark, sf_dir, family="md5"):
 
 
 def q_simhash(spark, sf_dir, family="md5"):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         dedup.simhash(F.col("text"), bits=16, family=family)
@@ -534,7 +543,7 @@ def q_column_similarity(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -547,7 +556,7 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_tokens_pipeline(spark, sf_dir, family="md5"):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     tokens = F.transform(
         text.words(F.col("text")),
         lambda w: F.pmod(hash64(w, family), F.lit(50000)).cast("int"))

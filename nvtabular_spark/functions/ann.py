@@ -304,12 +304,14 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         base = base.withColumn(
             "bucket", hyperplane_bits(F.col("v"), dim, num_planes))
         if max_bucket:
-            counts = base.groupBy("bucket").count() \
-                .filter(F.col("count") <= max_bucket).drop("count")
-            base = base.join(counts, ["bucket"])
-        a, b = base.alias("a"), base.alias("b")
-        pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                       & (F.col("a.doc") < F.col("b.doc")))
+            # capped: one shuffle (group + in-array expansion) instead
+            # of [cap groupBy + anti-join + self-join exchanges]
+            from .dedup import _group_pairs
+            pairs = _group_pairs(base, ["bucket"], max_bucket)
+        else:
+            a, b = base.alias("a"), base.alias("b")
+            pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                           & (F.col("a.doc") < F.col("b.doc")))
     else:
         a, b = base.alias("a"), base.alias("b")
         pairs = a.join(b, F.col("a.doc") < F.col("b.doc"))

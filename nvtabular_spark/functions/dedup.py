@@ -34,6 +34,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
                      normalized: bool = True) -> DataFrame:
     """One row per document: its dedup key and the canonical (min) id of
     its duplicate group. ``is_dup`` marks rows to drop."""
+    df = planning.ensure_min_parallelism(df)  # hashing is CPU-bound
     key = fingerprint(F.col(text_col)) if normalized else F.md5(F.col(text_col))
     keyed = df.select(F.col(id_col), key.alias("dup_key"))
     canon = keyed.groupBy("dup_key").agg(F.min(id_col).alias("canonical_id"))
@@ -149,6 +150,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH band. rows_per_band = num_hashes // bands."""
     assert num_hashes % bands == 0
+    df = planning.ensure_min_parallelism(df)  # hashing is CPU-bound
     rpb = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, family)
     with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig")) \
@@ -163,9 +165,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             for b in range(bands)])).alias("bk")
     ).select("doc", "bk.band", "bk.key")
     if max_bucket:
-        counts = banded.groupBy("band", "key").count() \
-            .filter(F.col("count") <= max_bucket).drop("count")
-        banded = banded.join(counts, ["band", "key"])
+        # capped: one shuffle (group + in-array expansion) instead of
+        # [cap groupBy + anti-join + self-join exchanges]
+        return (_group_pairs(banded, ["band", "key"], max_bucket)
+                .select(F.col("a.doc").alias("id_a"),
+                        F.col("b.doc").alias("id_b"))
+                .distinct())
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -223,6 +228,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     the self-join — identical semantics to :func:`minhash_lsh_pairs`'s
     cap, and the web-scale guard against boilerplate-heavy corpora
     where one key captures a large corpus fraction."""
+    df = planning.ensure_min_parallelism(df)  # hashing is CPU-bound
     chunks = max_hamming + 1
     per = bits // chunks
     if per < 8:
@@ -248,16 +254,28 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
             for c in range(chunks)])).alias("ck")
     ).select("doc", "sh", "ck.chunk", "ck.key")
     if max_bucket:
-        counts = banded.groupBy("chunk", "key").count() \
-            .filter(F.col("count") <= max_bucket).drop("count")
-        banded = banded.join(counts, ["chunk", "key"])
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                    & (F.col("a.key") == F.col("b.key"))
-                    & (F.col("a.doc") < F.col("b.doc")))
-             .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
-                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
-             .distinct())
+        # capped: one shuffle; the hamming verify runs in-array so
+        # far-apart pairs never reach the explode
+        pairs = (_group_pairs(
+                    banded, ["chunk", "key"], max_bucket,
+                    pair_filter=lambda x, y:
+                        F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
+                        <= F.lit(max_hamming))
+                 .select(F.col("a.doc").alias("id_a"),
+                         F.col("b.doc").alias("id_b"),
+                         F.col("a.sh").alias("sh_a"),
+                         F.col("b.sh").alias("sh_b"))
+                 .distinct())
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                        & (F.col("a.key") == F.col("b.key"))
+                        & (F.col("a.doc") < F.col("b.doc")))
+                 .select(F.col("a.doc").alias("id_a"),
+                         F.col("b.doc").alias("id_b"),
+                         F.col("a.sh").alias("sh_a"),
+                         F.col("b.sh").alias("sh_b"))
+                 .distinct())
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", ham) \
         .filter(F.col("hamming") <= max_hamming) \
@@ -326,14 +344,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 prefix_filter = est >= 200_000
             else:
                 prefix_filter = planning.at_least_n_rows(df, 200_000)
+    df = planning.ensure_min_parallelism(df)  # shingling is CPU-bound
     arr = F.array_sort(F.array_distinct(
         word_shingle_hashes(F.col(text_col), n, family)))
     docs = (df.select(F.col(id_col).alias("doc"), arr.alias("arr"))
             .withColumn("sz", F.size("arr"))
             .filter(F.col("sz") > 0))
-    # the doc table feeds 3-4 consumers (posting explode + both verify
-    # joins) — checkpoint so the text is shingled once
-    docs = docs.localCheckpoint(eager=False)
+    if prefix_filter:
+        # only the prefix plan fans docs out to 3-4 consumers (posting
+        # explode + both verify joins) — checkpoint so the text is
+        # shingled once; the naive plan consumes docs a single time and
+        # the checkpoint would be pure materialization overhead
+        docs = docs.localCheckpoint(eager=False)
 
     if prefix_filter:
         plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
@@ -342,19 +364,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                    .filter(F.col("pos") < plen).drop("pos"))
     else:
         posting = docs.select("doc", "sz", F.explode("arr").alias("sh"))
-    if max_posting:
-        keep = posting.groupBy("sh").count() \
-            .filter(F.col("count") <= max_posting).drop("count")
-        posting = posting.join(keep, "sh")
 
-    a, b = posting.alias("a"), posting.alias("b")
     length_ok = (F.col("a.sz") >= F.lit(t) * F.col("b.sz")) \
         & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+    if max_posting:
+        # capped: group-by-shingle + in-array pair expansion — one
+        # shuffle replaces [cap groupBy + anti-join + self-join]; the
+        # length filter runs INSIDE the array so incompatible pairs
+        # never reach the explode
+        pairs = _group_pairs(
+            posting, ["sh"], max_posting,
+            pair_filter=lambda x, y:
+                (x["sz"] >= F.lit(t) * y["sz"])
+                & (y["sz"] >= F.lit(t) * x["sz"]))
+    else:
+        # uncapped: per-shingle lists are unbounded — keep the join
+        # formulation (no collect_list memory risk)
+        a, b = posting.alias("a"), posting.alias("b")
+        pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                        & (F.col("a.doc") < F.col("b.doc")) & length_ok)
+                 .select(F.col("a.doc").alias("doc_x"),
+                         F.col("a.sz").alias("sz_x"),
+                         F.col("b.doc").alias("doc_y"),
+                         F.col("b.sz").alias("sz_y"))
+                 .select(F.struct(F.col("doc_x").alias("doc"),
+                                  F.col("sz_x").alias("sz")).alias("a"),
+                         F.struct(F.col("doc_y").alias("doc"),
+                                  F.col("sz_y").alias("sz")).alias("b")))
+
     if prefix_filter:
-        cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                       & (F.col("a.doc") < F.col("b.doc")) & length_ok)
-                .select(F.col("a.doc").alias("id_a"),
-                        F.col("b.doc").alias("id_b"))
+        cand = (pairs.select(F.col("a.doc").alias("id_a"),
+                             F.col("b.doc").alias("id_b"))
                 .distinct())
         va = docs.select(F.col("doc").alias("id_a"),
                          F.col("arr").alias("arr_a"),
@@ -372,8 +412,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .filter(F.col("jaccard") >= t)
                 .select("id_a", "id_b", "jaccard"))
 
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc") < F.col("b.doc")) & length_ok)
+    inter = (pairs
              .groupBy(F.col("a.doc").alias("id_a"),
                       F.col("b.doc").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("inter"),
@@ -385,6 +424,51 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .filter(F.col("jaccard") >= t)
             .select("id_a", "id_b", "jaccard"))
+
+
+def _group_pairs(df: DataFrame, keys: List[str], cap: int,
+                 id_field: str = "doc", pair_filter=None) -> DataFrame:
+    """Same-key candidate pairs WITHOUT a self-join.
+
+    Groups rows by ``keys`` into a (cap-bounded) array and expands the
+    C(n,2) combinations inside the array with codegen expressions —
+    ONE shuffle, versus the join formulation's cap groupBy + anti-join
+    + self-join exchanges. The occupancy cap becomes a plain
+    ``size(list) ≤ cap`` filter, so the hot-key pass disappears
+    entirely.
+
+    Only sound WITH a cap: the per-group list is bounded at ``cap``
+    rows (cap=1000 ⇒ ≤ ~16 KB of (doc,sz) structs per group), which
+    bounds both executor memory and the pair expansion. Callers with
+    cap=None must keep the join formulation.
+
+    Returns columns ``a``, ``b``: structs of the non-key columns,
+    canonically ordered ``a[id_field] < b[id_field]`` (rows of one key
+    group are distinct docs for every caller, so no self-pairs).
+    """
+    payload = [c for c in df.columns if c not in keys]
+    g = df.groupBy(*keys).agg(
+        F.collect_list(F.struct(*payload)).alias("__ds__"))
+    g = g.filter(F.size("__ds__").between(2, cap))
+    ds = F.col("__ds__")
+
+    def expand(x, i):
+        inner = F.transform(F.slice(ds, i + F.lit(2), F.size(ds)),
+                            lambda y: F.struct(x.alias("x"), y.alias("y")))
+        if pair_filter is not None:
+            # prune inside the array, BEFORE rows materialize — e.g.
+            # the Jaccard length filter kills size-incompatible pairs
+            # without ever paying explode+shuffle for them
+            inner = F.filter(inner,
+                             lambda p: pair_filter(p["x"], p["y"]))
+        return inner
+
+    combos = F.flatten(F.transform(ds, expand))
+    ex = g.select(F.explode(combos).alias("p"))
+    lt = F.col("p.x")[id_field] < F.col("p.y")[id_field]
+    return ex.select(
+        F.when(lt, F.col("p.x")).otherwise(F.col("p.y")).alias("a"),
+        F.when(lt, F.col("p.y")).otherwise(F.col("p.x")).alias("b"))
 
 
 def _oriented(e: DataFrame) -> DataFrame:
@@ -591,6 +675,7 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
+    df = planning.ensure_min_parallelism(df)  # shingling is CPU-bound
     hashes = word_shingle_hashes(F.col(text_col), k, family)
     posting = df.select(F.col(id_col).alias("doc"),
                         F.posexplode(hashes).alias("pos", "h"))
@@ -624,6 +709,7 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
     standard quality filter drops docs whose ``dup_word_frac`` exceeds
     a threshold. Docs never touched by a duplicate span report zeros.
     """
+    df = planning.ensure_min_parallelism(df)  # word-split is CPU-bound
     spans = duplicate_spans(df, text_col, id_col, k, family,
                             cache_postings)
     per_doc = spans.groupBy(id_col).agg(

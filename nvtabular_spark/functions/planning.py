@@ -45,6 +45,29 @@ def estimate_row_count(df: DataFrame) -> Optional[int]:
         return None
 
 
+def ensure_min_parallelism(df: DataFrame,
+                           min_partitions: Optional[int] = None) -> DataFrame:
+    """Round-robin repartition inputs that arrive with fewer partitions
+    than the cluster has slots.
+
+    A single-file parquet table with one row group plans as ONE scan
+    task, so every per-row expression downstream (shingling, hashing,
+    tokenizing) runs on one core no matter how wide the cluster is —
+    and ``spark.sql.files.maxPartitionBytes`` cannot split it (byte
+    ranges without a row-group boundary produce empty tasks).  At web
+    scale inputs always carry ≥ defaultParallelism splits and this is a
+    no-op; the repartition only fires for small/skinny inputs where the
+    one extra tiny shuffle is far cheaper than the serialized compute.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if cur < target else df
+
+
 def at_least_n_rows(df: DataFrame, n: int) -> bool:
     """True iff ``df`` has ≥ n rows, via a ``LIMIT n`` probe.
 

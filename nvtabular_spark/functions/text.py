@@ -145,6 +145,8 @@ def repetition_stats(df: "DataFrame", text_col: str = "text",
     partition — negligible). No self-joins, no windows, no Python.
     Safe at any corpus size.
     """
+    from . import planning
+    df = planning.ensure_min_parallelism(df)  # ngram explode is CPU-bound
     ng = df.select(F.col(id_col).alias("id"),
                    F.length(text_col).alias("tchars"),
                    F.explode(word_ngrams(F.col(text_col), n)).alias("ng"))
