@@ -379,6 +379,31 @@ def q_dedup_exact(spark, sf_dir):
         "doc_id", "dup_key", "canonical_id", "is_dup")
 
 
+def q_drop_exact_dups(spark, sf_dir):
+    """Full-row exact dedup: the corpus minus non-canonical duplicate
+    rows, every original column carried through (drop_exact_duplicates
+    keeps the min-doc_id row of each normalized-text group)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.drop_exact_duplicates(docs).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
+def q_verify_distribution(spark, sf_dir):
+    """DatasetGen.verify_df parity (KS goodness-of-fit, scipy-free):
+    a deterministic uniform column derived from md5(doc_id) is tested
+    against the uniform CDF; the DuckDB twin rebuilds the same 100-bin
+    ECDF, sup-difference and asymptotic Kolmogorov p-value."""
+    from nvtabular_spark.sources.dataset import verify_distribution
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.pmod(hash64(F.col("doc_id"), "md5"), F.lit(1000000))
+         / F.lit(1000000.0))
+    stat, p = verify_distribution(docs.select(u.alias("u")), "u",
+                                  "uniform", bins=100)
+    return spark.createDataFrame(
+        [(round(float(stat), 9), round(float(p), 9))],
+        "ks_stat double, p_value double")
+
+
 def q_minhash_signature(spark, sf_dir, family="md5"):
     docs = _t_wide(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(F.col("text"), num_hashes=4, shingle_n=3,
@@ -621,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rolling_agg": q_rolling_agg,
         "dedup_exact": q_dedup_exact,
+        "drop_exact_dups": q_drop_exact_dups,
+        "verify_distribution": q_verify_distribution,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -996,6 +1023,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, k.dup_key, c.canonical_id,
                    k.doc_id <> c.canonical_id AS is_dup
             FROM keyed k JOIN canon c ON k.dup_key = c.dup_key""",
+        "drop_exact_dups": f"""
+            WITH keyed AS (SELECT doc_id, lang, source, n_chars,
+                                  {fp_expr} AS dk FROM documents),
+            canon AS (SELECT dk, MIN(doc_id) cid FROM keyed GROUP BY 1)
+            SELECT k.doc_id, k.lang, k.source, k.n_chars
+            FROM keyed k JOIN canon c ON k.dk = c.dk
+            WHERE k.doc_id = c.cid""",
+        "verify_distribution": f"""
+            WITH u AS (SELECT ({_md5h('doc_id')} % 1000000) / 1000000.0
+                              AS u FROM documents),
+            hist AS (SELECT LEAST(GREATEST(CAST(FLOOR(u * 100) AS BIGINT),
+                                           0), 99) AS b, COUNT(*) AS c
+                     FROM u GROUP BY 1),
+            grid AS (SELECT g.b, COALESCE(h.c, 0) AS c
+                     FROM (SELECT UNNEST(range(0, 100)) AS b) g
+                     LEFT JOIN hist h USING (b)),
+            ecdf AS (SELECT b,
+                       SUM(c) OVER (ORDER BY b) * 1.0
+                         / (SELECT SUM(c) FROM grid) AS e
+                     FROM grid),
+            ks AS (SELECT MAX(ABS(e - (b + 1) / 100.0)) AS stat,
+                          (SELECT SUM(c) FROM grid) AS n
+                   FROM ecdf),
+            lamv AS (SELECT stat, (SQRT(n) + 0.12 + 0.11 / SQRT(n)) * stat
+                            AS lam FROM ks)
+            SELECT ROUND(stat, 9) AS ks_stat,
+                   ROUND(GREATEST(0.0, LEAST(1.0, 2.0 * (
+                     SELECT SUM(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+                                * EXP(-2.0 * k * k * lam * lam))
+                     FROM (SELECT UNNEST(range(1, 101)) AS k)
+                   ))), 9) AS p_value
+            FROM lamv""",
         "minhash_signature": f"""
             WITH sh AS (
               SELECT doc_id, {_SHINGLES3} AS sl

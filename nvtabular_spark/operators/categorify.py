@@ -636,6 +636,11 @@ class Categorify(StatOperator):
     def output_tags(self):
         return ["categorical"]
 
+    def output_dtype(self):
+        # reference categorify.py:586: encoded ids are self.dtype
+        # (int64 default there, 'int' here) — declared, not unknown
+        return self.dtype
+
     def output_properties(self):
         """Per-OUTPUT-column properties incl. the reference ``domain``
         contract ({name, min, max} — categorify.py output schema;
@@ -652,7 +657,10 @@ class Categorify(StatOperator):
                 "cardinality": size,
                 "embedding_size": embedding_size(size),
                 "cat_path": self._paths.get(key),
-                "domain": {"name": key, "min": 0, "max": size},
+                # INCLUSIVE max id (reference categorify.py:575
+                # "max": cardinality - 1): the largest assignable code,
+                # not the table size
+                "domain": {"name": key, "min": 0, "max": size - 1},
             }
         return props
 

@@ -77,6 +77,8 @@ class ValueCount(AggStatOperator):
     """fit: min/max list length per column → schema ``value_count``
     properties; transform: identity (value_counts.py:26-75). Batchable."""
 
+    preserves_dtype = True  # transform is identity: values untouched
+
     def __init__(self):
         super().__init__()
         self.counts: Dict[str, dict] = {}

@@ -258,18 +258,35 @@ class Workflow:
 
     def _build_output_schema(self, out_df: DataFrame) -> Schema:
         schema = Schema.from_spark(out_df.schema)
-        # walk the DAG, attaching per-op tags/properties to its outputs
+        # walk the DAG accumulating per-op tags/properties under each
+        # column's CURRENT name, carrying them through 1:1 renames —
+        # same propagation rule as fit_schema, so a Categorify domain
+        # survives a downstream Rename (reference
+        # test_ops_schema.py:172 run_op_full with Rename(postfix))
+        known: dict = {}
         for node in self.plan.order:
             if node.op is None:
                 continue
             sel = node.input_group_selector()
             outs = node.op.output_column_names(sel)
+            ins = list(sel.names)
+            if len(outs) == len(ins):
+                for i, o in zip(ins, outs):
+                    if o != i and i in known:
+                        cs = known[i].copy()
+                        cs.name = o
+                        known[o] = cs
             props = node.op.output_properties()
             for col in outs:
-                if col in schema:
-                    cs = schema[col]
-                    cs.tags |= set(node.op.output_tags())
-                    _apply_props(cs, props, col, outs)
+                cs = known.setdefault(col, ColumnSchema(col))
+                cs.tags |= set(node.op.output_tags())
+                _apply_props(cs, props, col, outs)
+        # merge into the data-derived schema (dtypes authoritative)
+        for name, cs in schema.column_schemas.items():
+            acc = known.get(name)
+            if acc is not None:
+                cs.tags |= acc.tags
+                cs.properties.update(acc.properties)
         return schema
 
     # -- serialization --------------------------------------------------------

@@ -340,4 +340,5 @@ def test_categorify_domain_survives_save_load(spark, tmp_path):
     op = [n.op for n in wf2.plan.order if isinstance(n.op, ops.Categorify)][0]
     props = op.output_properties()["g"]
     assert props["domain"]["name"] == "g"
-    assert props["domain"]["max"] == props["cardinality"] > 0
+    # inclusive max id = cardinality - 1 (reference categorify.py:575)
+    assert props["domain"]["max"] == props["cardinality"] - 1 > 0
