@@ -5,11 +5,13 @@ The Spark-side plumbing is real and tested (schemas, Arrow batch shape,
 
 * image — REAL pure-numpy decode for uncompressed 24-bit BMP
   (:func:`decode_bmp`), PNG (stdlib zlib, all five scanline filters)
-  and baseline JPEG (:mod:`.jpeg` — stream-driven Huffman + IDCT,
-  4:4:4/4:2:0/4:2:2, restart markers; encoder provided for fixtures),
-  with real grid-pool feature extraction and resize. Progressive JPEG
-  and formats needing PIL raise ``NotImplementedError`` in strict mode
-  or fall back to a deterministic fake otherwise.
+  and baseline + progressive JPEG (:mod:`.jpeg` — stream-driven
+  Huffman + IDCT, 4:4:4/4:2:0/4:2:2, restart markers, SOF2 spectral
+  selection + successive approximation; encoders provided for
+  fixtures), with real grid-pool feature extraction and resize.
+  Remaining exotic modes (arithmetic/lossless JPEG, formats needing
+  PIL) raise ``NotImplementedError`` in strict mode or fall back to a
+  deterministic fake otherwise.
 * audio — REAL pure-numpy decode for PCM-16 WAV (:func:`decode_wav`)
   with real RMS-energy frame features.
 * video — container parsing genuinely requires ffmpeg/av; stubbed
@@ -326,8 +328,8 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
         if strict:
             raise NotImplementedError(
                 "exotic image decode requires PIL/torchvision — not "
-                "available in this environment (BMP, PNG and baseline "
-                "JPEG decode natively)")
+                "available in this environment (BMP, PNG, baseline and "
+                "progressive JPEG decode natively)")
         return _fake_decode(b, feature_dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

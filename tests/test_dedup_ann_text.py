@@ -458,10 +458,10 @@ def test_ivf_stored_assignment_equals_inline(spark, tmp_path):
 
 
 def test_real_jpeg_decode_roundtrip_and_features(spark):
-    """Baseline JPEG is a REAL codec now: encode → decode round-trips
+    """Baseline JPEG is a REAL codec: encode → decode round-trips
     within lossy tolerance for 4:4:4 and 4:2:0, strict-mode feature
-    extraction accepts JPEG payloads, and a progressive SOF marker
-    still raises at the declared boundary."""
+    extraction accepts JPEG payloads, and the remaining unsupported
+    SOF modes (lossless 0xC3) still raise at the declared boundary."""
     from nvtabular_spark.sources import multimodal as mm
     from nvtabular_spark.sources.jpeg import decode_jpeg, encode_jpeg
 
@@ -490,12 +490,57 @@ def test_real_jpeg_decode_roundtrip_and_features(spark):
     got = np.array(list(feats["features"].iloc[0]))
     np.testing.assert_allclose(got, exp, atol=2.0)  # lossy codec
 
-    # progressive JPEG (SOF2) is a declared NotImplementedError boundary
-    prog = bytearray(encode_jpeg(img))
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(bytes(prog))
+    # lossless JPEG (SOF3) stays a declared NotImplementedError
+    # boundary; a marker-flipped fake SOF2 stream is now decoded as
+    # progressive for real and rejected as malformed
+    fake = bytearray(encode_jpeg(img))
+    i = fake.find(b"\xff\xc0")
+    fake[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(fake))
+    fake[i + 1] = 0xC2
+    with pytest.raises((ValueError, IndexError, EOFError)):
+        decode_jpeg(bytes(fake))
+
+
+def test_progressive_jpeg_decode_matches_baseline(spark):
+    """Progressive (SOF2) decode is REAL: the spectral-selection +
+    successive-approximation scan script reconstructs the exact same
+    quantized coefficients as baseline, so both decodes are pixel-
+    identical; strict-mode Spark extraction accepts SOF2 payloads."""
+    from nvtabular_spark.sources import multimodal as mm
+    from nvtabular_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    imgs = []
+    for h, w in ((16, 16), (41, 53), (8, 8), (24, 17)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        imgs.append(np.stack(
+            [np.minimum(xx * 5, 255), np.minimum(yy * 6, 255),
+             (xx + yy) % 256], axis=-1).astype(np.uint8))
+        imgs.append(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+    # flat image: every AC band is one long EOB run
+    imgs.append(np.full((32, 32, 3), 128, dtype=np.uint8))
+    for img in imgs:
+        for ss in ("444", "420"):
+            base = decode_jpeg(encode_jpeg(img, quality=85,
+                                           subsampling=ss))
+            prog_bytes = encode_jpeg(img, quality=85, subsampling=ss,
+                                     progressive=True)
+            assert b"\xff\xc2" in prog_bytes            # really SOF2
+            prog = decode_jpeg(prog_bytes)
+            np.testing.assert_array_equal(base, prog)
+
+    # strict-mode Spark path over a progressive payload
+    img = imgs[1]
+    pdf = pd.DataFrame({
+        "doc_id": ["p"],
+        "payload": [encode_jpeg(img, subsampling="420",
+                                progressive=True)]})
+    feats = mm.extract_image_features(
+        spark.createDataFrame(pdf), binary_col="payload", grid=2,
+        strict=True).toPandas()
+    assert len(feats["features"].iloc[0]) == 12
 
 
 def test_embedding_near_dups_auto_planes(spark, emb_df):
