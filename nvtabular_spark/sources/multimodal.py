@@ -14,8 +14,11 @@ The Spark-side plumbing is real and tested (schemas, Arrow batch shape,
   deterministic fake otherwise.
 * audio — REAL pure-numpy decode for PCM-16 WAV (:func:`decode_wav`)
   with real RMS-energy frame features.
-* video — container parsing genuinely requires ffmpeg/av; stubbed
-  behind the same ``mapInPandas`` flow (deterministic fake frames).
+* video — MJPEG AVI is decoded FOR REAL (:mod:`.avi` RIFF walker +
+  the native JPEG codec per frame; writer provided for fixtures).
+  Other containers/codecs genuinely require ffmpeg/av and stay stubbed
+  behind the same ``mapInPandas`` flow (deterministic fake frames, or
+  NotImplementedError in strict mode).
 
 At 100 TB: binary payloads stay in parquet/Iceberg binary columns;
 ``mapInPandas`` streams Arrow record batches through the extractor so
@@ -390,28 +393,53 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
 def sample_video_frames(df: DataFrame, id_col: str = "doc_id",
                         binary_col: str = "payload", every_n: int = 10,
                         strict: bool = False) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame index.
-    The decode itself is stubbed (deterministic frame count from byte
-    length)."""
+    """Frame sampling: one output row per sampled frame index.
+
+    MJPEG AVI payloads are parsed FOR REAL (:mod:`.avi` RIFF walker):
+    ``frame_bytes`` carries the sampled frame's complete JFIF payload,
+    decodable with the native JPEG codec. Other containers/codecs
+    genuinely need ffmpeg: ``strict=True`` raises NotImplementedError,
+    otherwise a deterministic fake keeps the plumbing flowing."""
+    from .avi import avi_mjpeg_frames, is_avi
+
     out_schema = StructType([
         StructField(id_col, df.schema[id_col].dataType),
         StructField("frame_idx", IntegerType()),
         StructField("frame_bytes", BinaryType()),
     ])
 
+    def emit_fake(b, i, ids, idxs, frames):
+        n_frames = 0 if b is None else max(1, len(b) // 16)
+        for fi in range(0, n_frames, every_n):
+            ids.append(i)
+            idxs.append(fi)
+            frames.append(None if b is None
+                          else bytes(b)[fi % len(b):fi % len(b) + 4])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real video decode requires ffmpeg/av — not available")
             ids, idxs, frames = [], [], []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
-                n_frames = 0 if b is None else max(1, len(b) // 16)
-                for fi in range(0, n_frames, every_n):
-                    ids.append(i)
-                    idxs.append(fi)
-                    frames.append(None if b is None
-                                  else bytes(b)[fi % len(b):fi % len(b) + 4])
+                b = None if b is None else bytes(b)
+                if b is not None and is_avi(b):
+                    try:
+                        fs = avi_mjpeg_frames(b)
+                    except (NotImplementedError, ValueError,
+                            struct.error) as e:
+                        if strict:
+                            raise NotImplementedError(str(e)) from e
+                        emit_fake(b, i, ids, idxs, frames)
+                        continue
+                    for fi in range(0, len(fs), every_n):
+                        ids.append(i)
+                        idxs.append(fi)
+                        frames.append(fs[fi])
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-AVI video decode requires ffmpeg/av — only "
+                        "MJPEG AVI is natively supported")
+                emit_fake(b, i, ids, idxs, frames)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
                                 "frame_bytes": frames})
 

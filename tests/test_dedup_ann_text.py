@@ -794,3 +794,45 @@ def test_random_projection_preserves_neighborhoods(spark):
     # and norms are preserved on average (E[|Px|²] = |x|²)
     ratio = np.linalg.norm(P, axis=1) / np.linalg.norm(E, axis=1)
     assert abs(float(np.mean(ratio)) - 1.0) < 0.15, np.mean(ratio)
+
+
+def test_mjpeg_avi_real_frame_sampling(spark):
+    """MJPEG AVI is real video now: the RIFF walker returns each
+    sampled frame's complete JFIF payload, decodable by the native
+    JPEG codec; strict mode accepts AVI and still rejects unknown
+    containers."""
+    from nvtabular_spark.sources import multimodal as mm
+    from nvtabular_spark.sources.avi import (avi_mjpeg_frames,
+                                             encode_avi_mjpeg, is_avi)
+    from nvtabular_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 32
+    rng = np.random.RandomState(5)
+    frames_rgb = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                  for _ in range(7)]
+    jpegs = [encode_jpeg(f, quality=90) for f in frames_rgb]
+    avi = encode_avi_mjpeg(jpegs, width=w, height=h, fps=10)
+    assert is_avi(avi)
+    assert avi_mjpeg_frames(avi) == jpegs          # byte-exact payloads
+
+    pdf = pd.DataFrame({"doc_id": ["v"], "payload": [avi]})
+    out = mm.sample_video_frames(spark.createDataFrame(pdf), every_n=3,
+                                 strict=True).orderBy("frame_idx") \
+        .toPandas()
+    assert list(out["frame_idx"]) == [0, 3, 6]
+    for _, row in out.iterrows():
+        img = decode_jpeg(bytes(row["frame_bytes"]))
+        ref = decode_jpeg(jpegs[row["frame_idx"]])
+        np.testing.assert_array_equal(img, ref)
+
+    # strict mode still rejects non-AVI payloads
+    bad = pd.DataFrame({"doc_id": ["x"], "payload": [b"\x00" * 64]})
+    with pytest.raises(Exception, match="ffmpeg"):
+        mm.sample_video_frames(spark.createDataFrame(bad),
+                               strict=True).collect()
+
+    # and a non-MJPEG AVI raises NotImplementedError directly
+    fake_avi = bytearray(encode_avi_mjpeg([b"\x00\x01\x02\x03"],
+                                          width=2, height=2))
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        avi_mjpeg_frames(bytes(fake_avi))
