@@ -350,11 +350,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     docs = (df.select(F.col(id_col).alias("doc"), arr.alias("arr"))
             .withColumn("sz", F.size("arr"))
             .filter(F.col("sz") > 0))
-    if prefix_filter:
-        # only the prefix plan fans docs out to 3-4 consumers (posting
-        # explode + both verify joins) — checkpoint so the text is
-        # shingled once; the naive plan consumes docs a single time and
-        # the checkpoint would be pure materialization overhead
+    if prefix_filter or not max_posting:
+        # the prefix plan fans docs out to 3-4 consumers (posting
+        # explode + both verify joins) and the UNCAPPED naive plan's
+        # self-join consumes the posting set twice — checkpoint so the
+        # text is shingled once. The capped naive plan (_group_pairs)
+        # consumes docs exactly once; there the checkpoint would be
+        # pure materialization overhead
         docs = docs.localCheckpoint(eager=False)
 
     if prefix_filter:
@@ -438,37 +440,42 @@ def _group_pairs(df: DataFrame, keys: List[str], cap: int,
     entirely.
 
     Only sound WITH a cap: the per-group list is bounded at ``cap``
-    rows (cap=1000 ⇒ ≤ ~16 KB of (doc,sz) structs per group), which
-    bounds both executor memory and the pair expansion. Callers with
-    cap=None must keep the join formulation.
+    rows. The expansion is TWO-STEP (posexplode the list, then each
+    element expands only against the tail slice) so no single value
+    ever holds the full C(n, 2) pair set — per-row memory is bounded
+    by the ``cap``-element list itself, and the quadratic pair volume
+    streams through the explode exactly like the join formulation's
+    output would. Callers with cap=None must keep the join
+    formulation (unbounded collect_list).
 
     Returns columns ``a``, ``b``: structs of the non-key columns,
-    canonically ordered ``a[id_field] < b[id_field]`` (rows of one key
-    group are distinct docs for every caller, so no self-pairs).
+    canonically ordered ``a[id_field] < b[id_field]``. Rows whose ids
+    collide (duplicate ids in one key group) are dropped — the join
+    formulation's strict ``a.id < b.id`` predicate excluded them too.
     """
     payload = [c for c in df.columns if c not in keys]
     g = df.groupBy(*keys).agg(
         F.collect_list(F.struct(*payload)).alias("__ds__"))
     g = g.filter(F.size("__ds__").between(2, cap))
-    ds = F.col("__ds__")
 
-    def expand(x, i):
-        inner = F.transform(F.slice(ds, i + F.lit(2), F.size(ds)),
-                            lambda y: F.struct(x.alias("x"), y.alias("y")))
-        if pair_filter is not None:
-            # prune inside the array, BEFORE rows materialize — e.g.
-            # the Jaccard length filter kills size-incompatible pairs
-            # without ever paying explode+shuffle for them
-            inner = F.filter(inner,
-                             lambda p: pair_filter(p["x"], p["y"]))
-        return inner
-
-    combos = F.flatten(F.transform(ds, expand))
-    ex = g.select(F.explode(combos).alias("p"))
+    ex1 = g.select(F.col("__ds__"),
+                   F.posexplode("__ds__").alias("__i__", "__x__"))
+    inner = F.transform(
+        F.slice(F.col("__ds__"), F.col("__i__") + F.lit(2),
+                F.size("__ds__")),
+        lambda y: F.struct(F.col("__x__").alias("x"), y.alias("y")))
+    if pair_filter is not None:
+        # prune inside the array, BEFORE rows materialize — e.g. the
+        # Jaccard length filter kills size-incompatible pairs without
+        # ever paying explode+shuffle for them
+        inner = F.filter(inner, lambda p: pair_filter(p["x"], p["y"]))
+    ex = ex1.select(F.explode(inner).alias("p"))
     lt = F.col("p.x")[id_field] < F.col("p.y")[id_field]
-    return ex.select(
-        F.when(lt, F.col("p.x")).otherwise(F.col("p.y")).alias("a"),
-        F.when(lt, F.col("p.y")).otherwise(F.col("p.x")).alias("b"))
+    return (ex
+            .where(F.col("p.x")[id_field] != F.col("p.y")[id_field])
+            .select(
+                F.when(lt, F.col("p.x")).otherwise(F.col("p.y")).alias("a"),
+                F.when(lt, F.col("p.y")).otherwise(F.col("p.x")).alias("b")))
 
 
 def _oriented(e: DataFrame) -> DataFrame:
@@ -509,13 +516,15 @@ def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
 
 
 def _parse_jvm_mem(s: str) -> Optional[int]:
-    """'12g' / '512m' / '2048' (MiB-less = bytes per JVM rules) → bytes."""
+    """'12g' / '512m' / '2048' → bytes. A bare number is MiB — Spark
+    parses suffix-less memory properties as mebibytes
+    (JavaUtils.byteStringAsMb), not bytes."""
     s = s.strip().lower()
     try:
         mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
         if s and s[-1] in mult:
             return int(float(s[:-1]) * mult[s[-1]])
-        return int(s)
+        return int(s) << 20
     except ValueError:
         return None
 

@@ -104,19 +104,22 @@ class Workflow:
             outs = node.op.output_column_names(sel)
             ins = list(sel.names)
             dt = node.op.output_dtype()
+            list_in: dict = {}
             if len(outs) == len(ins):
                 # 1:1 op: each output inherits its positional input's
                 # tags/properties under the new name. The dtype rides
                 # along ONLY when the op declares one (`dt`) or is a
                 # pure schema op (`preserves_dtype`) — a value-encoding
-                # op without a declared dtype (Categorify, HashBucket
-                # list outputs, …) must report UNKNOWN, not the input's
-                # dtype
+                # op without a declared dtype must report UNKNOWN, not
+                # the input's dtype
                 keep_dtype = getattr(node.op, "preserves_dtype", False)
                 for i, o in zip(ins, outs):
                     src = known.get(i)
                     cs = src.copy() if src is not None else ColumnSchema(o)
                     cs.name = o
+                    list_in[o] = bool(src and
+                                      str(src.dtype or "")
+                                      .startswith("array"))
                     if not keep_dtype:
                         cs.dtype = None
                     known[o] = cs
@@ -125,7 +128,14 @@ class Workflow:
                 cs.tags |= set(node.op.output_tags())
                 _apply_props(cs, node.op.output_properties(), col, outs)
                 if dt:
-                    cs.dtype = dt
+                    # an element-wise op over a LIST column produces a
+                    # list of the declared element dtype (Categorify on
+                    # array<string> → array<int>), so wrap the declared
+                    # scalar dtype for list-typed inputs
+                    if list_in.get(col) and not str(dt).startswith("array"):
+                        cs.dtype = f"array<{dt}>"
+                    else:
+                        cs.dtype = dt
         self.output_schema = Schema(
             [known.get(n) or ColumnSchema(n)
              for n in self.plan.root.output_columns()])

@@ -82,11 +82,13 @@ def avi_mjpeg_frames(payload: bytes) -> List[bytes]:
     data = bytes(payload)
     if not is_avi(data):
         raise ValueError("not a RIFF/AVI payload")
-    frames: List[bytes] = []
+    chunks: dict = {}                  # stream number -> [frame bytes]
+    stream_no = 0
+    vids_stream = None                 # which stream number is video
     handler_mjpg = None
 
     def walk(pos: int, end: int) -> None:
-        nonlocal handler_mjpg
+        nonlocal handler_mjpg, stream_no, vids_stream
         while pos + 8 <= end:
             tag = data[pos:pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -95,16 +97,29 @@ def avi_mjpeg_frames(payload: bytes) -> List[bytes]:
             if tag == b"LIST":
                 walk(body_start + 4, body_end)
             elif tag == b"strh" and size >= 8:
+                # streams are numbered in header order — an AVI with an
+                # audio strl first carries its video chunks as '01dc'
                 if data[body_start:body_start + 4] == b"vids":
+                    vids_stream = stream_no
                     handler_mjpg = data[body_start + 4:body_start + 8] \
                         in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00")
-            elif tag in (b"00dc", b"00db") and size > 0:
-                frames.append(data[body_start:body_end])
+                stream_no += 1
+            elif size > 0 and tag[:2].isdigit() and tag[2:] in (b"dc",
+                                                                b"db"):
+                chunks.setdefault(int(tag[:2]), []).append(
+                    data[body_start:body_end])
             pos = body_start + size + (size % 2)
 
     walk(12, len(data))
-    if handler_mjpg is False and not all(
-            f[:3] == b"\xff\xd8\xff" for f in frames[:1]):
+    if vids_stream is not None and vids_stream in chunks:
+        frames = chunks[vids_stream]
+    else:
+        # no stream headers (or chunks on an unexpected stream): fall
+        # back to whichever stream's chunks are JPEG payloads
+        frames = next((fs for fs in chunks.values()
+                       if fs and fs[0][:2] == b"\xff\xd8"), [])
+    if handler_mjpg is False and not (
+            frames and frames[0][:3] == b"\xff\xd8\xff"):
         raise NotImplementedError(
             "AVI video stream is not MJPG — compressed codecs require "
             "ffmpeg (out of scope)")
@@ -112,4 +127,8 @@ def avi_mjpeg_frames(payload: bytes) -> List[bytes]:
         raise NotImplementedError(
             "AVI frame chunks are not JPEG — non-MJPEG codecs require "
             "ffmpeg (out of scope)")
+    if not frames and chunks:
+        raise NotImplementedError(
+            "AVI has stream chunks but none decodable as MJPEG — "
+            "other codecs require ffmpeg (out of scope)")
     return frames

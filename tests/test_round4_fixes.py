@@ -122,7 +122,9 @@ def test_parse_jvm_mem():
     assert dedup._parse_jvm_mem("12g") == 12 << 30
     assert dedup._parse_jvm_mem("512m") == 512 << 20
     assert dedup._parse_jvm_mem("1024k") == 1 << 20
-    assert dedup._parse_jvm_mem("2048") == 2048
+    # Spark parses suffix-less memory properties as MiB, not bytes —
+    # spark.driver.memory=2048 means 2 GiB and must NOT warn
+    assert dedup._parse_jvm_mem("2048") == 2048 << 20
     assert dedup._parse_jvm_mem("bogus") is None
 
 
@@ -230,3 +232,67 @@ def test_embedding_near_dups_auto_planes_with_hint(spark):
                                   approx_count=16).toPandas()
     found = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
     assert (f"v0", f"v0_dup") in found
+
+
+# -- post-review fixes (round-4 code review) ---------------------------------
+
+def test_group_pairs_excludes_duplicate_id_self_pairs(spark):
+    """Duplicate ids in one bucket must not yield (id, id) pairs — the
+    join formulation's strict a.id < b.id excluded them; the in-array
+    expansion must match."""
+    rows = [("d1", [1.0, 0.0]), ("d1", [1.0, 0.0]), ("d2", [1.0, 0.01])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = ann.embedding_near_dups(df, threshold=0.9, dim=2,
+                                  num_planes=2).toPandas()
+    assert (got["id_a"] != got["id_b"]).all()
+    assert ("d1", "d2") in set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+
+
+def test_group_pairs_large_group_no_single_buffer_blowup(spark):
+    """A hot bucket near the cap must stream its C(n,2) expansion, not
+    materialize it as one array value (the old single-flatten plan
+    built ~n²/2 structs in one row)."""
+    n = 3000
+    pdf = pd.DataFrame({"doc": [f"d{i:05d}" for i in range(n)],
+                        "sz": [10] * n, "sh": [7] * n})
+    df = spark.createDataFrame(pdf)
+    from nvtabular_spark.functions.dedup import _group_pairs
+    cnt = _group_pairs(df, ["sh"], cap=n).count()
+    assert cnt == n * (n - 1) // 2
+
+
+def test_avi_video_not_stream_zero(spark):
+    """An AVI whose audio strl precedes the video strl numbers video
+    chunks '01dc' — the walker must follow the stream number instead
+    of silently returning zero frames."""
+    import struct as st
+
+    from nvtabular_spark.sources.avi import (_chunk, _list,
+                                             avi_mjpeg_frames)
+    from nvtabular_spark.sources.jpeg import encode_jpeg
+
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    jp = encode_jpeg(img)
+    auds_strh = b"auds" + b"\x00" * 52
+    vids_strh = (b"vids" + b"MJPG"
+                 + st.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, 0,
+                           0xFFFFFFFF, 0) + st.pack("<4H", 0, 0, 8, 8))
+    hdrl = _list(b"hdrl", _chunk(b"avih", b"\x00" * 56)
+                 + _list(b"strl", _chunk(b"strh", auds_strh))
+                 + _list(b"strl", _chunk(b"strh", vids_strh)))
+    movi = _list(b"movi", _chunk(b"01dc", jp))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + st.pack("<I", len(body)) + body
+    assert avi_mjpeg_frames(avi) == [jp]
+
+
+def test_fit_schema_list_categorify_dtype(spark):
+    """Categorify on a LIST column declares array<int>, not scalar int,
+    in the schema-only fit."""
+    from nvtabular_spark.plans.schema import ColumnSchema, Schema
+    schema = Schema([ColumnSchema("toks", dtype="array<string>"),
+                     ColumnSchema("cat", dtype="string")])
+    wf = nvt.Workflow(["toks", "cat"] >> ops.Categorify())
+    wf.fit_schema(schema)
+    assert wf.output_schema["toks"].dtype == "array<int>"
+    assert wf.output_schema["cat"].dtype == "int"
