@@ -404,6 +404,40 @@ def q_verify_distribution(spark, sf_dir):
         "ks_stat double, p_value double")
 
 
+def q_pack_sequences_prefix(spark, sf_dir):
+    """Sequence packing, prefix-sum strategy: one window per shard
+    assigns fixed-capacity training bins (documents: shard=lang,
+    order=doc_id, weight=n_chars)."""
+    from nvtabular_spark.functions import packing
+    docs = _t(spark, sf_dir, "documents")
+    out = packing.pack_sequences(docs, capacity=5000, shard_col="lang",
+                                 order_col="doc_id", tok_col="n_chars")
+    return out.select("doc_id", "lang", "bin_id", "bin_offset")
+
+
+def q_pack_sequences_greedy(spark, sf_dir):
+    """Exact capacity-respecting greedy packing (applyInPandas per
+    shard); oracle is a DuckDB recursive CTE stepping the same
+    first-fit recurrence."""
+    from nvtabular_spark.functions import packing
+    docs = _t(spark, sf_dir, "documents")
+    out = packing.pack_sequences(docs, capacity=5000, shard_col="lang",
+                                 order_col="doc_id", tok_col="n_chars",
+                                 strategy="greedy")
+    return out.select("doc_id", "lang", "bin_id", "bin_offset")
+
+
+def q_ngram_contamination(spark, sf_dir, family="md5"):
+    """Benchmark-contamination signal: docs ending in 0 act as the
+    held-out benchmark, the rest as the training corpus."""
+    from nvtabular_spark.functions import packing
+    docs = _t_wide(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return packing.ngram_contamination(corpus, bench, n=5,
+                                       family=family)
+
+
 def q_minhash_signature(spark, sf_dir, family="md5"):
     docs = _t_wide(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(F.col("text"), num_hashes=4, shingle_n=3,
@@ -648,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "drop_exact_dups": q_drop_exact_dups,
         "verify_distribution": q_verify_distribution,
+        "pack_sequences_prefix": q_pack_sequences_prefix,
+        "pack_sequences_greedy": q_pack_sequences_greedy,
+        "ngram_contamination": q_ngram_contamination,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -680,6 +717,7 @@ def _md5h(expr: str) -> str:
 
 
 _SHINGLES3 = dedup.shingle_hashes_sql("w", 3, _md5h)
+_SHINGLES5 = dedup.shingle_hashes_sql("w", 5, _md5h)
 
 
 def _mh_lane(i: int) -> str:
@@ -1055,6 +1093,61 @@ def oracle_sql() -> dict[str, str]:
                      FROM (SELECT UNNEST(range(1, 101)) AS k)
                    ))), 9) AS p_value
             FROM lamv""",
+        "pack_sequences_prefix": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     CAST(COALESCE(SUM(n_chars) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS prev
+              FROM documents)
+            SELECT doc_id, lang,
+                   CAST(FLOOR(prev / 5000.0) AS BIGINT) AS bin_id,
+                   CAST(prev % 5000 AS BIGINT) AS bin_offset
+            FROM w""",
+        "pack_sequences_greedy": """
+            WITH RECURSIVE ordered AS (
+              SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            rec AS (
+              SELECT lang, rn, doc_id,
+                     CAST(0 AS BIGINT) AS bin_id,
+                     CAST(0 AS BIGINT) AS bin_offset,
+                     CAST(n_chars AS BIGINT) AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.lang, o.rn, o.doc_id,
+                     CASE WHEN r.fill + o.n_chars > 5000 AND r.fill > 0
+                          THEN r.bin_id + 1 ELSE r.bin_id END,
+                     CASE WHEN r.fill + o.n_chars > 5000 AND r.fill > 0
+                          THEN CAST(0 AS BIGINT) ELSE r.fill END,
+                     CASE WHEN r.fill + o.n_chars > 5000 AND r.fill > 0
+                          THEN CAST(o.n_chars AS BIGINT)
+                          ELSE r.fill + o.n_chars END
+              FROM rec r JOIN ordered o
+                ON o.lang = r.lang AND o.rn = r.rn + 1)
+            SELECT doc_id, lang, bin_id, bin_offset FROM rec""",
+        "ngram_contamination": f"""
+            WITH bw AS (SELECT string_split(text, ' ') w FROM documents
+                        WHERE doc_id % 10 = 0),
+            bsh AS (SELECT DISTINCT UNNEST({_SHINGLES5}) AS sh
+                    FROM bw WHERE len(w) >= 5),
+            cw AS (SELECT doc_id, string_split(text, ' ') w
+                   FROM documents WHERE doc_id % 10 <> 0),
+            csh AS (SELECT doc_id,
+                           UNNEST(list_distinct({_SHINGLES5})) AS sh
+                    FROM cw WHERE len(w) >= 5)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated,
+                   CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh)
+                            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                     AS contamination_frac
+            FROM csh GROUP BY doc_id""",
         "minhash_signature": f"""
             WITH sh AS (
               SELECT doc_id, {_SHINGLES3} AS sl

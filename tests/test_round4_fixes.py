@@ -296,3 +296,76 @@ def test_fit_schema_list_categorify_dtype(spark):
     wf.fit_schema(schema)
     assert wf.output_schema["toks"].dtype == "array<int>"
     assert wf.output_schema["cat"].dtype == "int"
+
+
+# -- sequence packing + contamination ----------------------------------------
+
+def test_pack_sequences_greedy_capacity_invariant(spark):
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(300)],
+        "entity_id": rng.choice(["e1", "e2", "e3"], 300),
+        "ts": np.arange(300),
+        "n_tok": rng.randint(1, 900, 300),
+    })
+    pdf.loc[0, "n_tok"] = 5000                    # overlong sequence
+    df = spark.createDataFrame(pdf)
+    from nvtabular_spark.functions import packing
+    out = packing.pack_sequences(df, capacity=2048,
+                                 strategy="greedy").toPandas()
+    stats = out.groupby(["entity_id", "bin_id"])["n_tok"].agg(
+        ["sum", "count"])
+    # no bin exceeds capacity unless it holds exactly one overlong seq
+    bad = stats[(stats["sum"] > 2048) & (stats["count"] > 1)]
+    assert bad.empty, bad
+    # offsets are the exclusive running total within the bin
+    for (_, _), grp in out.groupby(["entity_id", "bin_id"]):
+        grp = grp.sort_values(["ts", "doc_id"])
+        assert grp["bin_offset"].tolist() == \
+            [0] + grp["n_tok"].cumsum().tolist()[:-1]
+
+
+def test_pack_sequences_prefix_vs_greedy_fill(spark):
+    """Prefix bins may overflow by < one sequence; greedy never does.
+    Both produce identical results when every shard fits one bin."""
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(20)],
+        "entity_id": ["e"] * 20,
+        "ts": np.arange(20),
+        "n_tok": [10] * 20,
+    })
+    df = spark.createDataFrame(pdf)
+    from nvtabular_spark.functions import packing
+    a = packing.pack_sequences(df, capacity=500).toPandas() \
+        .sort_values("doc_id")
+    b = packing.pack_sequences(df, capacity=500, strategy="greedy") \
+        .toPandas().sort_values("doc_id")
+    assert a[["bin_id", "bin_offset"]].to_numpy().tolist() == \
+        b[["bin_id", "bin_offset"]].to_numpy().tolist()
+    st = packing.packing_stats(
+        packing.pack_sequences(df, capacity=100), capacity=100) \
+        .toPandas()
+    assert (st["bin_tokens"] == 100).all()
+    assert (st["fill_frac"] == 1.0).all()
+
+
+def test_ngram_contamination_planted(spark):
+    from nvtabular_spark.functions import packing
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta"],
+    }))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta theta",  # fully in
+            "alpha beta gamma delta epsilon something else here now",
+            "totally unrelated words that never appear in benchmark x",
+        ],
+    }))
+    out = packing.ngram_contamination(corpus, bench, n=5) \
+        .orderBy("doc_id").toPandas()
+    fr = out.set_index("doc_id")["contamination_frac"]
+    assert fr[1] == 1.0
+    assert 0.0 < fr[2] < 1.0
+    assert fr[3] == 0.0
