@@ -1138,16 +1138,25 @@ def oracle_sql() -> dict[str, str]:
                    FROM documents WHERE doc_id % 10 <> 0),
             csh AS (SELECT doc_id,
                            UNNEST(list_distinct({_SHINGLES5})) AS sh
-                    FROM cw WHERE len(w) >= 5)
-            SELECT doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-                   CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh)
-                            THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM cw WHERE len(w) >= 5),
+            per AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                     CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+              FROM csh GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(p.n_contaminated, 0) AS BIGINT)
                      AS n_contaminated,
-                   CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh)
-                            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-                     AS contamination_frac
-            FROM csh GROUP BY doc_id""",
+                   CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+                        THEN CAST(p.n_contaminated AS DOUBLE)
+                             / p.n_ngrams
+                        ELSE 0.0 END AS contamination_frac
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id % 10 <> 0) d
+            LEFT JOIN per p USING (doc_id)""",
         "minhash_signature": f"""
             WITH sh AS (
               SELECT doc_id, {_SHINGLES3} AS sl

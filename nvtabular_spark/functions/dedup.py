@@ -516,12 +516,15 @@ def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
 
 
 def _parse_jvm_mem(s: str) -> Optional[int]:
-    """'12g' / '512m' / '2048' → bytes. A bare number is MiB — Spark
-    parses suffix-less memory properties as mebibytes
-    (JavaUtils.byteStringAsMb), not bytes."""
+    """'12g' / '2gb' / '512m' / '2048' → bytes. A bare number is MiB —
+    Spark parses suffix-less memory properties as mebibytes
+    (JavaUtils.byteStringAsMb); both 'g' and 'gb' suffix spellings are
+    valid Spark syntax."""
     s = s.strip().lower()
     try:
         mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        if s.endswith("b") and len(s) > 1 and s[-2] in mult:
+            s = s[:-1]
         if s and s[-1] in mult:
             return int(float(s[:-1]) * mult[s[-1]])
         return int(s) << 20

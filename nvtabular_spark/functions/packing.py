@@ -48,11 +48,16 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
     within the bin) to every sequence. See module docstring for the
     strategy contract; output is input columns + (bin_id, bin_offset).
     """
+    tok = F.col(tok_col)
+    if df.schema[tok_col].dataType.simpleString() in ("float", "double"):
+        # pandas-sourced frames carry missing counts as NaN, which is
+        # NOT null to Spark — an unguarded NaN poisons the running sum
+        tok = F.when(F.isnan(tok), F.lit(None)).otherwise(tok)
     if strategy == "prefix":
         w = Window.partitionBy(shard_col).orderBy(order_col, id_col)
         prev = F.coalesce(
-            F.sum(tok_col).over(w.rowsBetween(Window.unboundedPreceding,
-                                              -1)),
+            F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding,
+                                          -1)),
             F.lit(0)).cast("long")
         return (df.withColumn("bin_id",
                               F.floor(prev / F.lit(capacity))
@@ -72,7 +77,10 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
         import numpy as np
         pdf = pdf.sort_values([ocol, icol], kind="mergesort") \
             .reset_index(drop=True)
-        toks = pdf[tcol].to_numpy()
+        # null token counts contribute 0, matching the prefix
+        # strategy's F.sum null-skipping — a NaN would otherwise poison
+        # every later offset in the shard
+        toks = pdf[tcol].fillna(0).to_numpy("int64")
         bins = np.zeros(len(toks), dtype="int64")
         offs = np.zeros(len(toks), dtype="int64")
         b = fill = 0
@@ -138,6 +146,18 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
                .agg(F.count(F.lit(1)).cast("long").alias("n_ngrams"),
                     F.coalesce(F.sum("__hit__"), F.lit(0)).cast("long")
                     .alias("n_contaminated")))
-    return per_doc.withColumn(
-        "contamination_frac",
-        F.col("n_contaminated").cast("double") / F.col("n_ngrams"))
+    # documents shorter than n words produce no shingles — report them
+    # with zeros rather than silently dropping them (corpus-level
+    # stats and join-backs must see every input row)
+    base = corpus.select(id_col).distinct()
+    return (base.join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_ngrams", F.lit(0)).cast("long")
+                .alias("n_ngrams"),
+                F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                .alias("n_contaminated"),
+                F.when(F.coalesce("n_ngrams", F.lit(0)) > 0,
+                       F.col("n_contaminated").cast("double")
+                       / F.col("n_ngrams"))
+                .otherwise(F.lit(0.0)).alias("contamination_frac")))

@@ -125,6 +125,9 @@ def test_parse_jvm_mem():
     # Spark parses suffix-less memory properties as MiB, not bytes —
     # spark.driver.memory=2048 means 2 GiB and must NOT warn
     assert dedup._parse_jvm_mem("2048") == 2048 << 20
+    # two-letter suffixes are valid Spark syntax too
+    assert dedup._parse_jvm_mem("2gb") == 2 << 30
+    assert dedup._parse_jvm_mem("512mb") == 512 << 20
     assert dedup._parse_jvm_mem("bogus") is None
 
 
@@ -369,3 +372,37 @@ def test_ngram_contamination_planted(spark):
     assert fr[1] == 1.0
     assert 0.0 < fr[2] < 1.0
     assert fr[3] == 0.0
+
+
+def test_pack_greedy_null_tokens_match_prefix_semantics(spark):
+    """Null token counts contribute 0 in BOTH strategies (prefix's
+    F.sum skips nulls; greedy must not NaN-poison the shard)."""
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "entity_id": ["e"] * 4,
+        "ts": [1, 2, 3, 4],
+        "n_tok": [10.0, None, 20.0, 30.0],
+    })
+    df = spark.createDataFrame(pdf)
+    from nvtabular_spark.functions import packing
+    g = packing.pack_sequences(df, capacity=100, strategy="greedy") \
+        .orderBy("ts").toPandas()
+    p = packing.pack_sequences(df, capacity=100) \
+        .orderBy("ts").toPandas()
+    assert g["bin_offset"].tolist() == [0, 10, 10, 30]
+    assert p["bin_offset"].tolist() == g["bin_offset"].tolist()
+
+
+def test_contamination_reports_short_docs_with_zeros(spark):
+    from nvtabular_spark.functions import packing
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["a b c d e f g"]}))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d e f g", "too short"]}))
+    out = packing.ngram_contamination(corpus, bench, n=5) \
+        .orderBy("doc_id").toPandas()
+    assert out["doc_id"].tolist() == [1, 2]          # short doc present
+    assert out.loc[1, "n_ngrams"] == 0
+    assert out.loc[1, "contamination_frac"] == 0.0
+    assert out.loc[0, "contamination_frac"] == 1.0
