@@ -438,6 +438,29 @@ def q_ngram_contamination(spark, sf_dir, family="md5"):
                                        family=family)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (data-mixing quotas): keep
+    all of lang 'de', 30% of 'en', 10% of everything else — membership
+    is a row-local md5 predicate, reproducible on any engine."""
+    from nvtabular_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, {"de": 1.0, "en": 0.3}, strata_col="lang",
+        default_fraction=0.1, seed=3)
+    return out.select("doc_id", "lang", "source")
+
+
+def q_token_vocab_stats(spark, sf_dir, family="md5"):
+    """Corpus token-frequency table (freq + doc_freq) over synthesized
+    token ids, truncated to a deterministic top-100."""
+    from nvtabular_spark.functions import sampling
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.transform(text.words(F.col("text")),
+                       lambda w: F.pmod(hash64(w, family), F.lit(50000)))
+    return sampling.token_vocab_stats(
+        docs.select(toks.alias("tokens")), top_k=100)
+
+
 def q_minhash_signature(spark, sf_dir, family="md5"):
     docs = _t_wide(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(F.col("text"), num_hashes=4, shingle_n=3,
@@ -685,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_prefix": q_pack_sequences_prefix,
         "pack_sequences_greedy": q_pack_sequences_greedy,
         "ngram_contamination": q_ngram_contamination,
+        "stratified_sample": q_stratified_sample,
+        "token_vocab_stats": q_token_vocab_stats,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -714,6 +739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _md5h(expr: str) -> str:
     return md5_hash64_sql(expr)
+
+
+def _md5h_seeded(expr: str, seed: int) -> str:
+    """DuckDB twin of hash64(col, 'md5', seed): md5 of 'value#seed'."""
+    return md5_hash64_sql(f"CAST({expr} AS VARCHAR) || '#{seed}'")
 
 
 _SHINGLES3 = dedup.shingle_hashes_sql("w", 3, _md5h)
@@ -1157,6 +1187,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents
                   WHERE doc_id % 10 <> 0) d
             LEFT JOIN per p USING (doc_id)""",
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE ({_md5h_seeded('doc_id', 3)}) % 1000000 <
+                  CAST((CASE WHEN lang = 'de' THEN 1.0
+                             WHEN lang = 'en' THEN 0.3
+                             ELSE 0.1 END) * 1000000 AS BIGINT)""",
+        "token_vocab_stats": f"""
+            WITH t AS (SELECT doc_id,
+                         list_transform(string_split(text, ' '),
+                                        w -> {_md5h('w')} % 50000)
+                           AS toks
+                       FROM documents),
+            freq AS (SELECT UNNEST(toks) AS token FROM t),
+            fr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM freq GROUP BY 1),
+            dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+                    FROM (SELECT doc_id,
+                                 UNNEST(list_distinct(toks)) AS token
+                          FROM t)
+                    GROUP BY 1)
+            SELECT fr.token, fr.freq, dfq.doc_freq
+            FROM fr JOIN dfq USING (token)
+            ORDER BY fr.freq DESC, fr.token ASC LIMIT 100""",
         "minhash_signature": f"""
             WITH sh AS (
               SELECT doc_id, {_SHINGLES3} AS sl

@@ -406,3 +406,29 @@ def test_contamination_reports_short_docs_with_zeros(spark):
     assert out.loc[1, "n_ngrams"] == 0
     assert out.loc[1, "contamination_frac"] == 0.0
     assert out.loc[0, "contamination_frac"] == 1.0
+
+
+# -- deterministic sampling ---------------------------------------------------
+
+def test_split_train_holdout_disjoint_exhaustive(spark):
+    from nvtabular_spark.functions import sampling
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    train, hold = sampling.split_train_holdout(df, 0.1, seed=5)
+    nt, nh = train.count(), hold.count()
+    assert nt + nh == 2000
+    assert train.join(hold, "doc_id").count() == 0
+    assert 100 < nh < 320                      # ~10% within tolerance
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from nvtabular_spark.functions import sampling
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = set(r["doc_id"] for r in
+            sampling.deterministic_sample(df, 0.25, seed=2).collect())
+    b = set(r["doc_id"] for r in sampling.deterministic_sample(
+        df.repartition(13), 0.25, seed=2).collect())
+    assert a == b and 180 < len(a) < 320
+    # different seed → different membership
+    c = set(r["doc_id"] for r in
+            sampling.deterministic_sample(df, 0.25, seed=3).collect())
+    assert a != c
