@@ -1,0 +1,111 @@
+"""End-to-end LLM training-data curation over the documents corpus —
+the integrated story the individual ops serve:
+
+  1. exact dedup        (fingerprint hash-groupBy)
+  2. fuzzy dedup        (minhash-LSH pairs → connected components →
+                         min-id survivor per cluster)
+  3. quality signals    (Workflow DAG: lang-id, quality score, token
+                         count, PII scrub — one pass, pure codegen)
+  4. quality filter     (lang == en, quality ≥ threshold, repetition
+                         and duplicate-span mass below thresholds)
+  5. decontamination    (n-gram overlap vs a held-out benchmark)
+  6. mixing + split     (deterministic per-source sampling quotas,
+                         train/holdout split on a stable key)
+  7. packing            (greedy fixed-capacity training bins)
+
+Run: python examples/curation_pipeline.py [sf_dir]
+Prints one JSON line of per-stage row counts.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+from nvtabular_spark.functions import dedup, packing, sampling, text
+
+
+def curate(spark, sf_dir, capacity=4096):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    counts = {"input": docs.count()}
+
+    # 1-2: exact then fuzzy dedup
+    docs = dedup.drop_exact_duplicates(docs)
+    counts["after_exact_dedup"] = docs.count()
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                    family="xxhash64")
+    docs = dedup.drop_near_duplicates(docs, pairs)
+    counts["after_fuzzy_dedup"] = docs.count()
+
+    # 3: quality signals as ONE Workflow pass
+    wf = nvt.Workflow(
+        (["text"] >> ops.LangId())
+        + (["text"] >> ops.QualityScore())
+        + (["text"] >> ops.TokenCount())
+        + (["text"] >> ops.ScrubPII())
+        + ["doc_id", "source"])
+    scored = wf.fit_transform(docs)
+
+    # 4: threshold filter + repetition / span-dup mass
+    rep = text.repetition_stats(docs).select(
+        "doc_id", "dup_ngram_frac")
+    span = dedup.duplicate_span_stats(docs, k=8).select(
+        "doc_id", "dup_word_frac")
+    kept = (scored.join(rep, "doc_id", "left")
+            .join(span, "doc_id", "left")
+            .filter((F.col("text_lang") == "en")
+                    & (F.col("text_quality") >= 0.3)
+                    & (F.coalesce("dup_ngram_frac", F.lit(0.0)) < 0.9)
+                    & (F.coalesce("dup_word_frac", F.lit(0.0)) < 0.5)))
+    counts["after_quality_filter"] = kept.count()
+
+    # 5: decontamination vs a synthetic benchmark slice
+    bench = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")) \
+        .filter(F.col("doc_id") % 97 == 0)
+    contam = packing.ngram_contamination(kept, bench, n=8,
+                                         family="xxhash64")
+    kept = kept.join(
+        contam.filter(F.col("contamination_frac") < 0.8)
+        .select("doc_id"), "doc_id")
+    counts["after_decontamination"] = kept.count()
+
+    # 6: mixing quotas + stable holdout split
+    mixed = sampling.stratified_sample(
+        kept, {"src1": 1.0}, strata_col="source",
+        default_fraction=0.8, seed=11)
+    train, holdout = sampling.split_train_holdout(mixed, 0.05)
+    counts["train"] = train.count()
+    counts["holdout"] = holdout.count()
+
+    # 7: pack the training set into fixed-capacity bins
+    packed = packing.pack_sequences(
+        train.withColumn("n_tok", text.token_count(F.col("text"))),
+        capacity=capacity, shard_col="source", order_col="doc_id",
+        strategy="greedy")
+    st = packing.packing_stats(packed, capacity=capacity,
+                               shard_col="source")
+    row = st.agg(F.count(F.lit(1)).alias("bins"),
+                 F.avg("fill_frac").alias("avg_fill")).collect()[0]
+    counts["bins"] = int(row["bins"])
+    counts["avg_fill"] = round(float(row["avg_fill"]), 3)
+    return counts
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .appName("curation-pipeline").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(curate(spark, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

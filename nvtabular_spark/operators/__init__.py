@@ -20,6 +20,7 @@ from .rowops import (AddMetadata, AddProperties, AddTags, DropLowCardinality,
                      Dropna, Filter, ReduceDtypeSize, Rename, TagAsItemFeatures,
                      TagAsItemID, TagAsUserFeatures, TagAsUserID)
 from .target_encoding import TargetEncoding
+from .text_ops import LangId, QualityScore, ScrubPII, TokenCount
 from .temporal import (AsOfJoin, Lag, Lead, RollingAgg, RollingBackfill,
                        Sessionize)
 # named sub-DAG boundary (reference merlin.dag.ops.subgraph.Subgraph)
@@ -31,6 +32,7 @@ __all__ = [
     "ColumnSimilarity", "DataStats", "DifferenceLag",
     "FillMedian", "FillMissing", "Groupby", "HashBucket", "HashedCross",
     "JoinExternal", "JoinGroupby", "LambdaOp", "ListSlice", "ValueCount",
+    "ScrubPII", "TokenCount", "LangId", "QualityScore",
     "Bucketize", "Clip", "LogOp", "Normalize", "NormalizeMinMax",
     "AddMetadata", "AddProperties", "AddTags", "DropLowCardinality",
     "Dropna", "Filter", "ReduceDtypeSize", "Rename",

@@ -432,3 +432,53 @@ def test_deterministic_sample_stable_under_repartition(spark):
     c = set(r["doc_id"] for r in
             sampling.deterministic_sample(df, 0.25, seed=3).collect())
     assert a != c
+
+
+# -- workflow text ops + curation pipeline ------------------------------------
+
+def test_text_ops_in_workflow(spark, tmp_path):
+    from nvtabular_spark.functions import text as tf
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the cat and the dog sat at http://x.example/a today",
+                 "der Hund ist nicht mit der Katze hier"],
+    })
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow(
+        (["text"] >> ops.LangId())
+        + (["text"] >> ops.QualityScore())
+        + (["text"] >> ops.TokenCount())
+        + (["text"] >> ops.ScrubPII())
+        + ["doc_id"])
+    out = wf.fit_transform(df).orderBy("doc_id").toPandas()
+    assert out["text_lang"].tolist() == ["en", "de"]
+    assert "<URL>" in out["text"].iloc[0]
+    # values equal the direct column functions
+    direct = df.select(
+        "doc_id", tf.token_count(F.col("text")).alias("n")) \
+        .orderBy("doc_id").toPandas()
+    assert out["text_n_tok"].tolist() == direct["n"].tolist()
+    assert ((out["text_quality"] >= 0) & (out["text_quality"] <= 1)).all()
+
+    # save/load round-trips the new op family
+    p = str(tmp_path / "textwf")
+    wf.save(p)
+    wf2 = nvt.Workflow.load(p, spark=spark)
+    again = wf2.transform(df).orderBy("doc_id").toPandas()
+    assert again["text_lang"].tolist() == out["text_lang"].tolist()
+    assert again["text"].iloc[0] == out["text"].iloc[0]
+
+
+def test_curation_pipeline_end_to_end(spark):
+    sys.path.insert(0, "/root/repo/examples")
+    import curation_pipeline
+    counts = curation_pipeline.curate(spark, "/root/testdata/sf0.001",
+                                      capacity=512)
+    assert counts["input"] == 500
+    assert counts["after_exact_dedup"] <= counts["input"]
+    assert counts["after_fuzzy_dedup"] < counts["input"]
+    assert counts["after_decontamination"] <= \
+        counts["after_quality_filter"]
+    assert counts["train"] + counts["holdout"] <= \
+        counts["after_decontamination"]
+    assert counts["bins"] > 0 and 0 < counts["avg_fill"] <= 1.0
