@@ -559,7 +559,8 @@ def _check_driver_heap(spark, min_gb: int = 4) -> bool:
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         checkpoint_dir: Optional[str] = None) -> DataFrame:
     """Connected components of the near-duplicate pair graph.
 
     Returns ``(id, component)`` for every node that appears in
@@ -595,7 +596,9 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     block store holds a few rounds of checkpointed edge sets — use a
     ``spark.driver.memory=12g``-class heap (2M edges OOMs the 1g
     default; 12g completes in 28 s). A ResourceWarning fires when the
-    configured heap looks too small.
+    configured heap looks too small. Alternatively pass
+    ``checkpoint_dir`` to use reliable disk checkpoints — bounded
+    memory at any edge count, at the cost of per-round checkpoint IO.
     """
     def _sig(edges: DataFrame):
         row = edges.agg(
@@ -607,14 +610,23 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         return (row["n"], row["h"])
 
     spark = pairs.sparkSession
-    _check_driver_heap(spark)
-    e = _oriented(pairs.select(F.col(src).alias("u"),
-                               F.col(dst).alias("v"))).localCheckpoint()
+    if checkpoint_dir:
+        # reliable (disk) checkpoints: per-round edge sets go to files
+        # instead of the block store, removing the 12g-heap requirement
+        # at the cost of checkpoint IO — the right trade at hundreds of
+        # millions of edges
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda d: d.checkpoint()            # noqa: E731
+    else:
+        _check_driver_heap(spark)
+        ckpt = lambda d: d.localCheckpoint()       # noqa: E731
+    e = ckpt(_oriented(pairs.select(F.col(src).alias("u"),
+                                    F.col(dst).alias("v"))))
     sig = _sig(e)
     for i in range(max_iter):
         # large-star output is already oriented+distinct → small-star
         # skips its canonicalization shuffle
-        e2 = _small_star(_large_star(e), oriented=True).localCheckpoint()
+        e2 = ckpt(_small_star(_large_star(e), oriented=True))
         sig2 = _sig(e2)
         e = e2   # previous round's DataFrame dropped → cleaner-eligible
         if (i + 1) % 5 == 0:

@@ -482,3 +482,14 @@ def test_curation_pipeline_end_to_end(spark):
     assert counts["train"] + counts["holdout"] <= \
         counts["after_decontamination"]
     assert counts["bins"] > 0 and 0 < counts["avg_fill"] <= 1.0
+
+
+def test_components_with_disk_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the iteration to reliable disk
+    checkpoints (bounded memory at any scale) — same labels."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 21]}))
+    comp = dedup.connected_components(
+        pairs, checkpoint_dir=str(tmp_path / "ckpt")).toPandas()
+    got = dict(zip(comp["id"], comp["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
