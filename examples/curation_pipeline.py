@@ -64,11 +64,15 @@ def curate(spark, sf_dir, capacity=4096):
                     & (F.coalesce("dup_word_frac", F.lit(0.0)) < 0.5)))
     counts["after_quality_filter"] = kept.count()
 
-    # 5: decontamination vs a synthetic benchmark slice
+    # 5: decontamination vs a synthetic benchmark slice. Compare RAW
+    # text on both sides — the scrubbed text from step 3 would break
+    # every shingle spanning a PII placeholder and let contaminated
+    # docs containing URLs/emails slip through
     bench = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")) \
         .filter(F.col("doc_id") % 97 == 0)
-    contam = packing.ngram_contamination(kept, bench, n=8,
+    kept_raw = docs.join(kept.select("doc_id"), "doc_id")
+    contam = packing.ngram_contamination(kept_raw, bench, n=8,
                                          family="xxhash64")
     kept = kept.join(
         contam.filter(F.col("contamination_frac") < 0.8)
@@ -83,13 +87,13 @@ def curate(spark, sf_dir, capacity=4096):
     counts["train"] = train.count()
     counts["holdout"] = holdout.count()
 
-    # 7: pack the training set into fixed-capacity bins
+    # 7: pack the training set into fixed-capacity bins — the
+    # workflow's TokenCount output (text_n_tok) is already on the rows
     packed = packing.pack_sequences(
-        train.withColumn("n_tok", text.token_count(F.col("text"))),
-        capacity=capacity, shard_col="source", order_col="doc_id",
-        strategy="greedy")
+        train, capacity=capacity, shard_col="source",
+        order_col="doc_id", tok_col="text_n_tok", strategy="greedy")
     st = packing.packing_stats(packed, capacity=capacity,
-                               shard_col="source")
+                               shard_col="source", tok_col="text_n_tok")
     row = st.agg(F.count(F.lit(1)).alias("bins"),
                  F.avg("fill_frac").alias("avg_fill")).collect()[0]
     counts["bins"] = int(row["bins"])

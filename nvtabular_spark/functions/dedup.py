@@ -610,13 +610,40 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         return (row["n"], row["h"])
 
     spark = pairs.sparkSession
+    gc_every = 5
+    prune = None
     if checkpoint_dir:
         # reliable (disk) checkpoints: per-round edge sets go to files
         # instead of the block store, removing the 12g-heap requirement
-        # at the cost of checkpoint IO — the right trade at hundreds of
-        # millions of edges
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        # at the cost of checkpoint IO. Each call uses its own subdir
+        # (setCheckpointDir mutates global context state; a unique
+        # subdir keeps concurrent callers and later jobs apart), and
+        # rounds older than the last two are pruned as the loop runs —
+        # Spark only auto-deletes checkpoint files when
+        # cleanCheckpoints=true was set BEFORE context creation, so
+        # without pruning max_iter edge-set copies pile up on disk.
+        import os
+        import shutil
+        import uuid
+        subdir = os.path.join(checkpoint_dir,
+                              f"components-{uuid.uuid4().hex[:12]}")
+        spark.sparkContext.setCheckpointDir(subdir)
         ckpt = lambda d: d.checkpoint()            # noqa: E731
+        if "://" not in subdir or subdir.startswith("file:"):
+            local = subdir[5:] if subdir.startswith("file:") else subdir
+            # checkpoint() nests files under <subdir>/<uuid>/rdd-N
+
+            def prune():
+                roots = [os.path.join(local, d)
+                         for d in os.listdir(local)
+                         if os.path.isdir(os.path.join(local, d))]
+                rdds = [os.path.join(r, d) for r in roots
+                        for d in os.listdir(r) if d.startswith("rdd-")]
+                rdds.sort(key=os.path.getmtime)
+                for stale in rdds[:-2]:
+                    shutil.rmtree(stale, ignore_errors=True)
+        # non-local checkpoint dirs (hdfs://, s3a://) are not pruned
+        # here — document: clean <dir>/components-* after the job
     else:
         _check_driver_heap(spark)
         ckpt = lambda d: d.localCheckpoint()       # noqa: E731
@@ -629,7 +656,9 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         e2 = ckpt(_small_star(_large_star(e), oriented=True))
         sig2 = _sig(e2)
         e = e2   # previous round's DataFrame dropped → cleaner-eligible
-        if (i + 1) % 5 == 0:
+        if prune is not None:
+            prune()
+        if (i + 1) % gc_every == 0 and not checkpoint_dir:
             # nudge the ContextCleaner to actually release dropped
             # checkpoint blocks before heap pressure builds
             spark.sparkContext._jvm.System.gc()
@@ -650,7 +679,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
-                         src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                         src: str = "id_a", dst: str = "id_b",
+                         checkpoint_dir: Optional[str] = None) -> DataFrame:
     """Keep ONE document per near-duplicate cluster (the minimum id),
     given candidate pairs from any of the pair generators above.
 
@@ -659,7 +689,8 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     representative. The anti-join ships only ``(id)`` rows — the wide
     document payload never shuffles.
     """
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst,
+                                checkpoint_dir=checkpoint_dir)
     losers = comp.where(F.col("id") != F.col("component")) \
         .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")

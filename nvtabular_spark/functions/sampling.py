@@ -21,12 +21,20 @@ from .hashing import hash64
 _DENOM = 1_000_000
 
 
+def _keyed(key: Column) -> Column:
+    """NULL keys hash deterministically instead of yielding a NULL
+    predicate that BOTH filter branches drop (hashing.py contract:
+    callers decide null routing before hashing)."""
+    return F.coalesce(key.cast("string"), F.lit("\x00<NULL>"))
+
+
 def sample_predicate(key: Column, fraction: float, seed: int = 0,
                      family: str = "md5") -> Column:
     """Boolean column: row is in the deterministic ``fraction`` sample.
-    ``pmod(hash(key, seed), 1e6) < fraction * 1e6`` — row-local, exact
-    on any engine sharing the hash family."""
-    return F.pmod(hash64(key.cast("string"), family, seed),
+    ``pmod(hash(key, seed), 1e6) < round(fraction * 1e6)`` — row-local,
+    exact on any engine sharing the hash family; NULL keys participate
+    (sentinel-hashed), they are never silently dropped."""
+    return F.pmod(hash64(_keyed(key), family, seed),
                   F.lit(_DENOM)) < F.lit(int(round(fraction * _DENOM)))
 
 
@@ -48,12 +56,16 @@ def stratified_sample(df: DataFrame, fractions: Dict[str, float],
     from ``fractions`` get ``default_fraction``. One row-local
     predicate, no shuffle; exact, not approximate like
     ``df.stat.sampleBy``."""
-    frac = F.lit(float(default_fraction))
+    # thresholds are computed DRIVER-side with round(), matching
+    # sample_predicate and the decimal-arithmetic oracle twin — a
+    # double multiply + truncating cast in the plan drops the boundary
+    # bucket for ~1% of four-decimal fractions (15699.999… → 15699)
+    thresh = F.lit(int(round(float(default_fraction) * _DENOM)))
     for k, v in sorted(fractions.items()):
-        frac = F.when(F.col(strata_col) == k, F.lit(float(v))) \
-            .otherwise(frac)
-    thresh = (frac * _DENOM).cast("long")
-    h = F.pmod(hash64(F.col(key_col).cast("string"), family, seed),
+        thresh = F.when(F.col(strata_col) == k,
+                        F.lit(int(round(float(v) * _DENOM)))) \
+            .otherwise(thresh)
+    h = F.pmod(hash64(_keyed(F.col(key_col)), family, seed),
                F.lit(_DENOM))
     return df.filter(h < thresh)
 
@@ -62,7 +74,9 @@ def split_train_holdout(df: DataFrame, holdout_fraction: float = 0.01,
                         key_col: str = "doc_id", seed: int = 17,
                         family: str = "md5"):
     """(train, holdout) split on a stable key — disjoint and exhaustive
-    by construction (same hash, complementary predicates)."""
+    by construction (same hash, complementary predicates; NULL keys
+    hash via a sentinel so every input row lands in exactly one
+    split)."""
     pred = sample_predicate(F.col(key_col), holdout_fraction, seed,
                             family)
     return df.filter(~pred), df.filter(pred)
@@ -71,10 +85,13 @@ def split_train_holdout(df: DataFrame, holdout_fraction: float = 0.01,
 def token_vocab_stats(df: DataFrame, tokens_col: str = "tokens",
                       top_k: Optional[int] = None) -> DataFrame:
     """Corpus token-frequency table from an ``array<int>`` column:
-    ``(token, freq, doc_freq)`` — one explode (flatMap) + one groupBy
-    with map-side partials; ``top_k`` truncates by (freq desc, token)
-    for a deterministic head. The vocabulary-coverage report every
-    token pipeline wants before training."""
+    ``(token, freq, doc_freq)``. Plan shape: TWO explode+groupBy
+    branches over the input (occurrence counts, and per-doc-distinct
+    counts) joined on token — i.e. two scans of the tokens column plus
+    one join exchange; a single-scan variant would need
+    ``count_distinct`` (whose Expand doubles rows) for no net win.
+    ``top_k`` truncates by (freq desc, token) for a deterministic
+    head."""
     freq = (df.select(F.explode(tokens_col).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("long").alias("freq")))

@@ -28,16 +28,15 @@ class ScrubPII(Operator):
 
     def expr(self, col: Column, name: str, df: DataFrame,
              ctx: TransformContext) -> Column:
-        return text.scrub_pii(F.col(ctx.actual(name)), tuple(self.kinds))
+        return text.scrub_pii(col, tuple(self.kinds))
 
     def output_tags(self):
         return ["text"]
 
 
 class TokenCount(Operator):
-    """Whitespace token count per text column, emitted as
-    ``<col>_n_tok`` alongside semantics matching
-    functions/text.py::token_count."""
+    """Whitespace (or BPE-ish regex) token count per text column,
+    emitted as ``<col>_n_tok`` (functions/text.py::token_count)."""
 
     out_dtype = "int"
 
@@ -48,12 +47,10 @@ class TokenCount(Operator):
     def output_column_names(self, selector):
         return [f"{c}{self.postfix}" for c in selector.names]
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+    def expr(self, col: Column, name: str, df: DataFrame,
+             ctx: TransformContext) -> Column:
         fn = text.bpe_ish_token_count if self.bpe_ish else text.token_count
-        cols = {ctx.out(f"{pub}{self.postfix}"):
-                fn(F.col(act)).cast("int")
-                for pub, act in ctx.pairs()}
-        return df.withColumns(cols)
+        return fn(col).cast("int")
 
     def output_tags(self):
         return ["continuous"]
@@ -72,11 +69,9 @@ class LangId(Operator):
     def output_column_names(self, selector):
         return [f"{c}{self.postfix}" for c in selector.names]
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        cols = {ctx.out(f"{pub}{self.postfix}"):
-                text.lang_id(F.col(act), self.default)
-                for pub, act in ctx.pairs()}
-        return df.withColumns(cols)
+    def expr(self, col: Column, name: str, df: DataFrame,
+             ctx: TransformContext) -> Column:
+        return text.lang_id(col, self.default)
 
     def output_tags(self):
         return ["categorical"]
@@ -94,11 +89,9 @@ class QualityScore(Operator):
     def output_column_names(self, selector):
         return [f"{c}{self.postfix}" for c in selector.names]
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        cols = {ctx.out(f"{pub}{self.postfix}"):
-                text.quality_score(F.col(act))
-                for pub, act in ctx.pairs()}
-        return df.withColumns(cols)
+    def expr(self, col: Column, name: str, df: DataFrame,
+             ctx: TransformContext) -> Column:
+        return text.quality_score(col)
 
     def output_tags(self):
         return ["continuous"]

@@ -486,10 +486,20 @@ def test_curation_pipeline_end_to_end(spark):
 
 def test_components_with_disk_checkpoint(spark, tmp_path):
     """checkpoint_dir switches the iteration to reliable disk
-    checkpoints (bounded memory at any scale) — same labels."""
+    checkpoints (bounded memory at any scale) — same labels, and
+    rounds older than the last two are pruned from disk."""
+    import os
+    # a chain forces several convergence rounds
+    n = 40
     pairs = spark.createDataFrame(
-        pd.DataFrame({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 21]}))
-    comp = dedup.connected_components(
-        pairs, checkpoint_dir=str(tmp_path / "ckpt")).toPandas()
-    got = dict(zip(comp["id"], comp["component"]))
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+        pd.DataFrame({"id_a": list(range(n - 1)),
+                      "id_b": list(range(1, n))}))
+    ck = str(tmp_path / "ckpt")
+    comp = dedup.drop_near_duplicates(
+        spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))})),
+        pairs, checkpoint_dir=ck).toPandas()
+    assert comp["doc_id"].tolist() == [0]        # one chain, min-id wins
+    rdds = [os.path.join(r, d)
+            for r, ds, _ in os.walk(ck) for d in ds
+            if d.startswith("rdd-")]
+    assert 0 < len(rdds) <= 2, rdds              # stale rounds pruned
