@@ -557,6 +557,17 @@ def _check_driver_heap(spark, min_gb: int = 4) -> bool:
     return False
 
 
+def _sig(edges: DataFrame):
+    """Convergence signature: (count, xor of edge hashes). bit_xor,
+    not sum — ANSI mode makes a long-sum of hashes an overflow ERROR;
+    xor is closed over int64 and the edge set is distinct, so xor is a
+    sound set signature."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
+    return (row["n"], row["h"])
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          max_iter: int = 50,
@@ -598,55 +609,88 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     default; 12g completes in 28 s). A ResourceWarning fires when the
     configured heap looks too small. Alternatively pass
     ``checkpoint_dir`` to use reliable disk checkpoints — bounded
-    memory at any edge count, at the cost of per-round checkpoint IO.
+    memory at any edge count, at the cost of per-round checkpoint IO;
+    stale rounds are pruned as the loop runs (Hadoop FileSystem API,
+    so HDFS/S3 dirs work too), disk-checkpointed runs serialize on a
+    module lock (setCheckpointDir is context-global), and the FINAL
+    round's files persist under ``<checkpoint_dir>/components-*`` —
+    they back the returned DataFrame; clean them once it is consumed.
     """
-    def _sig(edges: DataFrame):
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            # bit_xor, not sum: ANSI mode makes a long-sum of hashes an
-            # overflow ERROR; xor is closed over int64 and the edge set
-            # is distinct, so xor is a sound set signature
-            F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
-        return (row["n"], row["h"])
-
     spark = pairs.sparkSession
     gc_every = 5
     prune = None
+    restore_dir = None
+    lock = None
     if checkpoint_dir:
         # reliable (disk) checkpoints: per-round edge sets go to files
         # instead of the block store, removing the 12g-heap requirement
-        # at the cost of checkpoint IO. Each call uses its own subdir
-        # (setCheckpointDir mutates global context state; a unique
-        # subdir keeps concurrent callers and later jobs apart), and
-        # rounds older than the last two are pruned as the loop runs —
-        # Spark only auto-deletes checkpoint files when
-        # cleanCheckpoints=true was set BEFORE context creation, so
-        # without pruning max_iter edge-set copies pile up on disk.
-        import os
-        import shutil
+        # at the cost of checkpoint IO. setCheckpointDir mutates GLOBAL
+        # SparkContext state, so (a) disk-checkpointed runs serialize on
+        # a module lock (two interleaved runs would redirect each
+        # other's checkpoints and prune each other's live rounds),
+        # (b) the previous checkpoint dir is restored on exit, and
+        # (c) each call uses its own subdir. Rounds older than the last
+        # two are pruned as the loop runs via the HADOOP FileSystem API
+        # (correct for bare paths resolving to fs.defaultFS=hdfs:// as
+        # well as local dirs) — Spark only auto-deletes checkpoint
+        # files when cleanCheckpoints=true was set BEFORE context
+        # creation. The FINAL round's files back the returned DataFrame
+        # and persist under <checkpoint_dir>/components-*; clean them
+        # once the result is consumed.
+        import posixpath
         import uuid
-        subdir = os.path.join(checkpoint_dir,
-                              f"components-{uuid.uuid4().hex[:12]}")
+        lock = _CKPT_LOCK
+        lock.acquire()
+        subdir = posixpath.join(checkpoint_dir,
+                                f"components-{uuid.uuid4().hex[:12]}")
+        jsc = spark.sparkContext._jsc.sc()
+        prev = jsc.getCheckpointDir()
+        restore_dir = prev.get() if prev.isDefined() else None
         spark.sparkContext.setCheckpointDir(subdir)
         ckpt = lambda d: d.checkpoint()            # noqa: E731
-        if "://" not in subdir or subdir.startswith("file:"):
-            local = subdir[5:] if subdir.startswith("file:") else subdir
-            # checkpoint() nests files under <subdir>/<uuid>/rdd-N
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(subdir)
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
 
-            def prune():
-                roots = [os.path.join(local, d)
-                         for d in os.listdir(local)
-                         if os.path.isdir(os.path.join(local, d))]
-                rdds = [os.path.join(r, d) for r in roots
-                        for d in os.listdir(r) if d.startswith("rdd-")]
-                rdds.sort(key=os.path.getmtime)
-                for stale in rdds[:-2]:
-                    shutil.rmtree(stale, ignore_errors=True)
-        # non-local checkpoint dirs (hdfs://, s3a://) are not pruned
-        # here — document: clean <dir>/components-* after the job
+        def prune():
+            # checkpoint() nests files under <subdir>/<uuid>/rdd-N
+            rdds = []
+            try:
+                for st in fs.listStatus(hpath):
+                    if not st.isDirectory():
+                        continue
+                    for st2 in fs.listStatus(st.getPath()):
+                        if st2.getPath().getName().startswith("rdd-"):
+                            rdds.append((st2.getModificationTime(),
+                                         st2.getPath()))
+            except Exception:
+                return      # listing races are non-fatal; retry next round
+            rdds.sort(key=lambda t: t[0])
+            for _, stale in rdds[:-2]:
+                try:
+                    fs.delete(stale, True)
+                except Exception:
+                    pass
     else:
         _check_driver_heap(spark)
         ckpt = lambda d: d.localCheckpoint()       # noqa: E731
+    try:
+        return _components_loop(spark, pairs, src, dst, max_iter, ckpt,
+                                prune, gc_every,
+                                gc_nudge=not checkpoint_dir)
+    finally:
+        if checkpoint_dir:
+            if restore_dir is not None:
+                spark.sparkContext.setCheckpointDir(restore_dir)
+            lock.release()
+
+
+_CKPT_LOCK = __import__("threading").Lock()
+
+
+def _components_loop(spark, pairs, src, dst, max_iter, ckpt, prune,
+                     gc_every, gc_nudge):
     e = ckpt(_oriented(pairs.select(F.col(src).alias("u"),
                                     F.col(dst).alias("v"))))
     sig = _sig(e)
@@ -658,7 +702,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         e = e2   # previous round's DataFrame dropped → cleaner-eligible
         if prune is not None:
             prune()
-        if (i + 1) % gc_every == 0 and not checkpoint_dir:
+        if (i + 1) % gc_every == 0 and gc_nudge:
             # nudge the ContextCleaner to actually release dropped
             # checkpoint blocks before heap pressure builds
             spark.sparkContext._jvm.System.gc()

@@ -24,7 +24,14 @@ _DENOM = 1_000_000
 def _keyed(key: Column) -> Column:
     """NULL keys hash deterministically instead of yielding a NULL
     predicate that BOTH filter branches drop (hashing.py contract:
-    callers decide null routing before hashing)."""
+    callers decide null routing before hashing).
+
+    Contract note: keyed sampling decides per KEY, so all NULL-key
+    rows share ONE decision (they form a single key group) — a corpus
+    with many NULL keys is kept or dropped as a block, not fraction-
+    sampled. Pass a real per-row key for per-row sampling, and
+    replicate the sentinel (``coalesce(key, '\\x00<NULL>')``) in any
+    SQL twin."""
     return F.coalesce(key.cast("string"), F.lit("\x00<NULL>"))
 
 

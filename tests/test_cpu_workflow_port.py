@@ -94,8 +94,7 @@ def test_cpu_workflow(spark, tmp_path, dump):
     out_dir = str(tmp_path / "processed")
     Dataset(wf.transform(df)).to_parquet(
         out_dir, shuffle="per_partition", out_files_per_proc=10)
-    files = glob.glob(out_dir + "/*.parquet") + \
-        glob.glob(out_dir + "/**/*.parquet")
+    files = glob.glob(out_dir + "/**/*.parquet", recursive=True)
     assert files
     df_pp = spark.read.parquet(out_dir).toPandas()
     assert is_integer_dtype(df_pp["name-cat"].dtype)
