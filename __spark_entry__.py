@@ -121,6 +121,26 @@ def q_groupby_list(spark, sf_dir):
         "user_id", _arr_str_float(F.col("value_list")).alias("value_list"))
 
 
+def q_groupby_events(spark, sf_dir):
+    """Consolidated events groupby: ordered first/last, count, median,
+    nunique, std/var AND ordered list in ONE Groupby op — the fused
+    multi-agg path (single shuffle for all eight aggregates). Merges
+    the former groupby_first_last / groupby_stats / groupby_list
+    driver rows so all registry keys fit the driver's record window.
+    Ties on ts break by value on BOTH engines."""
+    ev = _t(spark, sf_dir, "events")
+    g = ops.Groupby(groupby_cols=["user_id"], sort_cols=["ts", "value"],
+                    aggs={"value": ["first", "last", "count", "median",
+                                    "nunique", "std", "var", "list"]})
+    out = nvt.Workflow(["value"] >> g).transform(ev)
+    return out.select(
+        "user_id", "value_first", "value_last", "value_count",
+        "value_median", "value_nunique",
+        F.round("value_std", 4).alias("value_std"),
+        F.round("value_var", 4).alias("value_var"),
+        _arr_str_float(F.col("value_list")).alias("value_list"))
+
+
 def q_value_count(spark, sf_dir):
     """ValueCount list-length stats over the embeddings array column."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -202,6 +222,23 @@ def q_categorify_combo(spark, sf_dir):
     cat = ops.Categorify(encode_type="combo")
     wf = nvt.Workflow(
         ([["o_orderpriority", "o_orderstatus"]] >> cat) + ["o_orderkey"])
+    return wf.fit_transform(orders)
+
+
+def q_categorify_multi(spark, sf_dir):
+    """Consolidated Categorify: plain frequency-ranked encode, the
+    freq-threshold + OOV-hash-bucket variant, and a joint ("combo")
+    encode — three independent Categorify instances in ONE Workflow
+    over orders, all keyed on o_orderkey. Merges the former
+    categorify / categorify_freq_oov / categorify_combo driver rows
+    so all registry keys fit the driver's record window."""
+    orders = _t(spark, sf_dir, "orders")
+    plain = ["o_orderpriority"] >> ops.Categorify()
+    freq = ["o_custkey"] >> ops.Categorify(
+        freq_threshold=3, num_buckets=10, hash_family="md5")
+    combo = [["o_orderpriority", "o_orderstatus"]] >> ops.Categorify(
+        encode_type="combo")
+    wf = nvt.Workflow(plain + freq + combo + ["o_orderkey"])
     return wf.fit_transform(orders)
 
 
@@ -343,6 +380,22 @@ def q_lag_lead(spark, sf_dir):
     return wf.transform(ev)
 
 
+def q_lag_lead_difference(spark, sf_dir):
+    """Consolidated windowed-shift row: Lag/Lead AND DifferenceLag in
+    one Workflow over events, keyed on event_id (all three share one
+    PARTITION BY user_id ORDER BY ts window spec, so Catalyst plans a
+    single sort+window). Merges the former lag_lead / difference_lag
+    driver rows so all registry keys fit the driver's record window."""
+    ev = _t(spark, sf_dir, "events")
+    lag = ops.Lag(partition_cols="user_id", order_by="ts", shifts=[1, 2])
+    lead = ops.Lead(partition_cols="user_id", order_by="ts", shifts=1)
+    dl = ops.DifferenceLag(partition_cols="user_id", shift=[1, -1],
+                           order_by="ts")
+    wf = nvt.Workflow((["value"] >> lag) + (["value"] >> lead)
+                      + (["value"] >> dl) + ["event_id"])
+    return wf.transform(ev)
+
+
 def q_rolling_backfill(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "value3", F.when(F.col("value") < 50, F.lit(None))
@@ -399,8 +452,11 @@ def q_verify_distribution(spark, sf_dir):
          / F.lit(1000000.0))
     stat, p = verify_distribution(docs.select(u.alias("u")), "u",
                                   "uniform", bins=100)
+    # 6 digits, not 9: the Kolmogorov series and ECDF sums accumulate in
+    # engine-specific order, so a last-ulp difference straddling a 9th-
+    # decimal rounding boundary could flip the comparison intermittently
     return spark.createDataFrame(
-        [(round(float(stat), 9), round(float(p), 9))],
+        [(round(float(stat), 6), round(float(p), 6))],
         "ks_stat double, p_value double")
 
 
@@ -529,6 +585,20 @@ def q_duplicate_spans(spark, sf_dir, family="md5"):
 def q_duplicate_span_stats(spark, sf_dir, family="md5"):
     docs = _t(spark, sf_dir, "documents")
     return dedup.duplicate_span_stats(docs, k=8, family=family)
+
+
+def q_duplicate_spans_full(spark, sf_dir, family="md5"):
+    """Consolidated substring-span dedup row: per-doc stats LEFT JOINed
+    with the individual (span_start, span_end) spans — docs with zero
+    duplicate spans keep one row with NULL span bounds, so both the
+    span enumeration and the per-doc fractions are hash-gated in one
+    driver row. Merges the former duplicate_spans /
+    duplicate_span_stats rows so all registry keys fit the driver's
+    record window."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, k=8, family=family)
+    stats = dedup.duplicate_span_stats(docs, k=8, family=family)
+    return stats.join(spans, "doc_id", "left")
 
 
 def q_random_projection(spark, sf_dir):
@@ -674,18 +744,28 @@ def q_filter_dropna_rename(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # The driver records at most the first 50 rows; the registry is
+        # exactly 50 entries (near-duplicate rows were consolidated in
+        # round 5: categorify_multi, groupby_events, lag_lead_difference,
+        # duplicate_spans_full). Rows with no prior driver-green record
+        # lead, so every key gets a hard CORRECTNESS row this round.
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "column_similarity": q_column_similarity,
+        "text_stats": q_text_stats,
+        "tokens_pipeline": q_tokens_pipeline,
+        "reduce_dtype": q_reduce_dtype,
+        "filter_dropna_rename": q_filter_dropna_rename,
+        "categorify_multi": q_categorify_multi,
+        "groupby_events": q_groupby_events,
+        "lag_lead_difference": q_lag_lead_difference,
+        "duplicate_spans_full": q_duplicate_spans_full,
+        # previously driver-green rows
         "groupby_agg": q_groupby_agg,
-        "groupby_first_last": q_groupby_first_last,
-        "groupby_stats": q_groupby_stats,
-        "groupby_list": q_groupby_list,
         "value_count": q_value_count,
         "drop_low_cardinality": q_drop_low_cardinality,
         "data_stats": q_data_stats,
         "join_external": q_join_external,
         "join_groupby": q_join_groupby,
-        "categorify": q_categorify,
-        "categorify_freq_oov": q_categorify_freq_oov,
-        "categorify_combo": q_categorify_combo,
         "target_encoding": q_target_encoding,
         "normalize": q_normalize,
         "normalize_minmax": q_normalize_minmax,
@@ -695,10 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketize": q_bucketize,
         "hash_bucket": q_hash_bucket,
         "hashed_cross": q_hashed_cross,
-        "difference_lag": q_difference_lag,
         "list_slice": q_list_slice,
         "asof_join": q_asof_join,
-        "lag_lead": q_lag_lead,
         "rolling_backfill": q_rolling_backfill,
         "sessionize": q_sessionize,
         "rolling_agg": q_rolling_agg,
@@ -717,19 +795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "near_dedup_survivors": q_near_dedup_survivors,
         "text_repetition": q_text_repetition,
-        "duplicate_spans": q_duplicate_spans,
-        "duplicate_span_stats": q_duplicate_span_stats,
         "pii_scrub": q_pii_scrub,
         "random_projection": q_random_projection,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "column_similarity": q_column_similarity,
-        "text_stats": q_text_stats,
-        "tokens_pipeline": q_tokens_pipeline,
-        "reduce_dtype": q_reduce_dtype,
-        "filter_dropna_rename": q_filter_dropna_rename,
     }
 
 
@@ -965,6 +1035,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.code AS "o_orderpriority_o_orderstatus", o.o_orderkey
             FROM orders o JOIN vocab v
               ON o.o_orderpriority = v.v0 AND o.o_orderstatus = v.v1""",
+        "categorify_multi": f"""
+            WITH cp AS (
+              SELECT o_orderpriority AS value, COUNT(*) AS cnt FROM orders
+              WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+            vp AS (
+              SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC)
+                                 + 2 AS INTEGER) AS code FROM cp),
+            ck AS (
+              SELECT o_custkey AS value, COUNT(*) AS cnt FROM orders GROUP BY 1),
+            vk AS (
+              SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC)
+                                 + 11 AS INTEGER) AS code
+              FROM ck WHERE cnt >= 3),
+            cj AS (
+              SELECT o_orderpriority v0, o_orderstatus v1, COUNT(*) cnt
+              FROM orders GROUP BY 1, 2),
+            vj AS (
+              SELECT v0, v1, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, v0 ASC,
+                                                     v1 ASC) + 2 AS INTEGER) code
+              FROM cj)
+            SELECT COALESCE(vp.code,
+                            CASE WHEN o.o_orderpriority IS NULL THEN 1
+                                 ELSE 2 END) AS o_orderpriority,
+                   COALESCE(vk.code,
+                            CAST(({_md5h('o.o_custkey')} % 10) + 2 AS INTEGER))
+                       AS o_custkey,
+                   vj.code AS "o_orderpriority_o_orderstatus",
+                   o.o_orderkey
+            FROM orders o
+            LEFT JOIN vp ON o.o_orderpriority = vp.value
+            LEFT JOIN vk ON o.o_custkey = vk.value
+            JOIN vj ON o.o_orderpriority = vj.v0
+                   AND o.o_orderstatus = vj.v1""",
         "target_encoding": """
             WITH base AS (
               SELECT o_orderkey, o_orderpriority g, o_totalprice y,
@@ -1116,12 +1219,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM ecdf),
             lamv AS (SELECT stat, (SQRT(n) + 0.12 + 0.11 / SQRT(n)) * stat
                             AS lam FROM ks)
-            SELECT ROUND(stat, 9) AS ks_stat,
+            SELECT ROUND(stat, 6) AS ks_stat,
                    ROUND(GREATEST(0.0, LEAST(1.0, 2.0 * (
                      SELECT SUM(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
                                 * EXP(-2.0 * k * k * lam * lam))
                      FROM (SELECT UNNEST(range(1, 101)) AS k)
-                   ))), 9) AS p_value
+                   ))), 6) AS p_value
             FROM lamv""",
         "pack_sequences_prefix": """
             WITH w AS (
@@ -1157,7 +1260,8 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(o.n_chars AS BIGINT)
                           ELSE r.fill + o.n_chars END
               FROM rec r JOIN ordered o
-                ON o.lang = r.lang AND o.rn = r.rn + 1)
+                ON o.lang IS NOT DISTINCT FROM r.lang
+                   AND o.rn = r.rn + 1)
             SELECT doc_id, lang, bin_id, bin_offset FROM rec""",
         "ngram_contamination": f"""
             WITH bw AS (SELECT string_split(text, ' ') w FROM documents
@@ -1305,6 +1409,49 @@ def oracle_sql() -> dict[str, str]:
                              / len(string_split(d.text, ' '))
                    END AS dup_word_frac
             FROM documents d LEFT JOIN per p USING (doc_id)""",
+        "duplicate_spans_full": spans_cte + """,
+            per AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+                           SUM(span_end - span_start) AS dup_words
+                    FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_words,
+                   COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+                   CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+                   CASE WHEN len(string_split(d.text, ' ')) > 0
+                        THEN CAST(COALESCE(p.dup_words, 0) AS DOUBLE)
+                             / len(string_split(d.text, ' '))
+                   END AS dup_word_frac,
+                   s.span_start, s.span_end
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            LEFT JOIN spans s USING (doc_id)""",
+        "groupby_events": """
+            WITH r AS (
+              SELECT user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, value ASC) rn,
+                     COUNT(*) OVER (PARTITION BY user_id) n
+              FROM events)
+            SELECT user_id,
+                   MAX(CASE WHEN rn = 1 THEN value END) AS value_first,
+                   MAX(CASE WHEN rn = n THEN value END) AS value_last,
+                   COUNT(value) AS value_count,
+                   quantile_cont(value, 0.5) AS value_median,
+                   COUNT(DISTINCT value) AS value_nunique,
+                   ROUND(stddev_samp(value), 4) AS value_std,
+                   ROUND(var_samp(value), 4) AS value_var,
+                   array_to_string(list_transform(
+                     list(value ORDER BY rn),
+                     x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT) AS VARCHAR)), ',') AS value_list
+            FROM r GROUP BY user_id""",
+        "lag_lead_difference": """
+            SELECT LAG(value, 1) OVER w AS value_lag_1,
+                   LAG(value, 2) OVER w AS value_lag_2,
+                   LEAD(value, 1) OVER w AS value_lead_1,
+                   value - LAG(value, 1) OVER w AS "value_difference_lag_1",
+                   value - LEAD(value, 1) OVER w AS "value_difference_lag_-1",
+                   event_id
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
         "text_repetition": """
             WITH w AS (SELECT doc_id, len(text) tchars,
                               string_split(text, ' ') w FROM documents),

@@ -102,13 +102,21 @@ def curate(spark, sf_dir, capacity=4096):
 
 
 def main():
+    import time
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
              .appName("curation-pipeline").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(curate(spark, sf_dir)))
+    t0 = time.time()
+    counts = curate(spark, sf_dir)
+    counts["wall_sec"] = round(time.time() - t0, 3)
+    counts["sf_dir"] = sf_dir
+    counts["cpus"] = cpus
+    print(json.dumps(counts))
 
 
 if __name__ == "__main__":

@@ -641,29 +641,50 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         import uuid
         lock = _CKPT_LOCK
         lock.acquire()
-        subdir = posixpath.join(checkpoint_dir,
-                                f"components-{uuid.uuid4().hex[:12]}")
-        jsc = spark.sparkContext._jsc.sc()
-        prev = jsc.getCheckpointDir()
-        restore_dir = prev.get() if prev.isDefined() else None
-        spark.sparkContext.setCheckpointDir(subdir)
-        ckpt = lambda d: d.checkpoint()            # noqa: E731
-        jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(subdir)
-        fs = hpath.getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration())
+        try:
+            # everything between acquire() and the outer try/finally must
+            # itself be guarded: a failure in setCheckpointDir (unwritable
+            # dir) or Hadoop Path/FileSystem resolution would otherwise
+            # leak the module lock and deadlock every later run
+            subdir = posixpath.join(checkpoint_dir,
+                                    f"components-{uuid.uuid4().hex[:12]}")
+            jsc = spark.sparkContext._jsc.sc()
+            prev = jsc.getCheckpointDir()
+            restore_dir = prev.get() if prev.isDefined() else None
+            spark.sparkContext.setCheckpointDir(subdir)
+            ckpt = lambda d: d.checkpoint()        # noqa: E731
+            jvm = spark.sparkContext._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(subdir)
+            fs = hpath.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration())
+        except BaseException:
+            if restore_dir is not None:
+                try:
+                    spark.sparkContext.setCheckpointDir(restore_dir)
+                except Exception:
+                    pass
+            lock.release()
+            raise
 
         def prune():
-            # checkpoint() nests files under <subdir>/<uuid>/rdd-N
+            # checkpoint() nests files under <subdir>/<uuid>/rdd-N.
+            # Order by the monotonically increasing rdd-N id, not mtime:
+            # coarse (1s) filesystem timestamps can tie across sub-second
+            # CC rounds, making the keep-newest-2 choice arbitrary and
+            # able to delete a live round's files.
             rdds = []
             try:
                 for st in fs.listStatus(hpath):
                     if not st.isDirectory():
                         continue
                     for st2 in fs.listStatus(st.getPath()):
-                        if st2.getPath().getName().startswith("rdd-"):
-                            rdds.append((st2.getModificationTime(),
-                                         st2.getPath()))
+                        name = st2.getPath().getName()
+                        if name.startswith("rdd-"):
+                            try:
+                                rid = int(name[4:])
+                            except ValueError:
+                                continue
+                            rdds.append((rid, st2.getPath()))
             except Exception:
                 return      # listing races are non-fatal; retry next round
             rdds.sort(key=lambda t: t[0])

@@ -18,9 +18,14 @@ expression/join-first (no per-row Python in the scalable paths).
     order) — running total resets at the boundary, so no bin ever
     exceeds capacity (sequences longer than capacity get their own
     bin). The reset recurrence is inherently sequential per shard, so
-    it runs as an Arrow-batched ``applyInPandas`` per shard — the
-    per-shard work is a vectorizable numpy scan, and shards
-    (entities/hash shards) give the parallelism.
+    it runs as an Arrow-batched ``applyInPandas`` per shard; inside a
+    shard the scan is a numpy cumsum + one ``searchsorted`` per BIN
+    (O(bins log rows), not per-row Python), so a 1M-row shard packs in
+    well under a second. Shards (entities/hash shards) are the
+    parallel unit — a single shard still materializes in one Arrow
+    batch on one task, so keep shards under ~10M rows (repartition the
+    shard key or use ``"prefix"`` for pathological single-shard
+    inputs).
 
 * :func:`ngram_contamination` — per-document fraction of word n-grams
   that appear in a benchmark/eval set (decontamination signal, as in
@@ -81,21 +86,55 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
         # strategy's F.sum null-skipping — a NaN would otherwise poison
         # every later offset in the shard
         toks = pdf[tcol].fillna(0).to_numpy("int64")
-        bins = np.zeros(len(toks), dtype="int64")
-        offs = np.zeros(len(toks), dtype="int64")
-        b = fill = 0
-        for j, t in enumerate(toks):       # per-shard scan; shards are
-            if fill + t > cap and fill > 0:  # the parallel unit
-                b += 1
-                fill = 0
-            bins[j] = b
-            offs[j] = fill
-            fill += t
+        bins, offs = _greedy_pack_arrays(toks, cap)
         pdf["bin_id"] = bins
         pdf["bin_offset"] = offs
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(pack, out_schema)
+
+
+def _greedy_pack_arrays(toks, cap):
+    """Exact greedy first-fit over one shard's ordered token counts:
+    returns (bin_id, bin_offset) int64 arrays. Semantics of the naive
+    per-row recurrence ``if fill + t > cap and fill > 0: new bin``
+    (oversize sequences occupy a bin alone; zero-token rows never open
+    a bin), but computed as a cumsum + one searchsorted per BIN —
+    O(bins log rows) Python iterations, so cost scales with how many
+    bins the shard fills, not its row count. Assumes non-negative
+    token counts (cumsum monotonicity), which ``n_tok`` is by
+    construction."""
+    import numpy as np
+    n = len(toks)
+    bins = np.zeros(n, dtype="int64")
+    offs = np.zeros(n, dtype="int64")
+    if n == 0:
+        return bins, offs
+    csum = np.cumsum(toks, dtype="int64")
+    starts = []
+    i = 0
+    base = 0                       # csum just before the bin's first row
+    while i < n:
+        starts.append(i)
+        # maximal j >= i with csum[j] - base <= cap; an oversize first
+        # row (csum[i] - base > cap) still occupies this bin alone
+        j = int(np.searchsorted(csum, base + cap, side="right")) - 1
+        if j < i:
+            j = i           # first row itself oversize: bin of one
+        elif csum[j] == base and j + 1 < n:
+            # bin holds only zero-token rows so far → fill is still 0,
+            # so the next row joins regardless of size (it is
+            # necessarily oversize, else searchsorted had included it)
+            j += 1
+        base = int(csum[j])
+        i = j + 1
+    starts = np.asarray(starts, dtype="int64")
+    marks = np.zeros(n, dtype="int64")
+    marks[starts[1:]] = 1
+    bins = np.cumsum(marks)
+    prev = np.concatenate(([0], csum[:-1]))          # tokens before row
+    offs = prev - prev[starts[bins]]                 # minus bin's base
+    return bins, offs
 
 
 def packing_stats(packed: DataFrame, capacity: int = 2048,
@@ -113,8 +152,8 @@ def packing_stats(packed: DataFrame, capacity: int = 2048,
 def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
                         n: int = 8, text_col: str = "text",
                         id_col: str = "doc_id", family: str = "md5",
-                        broadcast_threshold: Optional[int] = 5_000_000
-                        ) -> DataFrame:
+                        broadcast_threshold: Optional[int] = 5_000_000,
+                        broadcast: Optional[bool] = None) -> DataFrame:
     """Per-corpus-document contamination against a benchmark set:
     ``(doc_id, n_ngrams, n_contaminated, contamination_frac)`` where a
     document n-gram is contaminated iff its hash appears anywhere in
@@ -125,17 +164,25 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     membership join broadcasts when it fits; the corpus side is one
     flatMap + one groupBy per doc. No caps needed — membership is a
     semi-join, not pair generation.
+
+    ``broadcast``: ``True``/``False`` forces or forbids the broadcast
+    hint on the benchmark shingle set. Default ``None`` hints unless
+    plan statistics ESTABLISH the set exceeds ``broadcast_threshold``
+    rows — a benchmark is almost always tiny next to the corpus, so
+    missing stats should not silently downgrade to a shuffle join
+    (AQE may still rescue it, but at 100 TB the hint is the plan).
     """
     bench_sh = (benchmark
                 .select(F.explode(F.array_distinct(
                     word_shingle_hashes(F.col(text_col), n, family)))
                     .alias("sh"))
                 .distinct())
-    if broadcast_threshold is not None:
+    if broadcast is None and broadcast_threshold is not None:
         from . import planning
         est = planning.estimate_row_count(bench_sh)
-        if est is not None and est <= broadcast_threshold:
-            bench_sh = F.broadcast(bench_sh)
+        broadcast = est is None or est <= broadcast_threshold
+    if broadcast:
+        bench_sh = F.broadcast(bench_sh)
     doc_sh = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(

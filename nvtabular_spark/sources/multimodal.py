@@ -326,8 +326,16 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
         # NotImplementedError — ALL must hit the non-strict fallback,
         # not kill the whole mapInPandas task
         except (ValueError, NotImplementedError, struct.error,
-                IndexError, KeyError, EOFError):
-            pass
+                IndexError, KeyError, EOFError) as e:
+            if strict:
+                # a recognized-format payload that failed to decode is a
+                # MALFORMED input, not an unsupported format — chain the
+                # codec's real error so the diagnostic survives
+                raise NotImplementedError(
+                    "strict image decode failed for a recognized format "
+                    f"({type(e).__name__}: {e}) — payload is corrupt or "
+                    "uses an unsupported coding process") from e
+            return _fake_decode(b, feature_dim)
         if strict:
             raise NotImplementedError(
                 "exotic image decode requires PIL/torchvision — not "

@@ -1,0 +1,120 @@
+"""Round-5 consolidation fixes:
+
+* greedy packer: block-scan (cumsum + per-bin searchsorted) replaces
+  the per-row Python loop — equivalence vs the naive recurrence and a
+  wall-clock bound on a 1M-row shard
+* connected_components: the module checkpoint lock is released when
+  setup fails (unwritable checkpoint dir), not leaked
+* strict-mode image decode chains the codec's real error for corrupt
+  recognized-format payloads
+* ngram_contamination: explicit broadcast override; hint survives
+  missing plan statistics
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nvtabular_spark.functions import dedup, packing
+
+
+def _naive_greedy(toks, cap):
+    bins = np.zeros(len(toks), dtype="int64")
+    offs = np.zeros(len(toks), dtype="int64")
+    b = fill = 0
+    for j, t in enumerate(toks):
+        if fill + t > cap and fill > 0:
+            b += 1
+            fill = 0
+        bins[j] = b
+        offs[j] = fill
+        fill += t
+    return bins, offs
+
+
+def test_greedy_block_scan_matches_naive_recurrence():
+    rng = np.random.default_rng(17)
+    for _ in range(500):
+        n = int(rng.integers(0, 80))
+        cap = int(rng.integers(1, 30))
+        # heavy zero mass + oversize values hit every boundary case:
+        # zero-led bins, oversize-alone bins, exact-fit + trailing zeros
+        toks = rng.choice([0, 0, 0, 1, 2, 3, 5, 8, 13, 35, 60],
+                          size=n).astype("int64")
+        nb, no = _naive_greedy(toks, cap)
+        bb, bo = packing._greedy_pack_arrays(toks, cap)
+        assert (nb == bb).all() and (no == bo).all(), \
+            (cap, toks.tolist())
+
+
+def test_greedy_block_scan_million_row_shard_wall():
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 2048, size=1_000_000).astype("int64")
+    import time
+    t0 = time.time()
+    bins, offs = packing._greedy_pack_arrays(toks, 8192)
+    wall = time.time() - t0
+    assert wall < 5.0, f"1M-row shard took {wall:.2f}s"
+    # capacity respected (no oversize rows in this draw)
+    fills = pd.DataFrame({"b": bins, "t": toks}).groupby("b")["t"].sum()
+    assert (fills <= 8192).all()
+
+
+def test_ckpt_lock_released_on_bad_checkpoint_dir(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2], "dst": [2, 3]}))
+    with pytest.raises(Exception):
+        dedup.connected_components(
+            df, "src", "dst",
+            checkpoint_dir="nosuchscheme://bad/path")
+    # the lock must be free again: a no-checkpoint run and a second
+    # failing run must both proceed without deadlock
+    assert dedup._CKPT_LOCK.acquire(timeout=5)
+    dedup._CKPT_LOCK.release()
+    out = dedup.connected_components(df, "src", "dst").toPandas()
+    assert out["component"].nunique() == 1
+
+
+def test_strict_decode_chains_cause_for_corrupt_jpeg(spark):
+    from nvtabular_spark.sources import multimodal as mm
+    corrupt = b"\xff\xd8\xff\xe0" + b"\x00" * 40   # JPEG magic, garbage body
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "payload": [corrupt]}))
+    with pytest.raises(Exception) as ei:
+        mm.extract_image_features(df, strict=True).collect()
+    # Py4J wraps the executor-side traceback into the message; the
+    # chained diagnostic (error type of the real decode failure) must
+    # survive rather than the misleading 'exotic format' text
+    msg = str(ei.value)
+    assert "recognized format" in msg
+    assert "exotic image decode" not in msg
+
+
+def test_contamination_broadcast_hint_without_stats(spark):
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d e f g h i j", "k l m n o p q r s t"]}))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [9], "text": ["a b c d e f g h i j"]}))
+    # createDataFrame plans have no file statistics; the hint must
+    # still be applied by default (benchmark known-small by contract)
+    out = packing.ngram_contamination(corpus, bench, n=5)
+    got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert got[1] > 0 and got[2] == 0
+    # after execution the adaptive plan is final — the hint must have
+    # produced a broadcast join despite the absent statistics
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_contamination_broadcast_false_forbids_hint(spark):
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": ["a b c d e f g h i j"]}))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [9], "text": ["a b c d e f g h i j"]}))
+    out = packing.ngram_contamination(corpus, bench, n=5, broadcast=False)
+    # without the hint the optimizer may STILL pick broadcast from its
+    # own size estimate; assert only that the override path runs and
+    # returns the same answer
+    got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert got[1] > 0
