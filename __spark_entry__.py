@@ -441,6 +441,33 @@ def q_drop_exact_dups(spark, sf_dir):
         "doc_id", "lang", "source", "n_chars")
 
 
+def q_dedup_exact_full(spark, sf_dir):
+    """Consolidated exact-dedup row exercising BOTH code paths:
+    exact_duplicates (per-doc fingerprint key, canonical id, is_dup
+    flag) LEFT JOINed with drop_exact_duplicates survivors (full-row
+    carry-through) — non-survivor rows keep NULL payload columns.
+    Merges the former dedup_exact / drop_exact_dups driver rows to
+    free a registry slot within the driver's 50-row record window."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = dedup.exact_duplicates(docs).select(
+        "doc_id", "dup_key", "canonical_id", "is_dup")
+    surv = dedup.drop_exact_duplicates(docs).select(
+        "doc_id", "lang", "source", "n_chars")
+    return keyed.join(surv, "doc_id", "left")
+
+
+def q_pack_sequences_global(spark, sf_dir):
+    """Global (cross-shard) two-level greedy packing: hash-sharded
+    exact greedy, then one greedy pass over the bin summaries — every
+    document lands in one corpus-wide capacity-respecting bin."""
+    from nvtabular_spark.functions import packing
+    docs = _t(spark, sf_dir, "documents")
+    out = packing.pack_sequences_global(
+        docs, capacity=5000, order_col="doc_id", tok_col="n_chars",
+        id_col="doc_id", shards=4, family="md5")
+    return out.select("doc_id", "bin_id", "bin_offset")
+
+
 def q_verify_distribution(spark, sf_dir):
     """DatasetGen.verify_df parity (KS goodness-of-fit, scipy-free):
     a deterministic uniform column derived from md5(doc_id) is tested
@@ -759,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_events": q_groupby_events,
         "lag_lead_difference": q_lag_lead_difference,
         "duplicate_spans_full": q_duplicate_spans_full,
+        "dedup_exact_full": q_dedup_exact_full,
+        "pack_sequences_global": q_pack_sequences_global,
         # previously driver-green rows
         "groupby_agg": q_groupby_agg,
         "value_count": q_value_count,
@@ -780,8 +809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_backfill": q_rolling_backfill,
         "sessionize": q_sessionize,
         "rolling_agg": q_rolling_agg,
-        "dedup_exact": q_dedup_exact,
-        "drop_exact_dups": q_drop_exact_dups,
         "verify_distribution": q_verify_distribution,
         "pack_sequences_prefix": q_pack_sequences_prefix,
         "pack_sequences_greedy": q_pack_sequences_greedy,
@@ -1201,6 +1228,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, k.lang, k.source, k.n_chars
             FROM keyed k JOIN canon c ON k.dk = c.dk
             WHERE k.doc_id = c.cid""",
+        "dedup_exact_full": f"""
+            WITH keyed AS (SELECT doc_id, lang, source, n_chars,
+                                  {fp_expr} AS dup_key FROM documents),
+            canon AS (SELECT dup_key, MIN(doc_id) canonical_id FROM keyed
+                      GROUP BY 1)
+            SELECT k.doc_id, k.dup_key, c.canonical_id,
+                   k.doc_id <> c.canonical_id AS is_dup,
+                   CASE WHEN k.doc_id = c.canonical_id THEN k.lang END
+                       AS lang,
+                   CASE WHEN k.doc_id = c.canonical_id THEN k.source END
+                       AS source,
+                   CASE WHEN k.doc_id = c.canonical_id THEN k.n_chars END
+                       AS n_chars
+            FROM keyed k JOIN canon c ON k.dup_key = c.dup_key""",
         "verify_distribution": f"""
             WITH u AS (SELECT ({_md5h('doc_id')} % 1000000) / 1000000.0
                               AS u FROM documents),
@@ -1263,6 +1304,61 @@ def oracle_sql() -> dict[str, str]:
                 ON o.lang IS NOT DISTINCT FROM r.lang
                    AND o.rn = r.rn + 1)
             SELECT doc_id, lang, bin_id, bin_offset FROM rec""",
+        "pack_sequences_global": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, n_chars,
+                     ({_md5h('doc_id')} % 4) AS shard
+              FROM documents),
+            ordered AS (
+              SELECT doc_id, n_chars, shard,
+                     ROW_NUMBER() OVER (PARTITION BY shard
+                                        ORDER BY doc_id) AS rn
+              FROM base),
+            rec AS (
+              SELECT shard, rn, doc_id,
+                     CAST(0 AS BIGINT) AS lbin,
+                     CAST(0 AS BIGINT) AS loff,
+                     CAST(n_chars AS BIGINT) AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.shard, o.rn, o.doc_id,
+                     CASE WHEN r.fill + o.n_chars > 5000 AND r.fill > 0
+                          THEN r.lbin + 1 ELSE r.lbin END,
+                     CASE WHEN r.fill + o.n_chars > 5000 AND r.fill > 0
+                          THEN CAST(0 AS BIGINT) ELSE r.fill END,
+                     CASE WHEN r.fill + o.n_chars > 5000 AND r.fill > 0
+                          THEN CAST(o.n_chars AS BIGINT)
+                          ELSE r.fill + o.n_chars END
+              FROM rec r JOIN ordered o
+                ON o.shard = r.shard AND o.rn = r.rn + 1),
+            summ AS (
+              SELECT r.shard, r.lbin,
+                     CAST(SUM(b.n_chars) AS BIGINT) AS btok
+              FROM rec r JOIN base b USING (doc_id)
+              GROUP BY 1, 2),
+            sordered AS (
+              SELECT shard, lbin, btok,
+                     ROW_NUMBER() OVER (ORDER BY shard, lbin) AS srn
+              FROM summ),
+            grec AS (
+              SELECT srn, shard, lbin,
+                     CAST(0 AS BIGINT) AS gbin,
+                     CAST(0 AS BIGINT) AS goff,
+                     btok AS fill
+              FROM sordered WHERE srn = 1
+              UNION ALL
+              SELECT o.srn, o.shard, o.lbin,
+                     CASE WHEN r.fill + o.btok > 5000 AND r.fill > 0
+                          THEN r.gbin + 1 ELSE r.gbin END,
+                     CASE WHEN r.fill + o.btok > 5000 AND r.fill > 0
+                          THEN CAST(0 AS BIGINT) ELSE r.fill END,
+                     CASE WHEN r.fill + o.btok > 5000 AND r.fill > 0
+                          THEN o.btok ELSE r.fill + o.btok END
+              FROM grec r JOIN sordered o ON o.srn = r.srn + 1)
+            SELECT rec.doc_id, g.gbin AS bin_id,
+                   g.goff + rec.loff AS bin_offset
+            FROM rec JOIN grec g
+              ON rec.shard = g.shard AND rec.lbin = g.lbin""",
         "ngram_contamination": f"""
             WITH bw AS (SELECT string_split(text, ' ') w FROM documents
                         WHERE doc_id % 10 = 0),

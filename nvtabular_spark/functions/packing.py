@@ -137,6 +137,80 @@ def _greedy_pack_arrays(toks, cap):
     return bins, offs
 
 
+def pack_sequences_global(df: DataFrame, capacity: int = 2048,
+                          order_col: str = "ts", tok_col: str = "n_tok",
+                          id_col: str = "doc_id", shards: int = 32,
+                          family: str = "xxhash64") -> DataFrame:
+    """GLOBAL (cross-shard) capacity-respecting packing — the one
+    packing shape the shard-local contract doesn't cover: every
+    sequence in the corpus lands in one global ``bin_id``, no bin
+    exceeds ``capacity`` (oversize sequences occupy a bin alone), and
+    offsets are contiguous within each bin.
+
+    Two-level algorithm, deterministic end-to-end:
+
+    1. sequences are hash-sharded (``hash_bucket(id_col) % shards``)
+       and packed per shard with the exact greedy first-fit
+       (:func:`pack_sequences` ``strategy="greedy"``) — fully parallel;
+    2. the resulting LOCAL bins (each ≤ capacity by construction)
+       become super-sequences of weight ``bin_tokens``, packed ONCE
+       more by the same greedy recurrence in ``(shard, local_bin)``
+       order — the level-2 input is ~``total_tokens/capacity`` rows,
+       2–4 orders of magnitude below the sequence count, so the single
+       sequential pass is cheap;
+    3. each sequence's global bin = its local bin's super-bin, offset
+       = super-bin offset of the local bin + local offset.
+
+    Not bin-minimal (global first-fit over a hash order never is), but
+    capacity-exact and restart-stable: the assignment depends only on
+    (id, order, tokens), never on partitioning.
+
+    Scale boundary, stated: level 2 runs as one task over the bin
+    summaries. At 10^12 sequences × ~100 seqs/bin that is ~10^10
+    summary rows — too many for one task; raise ``capacity·shards``
+    granularity or chain a third level before that point. Below
+    ~10^9 bins this is the right trade (summaries are 24 bytes each).
+    """
+    from .hashing import hash_bucket
+    shard = hash_bucket(F.col(id_col), shards, family)
+    l1 = pack_sequences(df.withColumn("__shard", shard),
+                        capacity=capacity, shard_col="__shard",
+                        order_col=order_col, tok_col=tok_col,
+                        id_col=id_col, strategy="greedy") \
+        .withColumnRenamed("bin_id", "__lbin") \
+        .withColumnRenamed("bin_offset", "__loff")
+
+    tok = F.col(tok_col)
+    if df.schema[tok_col].dataType.simpleString() in ("float", "double"):
+        tok = F.when(F.isnan(tok), F.lit(None)).otherwise(tok)
+    summ = (l1.groupBy("__shard", "__lbin")
+            .agg(F.coalesce(F.sum(tok), F.lit(0)).cast("long")
+                 .alias("__btok")))
+
+    out_schema = StructType([StructField("__shard", LongType()),
+                             StructField("__lbin", LongType()),
+                             StructField("__gbin", LongType()),
+                             StructField("__goff", LongType())])
+    cap = int(capacity)
+
+    def pack_bins(pdf):
+        pdf = pdf.sort_values(["__shard", "__lbin"],
+                              kind="mergesort").reset_index(drop=True)
+        toks = pdf["__btok"].to_numpy("int64")
+        gbins, goffs = _greedy_pack_arrays(toks, cap)
+        pdf["__gbin"] = gbins
+        pdf["__goff"] = goffs
+        return pdf[["__shard", "__lbin", "__gbin", "__goff"]]
+
+    placed = (summ.withColumn("__one", F.lit(1))
+              .groupBy("__one").applyInPandas(pack_bins, out_schema))
+
+    return (l1.join(placed, ["__shard", "__lbin"])
+            .withColumn("bin_id", F.col("__gbin"))
+            .withColumn("bin_offset", F.col("__goff") + F.col("__loff"))
+            .drop("__shard", "__lbin", "__loff", "__gbin", "__goff"))
+
+
 def packing_stats(packed: DataFrame, capacity: int = 2048,
                   shard_col: str = "entity_id",
                   tok_col: str = "n_tok") -> DataFrame:

@@ -118,3 +118,57 @@ def test_contamination_broadcast_false_forbids_hint(spark):
     # returns the same answer
     got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
     assert got[1] > 0
+
+
+def test_pack_sequences_global_capacity_and_coverage(spark):
+    import pandas as pd
+    rng_rows = [(i, (i * 37) % 300) for i in range(400)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rng_rows, columns=["doc_id", "n_tok"]))
+    out = packing.pack_sequences_global(
+        df, capacity=500, order_col="doc_id", tok_col="n_tok",
+        id_col="doc_id", shards=4).toPandas()
+    # every row assigned exactly once
+    assert len(out) == 400 and out["doc_id"].nunique() == 400
+    # capacity respected globally (no oversize rows in this draw)
+    fills = out.groupby("bin_id")["n_tok"].sum()
+    assert (fills <= 500).all()
+    # offsets contiguous: within a bin, sorted offsets tile the fill
+    for b, g in out.groupby("bin_id"):
+        g = g.sort_values("bin_offset")
+        expect = 0
+        for _, r in g.iterrows():
+            assert r["bin_offset"] == expect
+            expect += r["n_tok"]
+
+
+def test_pack_sequences_global_partitioning_invariant(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(200)),
+         "n_tok": [(i * 13) % 100 for i in range(200)]}))
+    a = packing.pack_sequences_global(
+        df, capacity=300, order_col="doc_id", tok_col="n_tok",
+        id_col="doc_id", shards=3).toPandas().sort_values("doc_id")
+    b = packing.pack_sequences_global(
+        df.repartition(7), capacity=300, order_col="doc_id",
+        tok_col="n_tok", id_col="doc_id", shards=3) \
+        .toPandas().sort_values("doc_id")
+    assert (a[["bin_id", "bin_offset"]].to_numpy()
+            == b[["bin_id", "bin_offset"]].to_numpy()).all()
+
+
+def test_pack_sequences_global_oversize_rows_alone(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4],
+         "n_tok": [10, 999, 10, 999]}))   # 999 > capacity
+    out = packing.pack_sequences_global(
+        df, capacity=100, order_col="doc_id", tok_col="n_tok",
+        id_col="doc_id", shards=2).toPandas()
+    big = out[out["n_tok"] == 999]
+    small = out[out["n_tok"] == 10]
+    # each oversize row has its own bin, at offset 0
+    assert big["bin_id"].nunique() == 2
+    assert (big["bin_offset"] == 0).all()
+    assert not set(big["bin_id"]) & set(small["bin_id"])
