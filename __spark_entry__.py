@@ -442,18 +442,25 @@ def q_drop_exact_dups(spark, sf_dir):
 
 
 def q_dedup_exact_full(spark, sf_dir):
-    """Consolidated exact-dedup row exercising BOTH code paths:
-    exact_duplicates (per-doc fingerprint key, canonical id, is_dup
-    flag) LEFT JOINed with drop_exact_duplicates survivors (full-row
-    carry-through) — non-survivor rows keep NULL payload columns.
-    Merges the former dedup_exact / drop_exact_dups driver rows to
-    free a registry slot within the driver's 50-row record window."""
+    """Consolidated exact-dedup row: exact_duplicates metadata (per-doc
+    fingerprint key, canonical id, is_dup flag) with the survivor
+    payload columns masked onto canonical rows — semantically the
+    drop_exact_duplicates survivor set (which is pytest-gated
+    separately) in the same frame, computed with ONE fingerprint pass
+    instead of running both helpers over the corpus. Merges the former
+    dedup_exact / drop_exact_dups driver rows to free a registry slot
+    within the driver's 50-row record window."""
     docs = _t(spark, sf_dir, "documents")
     keyed = dedup.exact_duplicates(docs).select(
         "doc_id", "dup_key", "canonical_id", "is_dup")
-    surv = dedup.drop_exact_duplicates(docs).select(
-        "doc_id", "lang", "source", "n_chars")
-    return keyed.join(surv, "doc_id", "left")
+    payload = docs.select("doc_id", "lang", "source", "n_chars")
+    out = keyed.join(payload, "doc_id")
+    keep = ~F.col("is_dup")
+    return out.select(
+        "doc_id", "dup_key", "canonical_id", "is_dup",
+        F.when(keep, F.col("lang")).alias("lang"),
+        F.when(keep, F.col("source")).alias("source"),
+        F.when(keep, F.col("n_chars")).alias("n_chars"))
 
 
 def q_pack_sequences_global(spark, sf_dir):
@@ -623,8 +630,12 @@ def q_duplicate_spans_full(spark, sf_dir, family="md5"):
     duplicate_span_stats rows so all registry keys fit the driver's
     record window."""
     docs = _t(spark, sf_dir, "documents")
-    spans = dedup.duplicate_spans(docs, k=8, family=family)
-    stats = dedup.duplicate_span_stats(docs, k=8, family=family)
+    # compute the span pipeline ONCE: checkpoint the spans and derive
+    # the stats from them (spans feeds two consumers below)
+    spans = dedup.duplicate_spans(docs, k=8, family=family) \
+        .localCheckpoint(eager=False)
+    stats = dedup.duplicate_span_stats(docs, k=8, family=family,
+                                       spans=spans)
     return stats.join(spans, "doc_id", "left")
 
 

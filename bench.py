@@ -40,11 +40,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WORKLOAD_ONLY = os.environ.get("BENCH_WORKLOAD_ONLY") == "1"
 REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "1")))
 
-
-def _median(xs):
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+from statistics import median as _median  # noqa: E402
 
 
 def _sf_from_dir(d: str) -> float:

@@ -823,15 +823,21 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
 def duplicate_span_stats(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 8,
                          family: str = "md5",
-                         cache_postings: bool = False) -> DataFrame:
+                         cache_postings: bool = False,
+                         spans: Optional[DataFrame] = None) -> DataFrame:
     """Per-document duplicated-span mass: how much of each doc is
     covered by cross-document duplicate spans (≥ ``k`` words). The
     standard quality filter drops docs whose ``dup_word_frac`` exceeds
     a threshold. Docs never touched by a duplicate span report zeros.
+
+    ``spans``: pass a precomputed :func:`duplicate_spans` result to
+    avoid re-running the shingle/posting/window pipeline when the
+    caller needs both the spans and the stats.
     """
     df = planning.ensure_min_parallelism(df)  # word-split is CPU-bound
-    spans = duplicate_spans(df, text_col, id_col, k, family,
-                            cache_postings)
+    if spans is None:
+        spans = duplicate_spans(df, text_col, id_col, k, family,
+                                cache_postings)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_words"))

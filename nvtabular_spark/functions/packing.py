@@ -178,7 +178,12 @@ def pack_sequences_global(df: DataFrame, capacity: int = 2048,
                         order_col=order_col, tok_col=tok_col,
                         id_col=id_col, strategy="greedy") \
         .withColumnRenamed("bin_id", "__lbin") \
-        .withColumnRenamed("bin_offset", "__loff")
+        .withColumnRenamed("bin_offset", "__loff") \
+        .localCheckpoint(eager=False)
+    # ^ l1 feeds BOTH the bin-summary branch and the final join;
+    # without the checkpoint Spark re-executes the whole level-1
+    # applyInPandas pack once per consumer (exchange reuse does not
+    # cache Python-stage compute)
 
     tok = F.col(tok_col)
     if df.schema[tok_col].dataType.simpleString() in ("float", "double"):

@@ -133,9 +133,12 @@ def test_pack_sequences_global_capacity_and_coverage(spark):
     # capacity respected globally (no oversize rows in this draw)
     fills = out.groupby("bin_id")["n_tok"].sum()
     assert (fills <= 500).all()
-    # offsets contiguous: within a bin, sorted offsets tile the fill
+    # offsets contiguous: within a bin, sorted offsets tile the fill.
+    # Zero-token sequences occupy zero width, so they legitimately
+    # share an offset with the next row — break offset ties by n_tok
+    # so the zero-width rows are checked first at their position.
     for b, g in out.groupby("bin_id"):
-        g = g.sort_values("bin_offset")
+        g = g.sort_values(["bin_offset", "n_tok"])
         expect = 0
         for _, r in g.iterrows():
             assert r["bin_offset"] == expect
