@@ -270,6 +270,36 @@ def q_normalize_minmax(spark, sf_dir):
     return out.select("c_custkey", F.col("c_acctbal").alias("c_acctbal_mm"))
 
 
+def q_normalize_both(spark, sf_dir):
+    """Consolidated continuous-normalization row: z-score Normalize AND
+    NormalizeMinMax as two branches of ONE Workflow over the same
+    column, disambiguated with Rename — exercises the branch-concat +
+    rename composition on stat ops. Merges the former normalize /
+    normalize_minmax driver rows."""
+    cust = _t(spark, sf_dir, "customer")
+    z = ["c_acctbal"] >> ops.Normalize() >> ops.Rename(postfix="_z")
+    mm = ["c_acctbal"] >> ops.NormalizeMinMax() >> ops.Rename(postfix="_mm")
+    out = nvt.Workflow(z + mm + ["c_custkey"]).fit_transform(cust)
+    return out.select(
+        "c_custkey",
+        (F.round("c_acctbal_z", 4) + F.lit(0.0)).alias("c_acctbal_z"),
+        F.col("c_acctbal_mm"))
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based mixing (p^alpha flattening, the standard
+    multilingual/multi-source pre-training mix): per-stratum keep
+    fractions (n_min/n_i)^(1-alpha) computed from one tiny
+    groupBy-count, applied as the row-local md5 predicate. Strata on
+    ``lang`` — the skewed column in the testdata (en dominates), so
+    the flattening actually downsamples."""
+    from nvtabular_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mix(docs, alpha=0.5, strata_col="lang",
+                                   key_col="doc_id", seed=0)
+    return out.select("doc_id", "lang")
+
+
 def q_fillmissing(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "value2", F.when(F.col("value") > 150, F.lit(None))
@@ -799,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_full": q_duplicate_spans_full,
         "dedup_exact_full": q_dedup_exact_full,
         "pack_sequences_global": q_pack_sequences_global,
+        "normalize_both": q_normalize_both,
+        "temperature_mix": q_temperature_mix,
         # previously driver-green rows
         "groupby_agg": q_groupby_agg,
         "value_count": q_value_count,
@@ -807,8 +839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_external": q_join_external,
         "join_groupby": q_join_groupby,
         "target_encoding": q_target_encoding,
-        "normalize": q_normalize,
-        "normalize_minmax": q_normalize_minmax,
         "fillmissing": q_fillmissing,
         "fillmedian": q_fillmedian,
         "logop_clip": q_logop_clip,
@@ -1133,6 +1163,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey,
                    (c.c_acctbal - s.lo) / (s.hi - s.lo) AS c_acctbal_mm
             FROM customer c CROSS JOIN s""",
+        "normalize_both": """
+            WITH s AS (SELECT COUNT(c_acctbal) n, SUM(c_acctbal) s,
+                              SUM(c_acctbal * c_acctbal) s2,
+                              MIN(c_acctbal) lo, MAX(c_acctbal) hi
+                       FROM customer)
+            SELECT c.c_custkey,
+                   ROUND((c.c_acctbal - s.s / s.n)
+                         / sqrt((s.s2 - s.s * s.s / s.n) / (s.n - 1)), 4)
+                   + 0.0 AS c_acctbal_z,
+                   (c.c_acctbal - s.lo) / (s.hi - s.lo) AS c_acctbal_mm
+            FROM customer c CROSS JOIN s""",
+        "temperature_mix": f"""
+            WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents
+                         GROUP BY 1),
+            mn AS (SELECT MIN(n) AS nmin FROM cnt),
+            fr AS (SELECT c.lang,
+                          CAST(ROUND(POWER(CAST(m.nmin AS DOUBLE) / c.n,
+                                           0.5) * 1000000, 0) AS BIGINT)
+                              AS thr
+                   FROM cnt c CROSS JOIN mn m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN fr ON d.lang = fr.lang
+            WHERE ({_md5h('d.doc_id')}) % 1000000 < fr.thr""",
         "fillmissing": """
             SELECT COALESCE(CASE WHEN value > 150 THEN NULL ELSE value END, -1)
                        AS value2,

@@ -89,6 +89,44 @@ def split_train_holdout(df: DataFrame, holdout_fraction: float = 0.01,
     return df.filter(~pred), df.filter(pred)
 
 
+def temperature_fractions(counts: Dict, alpha: float = 0.7) -> Dict:
+    """Per-stratum keep fractions that flatten the source distribution
+    to ``p_i^alpha`` (temperature sampling, the standard multilingual /
+    multi-source pre-training mix — public method, e.g. multilingual
+    BERT / mT5 data sampling). Downsampling-only: the SMALLEST stratum
+    keeps fraction 1.0 and every larger stratum keeps
+    ``(n_min / n_i)^(1 - alpha)`` — so the kept counts are
+    proportional to ``n_i^alpha``. ``alpha=1`` keeps everything
+    (natural mix), ``alpha=0`` equalizes all strata to n_min."""
+    if not counts:
+        return {}
+    a = float(alpha)
+    n_min = min(counts.values())
+    return {k: (n_min / n) ** (1.0 - a) if n > 0 else 0.0
+            for k, n in counts.items()}
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.7,
+                    strata_col: str = "source",
+                    key_col: str = "doc_id", seed: int = 0,
+                    family: str = "md5") -> DataFrame:
+    """Deterministic temperature-based source mixing: one tiny
+    groupBy-count (collected driver-side — O(#strata) rows), fractions
+    from :func:`temperature_fractions`, then the same row-local hash
+    predicate as :func:`stratified_sample` — no extra shuffle over the
+    corpus, reproducible under retries/repartitioning. NULL strata
+    form their own group (sampled at their own temperature
+    fraction)."""
+    rows = df.groupBy(strata_col).count().collect()
+    counts = {r[strata_col]: r["count"] for r in rows}
+    fr = temperature_fractions(counts, alpha)
+    null_fraction = fr.pop(None, 0.0)
+    return stratified_sample(df, fr, strata_col=strata_col,
+                             key_col=key_col, seed=seed,
+                             default_fraction=null_fraction,
+                             family=family)
+
+
 def token_vocab_stats(df: DataFrame, tokens_col: str = "tokens",
                       top_k: Optional[int] = None) -> DataFrame:
     """Corpus token-frequency table from an ``array<int>`` column:

@@ -175,3 +175,36 @@ def test_pack_sequences_global_oversize_rows_alone(spark):
     assert big["bin_id"].nunique() == 2
     assert (big["bin_offset"] == 0).all()
     assert not set(big["bin_id"]) & set(small["bin_id"])
+
+
+def test_temperature_fractions_math():
+    from nvtabular_spark.functions.sampling import temperature_fractions
+    fr = temperature_fractions({"a": 100, "b": 400, "c": 100}, alpha=0.5)
+    # smallest strata keep everything; 4x stratum keeps (1/4)^0.5 = 1/2
+    assert fr["a"] == 1.0 and fr["c"] == 1.0
+    assert abs(fr["b"] - 0.5) < 1e-12
+    # alpha=1 -> natural mix (keep all); alpha=0 -> equalize to n_min
+    fr1 = temperature_fractions({"a": 10, "b": 1000}, alpha=1.0)
+    assert fr1["b"] == 1.0
+    fr0 = temperature_fractions({"a": 10, "b": 1000}, alpha=0.0)
+    assert abs(fr0["b"] - 0.01) < 1e-12
+    assert temperature_fractions({}, 0.5) == {}
+    assert temperature_fractions({"a": 0, "b": 5}, 0.5)["a"] == 0.0
+
+
+def test_temperature_mix_flattens_skew(spark):
+    import pandas as pd
+    from nvtabular_spark.functions import sampling
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "src"]))
+    out = sampling.temperature_mix(df, alpha=0.0, strata_col="src",
+                                   key_col="doc_id").toPandas()
+    by = out.groupby("src").size()
+    # alpha=0 equalizes: big downsampled to ~n_min (hash sampling is
+    # exact-in-expectation; allow generous slack on 900 draws)
+    assert by["small"] == 100
+    assert 60 <= by["big"] <= 140
+    # deterministic: re-run identical
+    out2 = sampling.temperature_mix(df, alpha=0.0, strata_col="src",
+                                    key_col="doc_id").toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
