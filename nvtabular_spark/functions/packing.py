@@ -172,7 +172,11 @@ def pack_sequences_global(df: DataFrame, capacity: int = 2048,
     ~10^9 bins this is the right trade (summaries are 24 bytes each).
     """
     from .hashing import hash_bucket
-    shard = hash_bucket(F.col(id_col), shards, family)
+    # sentinel-hash NULL ids (hashing.py contract: callers route nulls):
+    # a NULL shard would survive the per-shard pack but be DROPPED by
+    # the final equi-join on __shard (NULL != NULL)
+    shard = hash_bucket(F.coalesce(F.col(id_col).cast("string"),
+                                   F.lit("\x00<NULL>")), shards, family)
     l1 = pack_sequences(df.withColumn("__shard", shard),
                         capacity=capacity, shard_col="__shard",
                         order_col=order_col, tok_col=tok_col,

@@ -208,3 +208,19 @@ def test_temperature_mix_flattens_skew(spark):
     out2 = sampling.temperature_mix(df, alpha=0.0, strata_col="src",
                                     key_col="doc_id").toPandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_pack_sequences_global_null_id_not_dropped(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": ["a", None, "b", "c"],
+                        "n_tok": [10, 20, 30, 40]})
+    df = spark.createDataFrame(pdf)
+    out = packing.pack_sequences_global(
+        df, capacity=100, order_col="doc_id", tok_col="n_tok",
+        id_col="doc_id", shards=2).toPandas()
+    # the NULL-id row must survive (sentinel-hashed shard, not a NULL
+    # join key) and land in a capacity-respecting bin like every other
+    assert len(out) == 4
+    assert out["n_tok"].sum() == 100
+    fills = out.groupby("bin_id")["n_tok"].sum()
+    assert (fills <= 100).all()
