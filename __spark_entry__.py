@@ -300,6 +300,32 @@ def q_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_fill_ops(spark, sf_dir):
+    """Consolidated fill row: constant FillMissing (+ indicator) AND
+    fitted FillMedian as two branches of ONE Workflow over the same
+    NULL-injected column, disambiguated with Rename. Merges the former
+    fillmissing / fillmedian driver rows."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value2", F.when(F.col("value") > 150, F.lit(None))
+        .otherwise(F.col("value")))
+    cst = ["value2"] >> ops.FillMissing(fill_val=-1, add_binary_cols=True) \
+        >> ops.Rename(postfix="_c")
+    med = ["value2"] >> ops.FillMedian() >> ops.Rename(postfix="_m")
+    wf = nvt.Workflow(cst + med + ["event_id"])
+    return wf.fit_transform(ev)
+
+
+def q_quantile_bin(spark, sf_dir):
+    """Fitted equal-frequency binning (QuantileBin): boundaries are the
+    exact interior quartiles of events.value; transform digitizes with
+    the Bucketize comparison chain. Exact percentile ≡ DuckDB
+    quantile_cont (same linear-interpolation definition)."""
+    ev = _t(spark, sf_dir, "events")
+    wf = nvt.Workflow(
+        (["value"] >> ops.QuantileBin(n_bins=4)) + ["event_id"])
+    return wf.fit_transform(ev)
+
+
 def q_fillmissing(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "value2", F.when(F.col("value") > 150, F.lit(None))
@@ -831,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_global": q_pack_sequences_global,
         "normalize_both": q_normalize_both,
         "temperature_mix": q_temperature_mix,
+        "fill_ops": q_fill_ops,
+        "quantile_bin": q_quantile_bin,
         # previously driver-green rows
         "groupby_agg": q_groupby_agg,
         "value_count": q_value_count,
@@ -839,8 +867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_external": q_join_external,
         "join_groupby": q_join_groupby,
         "target_encoding": q_target_encoding,
-        "fillmissing": q_fillmissing,
-        "fillmedian": q_fillmedian,
         "logop_clip": q_logop_clip,
         "bucketize": q_bucketize,
         "hash_bucket": q_hash_bucket,
@@ -1200,6 +1226,28 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT quantile_cont(v2, 0.5) med FROM v)
             SELECT COALESCE(v.v2, m.med) AS value2, v.event_id
             FROM v CROSS JOIN m""",
+        "fill_ops": """
+            WITH v AS (SELECT event_id,
+                              CASE WHEN value > 150 THEN NULL ELSE value END v2
+                       FROM events),
+            m AS (SELECT quantile_cont(v2, 0.5) med FROM v)
+            SELECT COALESCE(v.v2, -1) AS value2_c,
+                   v.v2 IS NULL AS value2_filled_c,
+                   COALESCE(v.v2, m.med) AS value2_m,
+                   v.event_id
+            FROM v CROSS JOIN m""",
+        "quantile_bin": """
+            WITH q AS (SELECT quantile_cont(value, 0.25) q1,
+                              quantile_cont(value, 0.50) q2,
+                              quantile_cont(value, 0.75) q3
+                       FROM events)
+            SELECT CASE WHEN e.value IS NULL THEN NULL
+                        ELSE CAST((CASE WHEN e.value >= q.q1 THEN 1 ELSE 0 END)
+                           + (CASE WHEN e.value >= q.q2 THEN 1 ELSE 0 END)
+                           + (CASE WHEN e.value >= q.q3 THEN 1 ELSE 0 END)
+                           AS INTEGER) END AS value,
+                   e.event_id
+            FROM events e CROSS JOIN q""",
         "logop_clip": """
             SELECT l_orderkey, l_linenumber,
                    ROUND(ln(1 + LEAST(GREATEST(l_extendedprice, 0), 1000)), 6)

@@ -14,7 +14,7 @@ from .hash_ops import HashBucket, HashedCross
 from .joins import JoinExternal, JoinGroupby
 from .lambdaop import LambdaOp
 from .list_ops import ListSlice, ValueCount
-from .math_ops import Bucketize, Clip, LogOp
+from .math_ops import Bucketize, Clip, LogOp, QuantileBin
 from .normalize import Normalize, NormalizeMinMax
 from .rowops import (AddMetadata, AddProperties, AddTags, DropLowCardinality,
                      Dropna, Filter, ReduceDtypeSize, Rename, TagAsItemFeatures,
@@ -33,7 +33,7 @@ __all__ = [
     "FillMedian", "FillMissing", "Groupby", "HashBucket", "HashedCross",
     "JoinExternal", "JoinGroupby", "LambdaOp", "ListSlice", "ValueCount",
     "ScrubPII", "TokenCount", "LangId", "QualityScore",
-    "Bucketize", "Clip", "LogOp", "Normalize", "NormalizeMinMax",
+    "Bucketize", "Clip", "LogOp", "QuantileBin", "Normalize", "NormalizeMinMax",
     "AddMetadata", "AddProperties", "AddTags", "DropLowCardinality",
     "Dropna", "Filter", "ReduceDtypeSize", "Rename",
     "TagAsItemFeatures", "TagAsItemID", "TagAsUserFeatures", "TagAsUserID",

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
-from .base import Operator, TransformContext
+from .base import AggStatOperator, Operator, TransformContext
 
 
 def _is_list(df: DataFrame, name: str) -> bool:
@@ -97,6 +97,83 @@ class Bucketize(Operator):
             return F.when(c.isNull(), F.lit(None)).otherwise(acc)
 
         return _elementwise(df, ctx.actual(name), digitize)
+
+    def output_tags(self):
+        return ["categorical"]
+
+
+class QuantileBin(AggStatOperator):
+    """Equal-frequency (quantile) binning — Bucketize with FITTED
+    boundaries: fit computes the ``n_bins - 1`` interior quantiles of
+    each column, transform digitizes with the same ``x >= boundary``
+    comparison chain as :class:`Bucketize` (pure codegen). The
+    reference has no fitted discretizer (bucketize.py takes explicit
+    boundaries only); this is the standard equal-frequency extension.
+
+    Exact ``percentile`` by default (linear-interpolation definition,
+    shared by DuckDB's ``quantile_cont`` — oracle-exact);
+    ``approx=True`` switches to the single-pass ``percentile_approx``
+    sketch, the right trade at 100 TB. The fit is batchable: all
+    columns' quantiles ride the Workflow's single fused agg job.
+    NULL/NaN → NULL bucket.
+    """
+
+    def __init__(self, n_bins: int = 4, approx: bool = False):
+        super().__init__()
+        if int(n_bins) < 2:
+            raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+        self.n_bins = int(n_bins)
+        self.approx = approx
+        self.boundaries = {}
+
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
+        fn = F.percentile_approx if self.approx else F.percentile
+        qs = [i / self.n_bins for i in range(1, self.n_bins)]
+        self._pubs = [pub for pub, _ in ctx.pairs()]
+        reqs = []
+        for pub, act in ctx.pairs():
+            c = F.col(act)
+            if isinstance(df.schema[act].dataType, ArrayType):
+                raise ValueError("QuantileBin supports scalar columns "
+                                 f"only; {act!r} is a list column")
+            for j, q in enumerate(qs):
+                reqs.append(fn(c, F.lit(q))
+                            .alias(self._alias(f"{pub}__q{j}")))
+        return reqs
+
+    def consume_agg(self, row) -> None:
+        k = self.n_bins - 1
+        self.boundaries = {
+            pub: [row[self._alias(f"{pub}__q{j}")] for j in range(k)]
+            for pub in self._pubs}
+
+    def expr(self, col, name, df, ctx):
+        self._require_fitted()
+        bounds = self.boundaries[name]
+
+        def digitize(c: Column) -> Column:
+            acc = F.lit(0)
+            for b in bounds:
+                acc = acc + (c >= F.lit(b)).cast("int")
+            return F.when(c.isNull() | F.isnan(c.cast("double")),
+                          F.lit(None)).otherwise(acc)
+
+        return _elementwise(df, ctx.actual(name), digitize)
+
+    def output_dtype(self):
+        return "int"
+
+    def save_state(self):
+        return {"n_bins": self.n_bins, "boundaries": self.boundaries}
+
+    def load_state(self, state):
+        self.n_bins = state["n_bins"]
+        self.boundaries = state["boundaries"]
+        self.fitted = True
+
+    def clear(self):
+        super().clear()
+        self.boundaries = {}
 
     def output_tags(self):
         return ["categorical"]

@@ -585,3 +585,46 @@ def test_list_slice_ndarray_elements(spark):
         .fit_transform(df).toPandas()
     assert list(out["test"][0])[:3] == [1, 2, 3]
     assert len(out["test"][0]) == 10
+
+
+def test_quantile_bin_equal_frequency(spark):
+    """QuantileBin: fitted quartile boundaries give ~equal-count
+    buckets; NULL -> NULL; save/load keeps boundaries."""
+    import pandas as pd
+    import nvtabular_spark as nvt
+    from nvtabular_spark import ops as _ops
+    pdf = pd.DataFrame({"x": [float(i) for i in range(100)] + [None],
+                        "k": list(range(101))})
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow((["x"] >> _ops.QuantileBin(n_bins=4)) + ["k"])
+    out = wf.fit_transform(df).toPandas()
+    counts = out["x"].value_counts()
+    assert set(counts.index) == {0, 1, 2, 3}
+    assert counts.min() >= 24 and counts.max() <= 26
+    assert out.loc[out["k"] == 100, "x"].isna().all()
+    # bucket is monotone in the input
+    got = out.sort_values("k")["x"].iloc[:100].tolist()
+    assert got == sorted(got)
+
+
+def test_quantile_bin_save_load_round_trip(spark, tmp_path):
+    import pandas as pd
+    import nvtabular_spark as nvt
+    from nvtabular_spark import ops as _ops
+    pdf = pd.DataFrame({"x": [1.0, 5.0, 9.0, 13.0, 2.0, 6.0, 10.0, 14.0],
+                        "k": list(range(8))})
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow((["x"] >> _ops.QuantileBin(n_bins=2)) + ["k"])
+    expected = wf.fit_transform(df).toPandas().sort_values("k")
+    p = str(tmp_path / "qb")
+    wf.save(p)
+    wf2 = nvt.Workflow.load(p)
+    got = wf2.transform(df).toPandas().sort_values("k")
+    assert expected["x"].tolist() == got["x"].tolist()
+
+
+def test_quantile_bin_rejects_bad_args(spark):
+    from nvtabular_spark import ops as _ops
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _ops.QuantileBin(n_bins=1)
