@@ -1210,8 +1210,10 @@ def oracle_sql() -> dict[str, str]:
                               AS thr
                    FROM cnt c CROSS JOIN mn m)
             SELECT d.doc_id, d.lang
-            FROM documents d JOIN fr ON d.lang = fr.lang
-            WHERE ({_md5h('d.doc_id')}) % 1000000 < fr.thr""",
+            FROM documents d
+            LEFT JOIN fr ON d.lang IS NOT DISTINCT FROM fr.lang
+            WHERE ({_md5h('d.doc_id')}) % 1000000
+                  < COALESCE(fr.thr, 0)""",
         "fillmissing": """
             SELECT COALESCE(CASE WHEN value > 150 THEN NULL ELSE value END, -1)
                        AS value2,

@@ -192,9 +192,13 @@ def pack_sequences_global(df: DataFrame, capacity: int = 2048,
     tok = F.col(tok_col)
     if df.schema[tok_col].dataType.simpleString() in ("float", "double"):
         tok = F.when(F.isnan(tok), F.lit(None)).otherwise(tok)
+    # sum the PER-ROW-truncated weights (cast before sum), matching
+    # level 1's int64 view of each token count — summing floats then
+    # flooring once would inflate bin weights for fractional tok_col
+    # and open gaps between local bins inside a global bin
     summ = (l1.groupBy("__shard", "__lbin")
-            .agg(F.coalesce(F.sum(tok), F.lit(0)).cast("long")
-                 .alias("__btok")))
+            .agg(F.coalesce(F.sum(tok.cast("long")), F.lit(0))
+                 .cast("long").alias("__btok")))
 
     out_schema = StructType([StructField("__shard", LongType()),
                              StructField("__lbin", LongType()),
@@ -249,11 +253,15 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     semi-join, not pair generation.
 
     ``broadcast``: ``True``/``False`` forces or forbids the broadcast
-    hint on the benchmark shingle set. Default ``None`` hints unless
-    plan statistics ESTABLISH the set exceeds ``broadcast_threshold``
-    rows — a benchmark is almost always tiny next to the corpus, so
-    missing stats should not silently downgrade to a shuffle join
-    (AQE may still rescue it, but at 100 TB the hint is the plan).
+    hint on the benchmark shingle set. Default ``None`` hints when the
+    set is small: plan statistics on the shingle set when available,
+    else the benchmark's own row count (stats, else a bounded LIMIT
+    probe) against ``broadcast_threshold // 64`` — rows multiply into
+    many shingles each, so the row bound is deliberately conservative.
+    A benchmark is almost always tiny next to the corpus, so missing
+    stats don't silently downgrade the join to a shuffle — but a
+    genuinely huge benchmark is never blind-broadcast into the 8 GB
+    broadcast limit either.
     """
     bench_sh = (benchmark
                 .select(F.explode(F.array_distinct(
@@ -263,7 +271,16 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     if broadcast is None and broadcast_threshold is not None:
         from . import planning
         est = planning.estimate_row_count(bench_sh)
-        broadcast = est is None or est <= broadcast_threshold
+        if est is not None:
+            broadcast = est <= broadcast_threshold
+        else:
+            row_bound = max(1, broadcast_threshold // 64)
+            rows = planning.estimate_row_count(benchmark)
+            if rows is not None:
+                broadcast = rows <= row_bound
+            else:
+                broadcast = not planning.at_least_n_rows(benchmark,
+                                                         row_bound)
     if broadcast:
         bench_sh = F.broadcast(bench_sh)
     doc_sh = corpus.select(

@@ -132,10 +132,15 @@ class QuantileBin(AggStatOperator):
         self._pubs = [pub for pub, _ in ctx.pairs()]
         reqs = []
         for pub, act in ctx.pairs():
-            c = F.col(act)
             if isinstance(df.schema[act].dataType, ArrayType):
                 raise ValueError("QuantileBin supports scalar columns "
                                  f"only; {act!r} is a list column")
+            # NaN ≡ missing on the FIT side too (package-wide contract,
+            # fill.py _null_if_nan): Spark's percentile sorts NaN as
+            # largest, which would skew every boundary and fit the top
+            # boundary itself to NaN (making that bucket unreachable)
+            c = F.col(act).cast("double")
+            c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
             for j, q in enumerate(qs):
                 reqs.append(fn(c, F.lit(q))
                             .alias(self._alias(f"{pub}__q{j}")))

@@ -224,3 +224,42 @@ def test_pack_sequences_global_null_id_not_dropped(spark):
     assert out["n_tok"].sum() == 100
     fills = out.groupby("bin_id")["n_tok"].sum()
     assert (fills <= 100).all()
+
+
+def test_quantile_bin_nan_excluded_from_fit(spark):
+    import pandas as pd
+    import nvtabular_spark as nvt
+    from nvtabular_spark import ops as _ops
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0,
+                              float("nan")] * 1,
+                        "k": list(range(9))})
+    df = spark.createDataFrame(pdf)
+    op = _ops.QuantileBin(n_bins=4)
+    wf = nvt.Workflow((["x"] >> op) + ["k"])
+    out = wf.fit_transform(df).toPandas().sort_values("k")
+    # boundaries fitted on [1..8] only — NaN must not poison the top
+    # quartile (Spark percentile sorts NaN largest)
+    import math
+    assert all(not math.isnan(b) for b in op.boundaries["x"])
+    assert set(out["x"].dropna()) == {0, 1, 2, 3}   # top bucket reachable
+    assert out.loc[out["k"] == 8, "x"].isna().all()  # NaN row -> NULL
+
+
+def test_pack_sequences_global_fractional_float_tokens(spark):
+    import pandas as pd
+    # 10 rows of 2.5 tokens: level-1 truncates per row (fill 20);
+    # level-2 must weigh the bin at 20 too, not floor(sum)=25 — a
+    # mismatch would open offset gaps inside merged global bins
+    pdf = pd.DataFrame({"doc_id": list(range(12)),
+                        "n_tok": [2.5] * 10 + [30.0, 40.0]})
+    df = spark.createDataFrame(pdf)
+    out = packing.pack_sequences_global(
+        df, capacity=100, order_col="doc_id", tok_col="n_tok",
+        id_col="doc_id", shards=1).toPandas()
+    for b, g in out.groupby("bin_id"):
+        g = g.sort_values(["bin_offset", "n_tok"])
+        expect = 0
+        for _, r in g.iterrows():
+            assert r["bin_offset"] == expect, \
+                (b, g[["doc_id", "n_tok", "bin_offset"]].to_dict())
+            expect += int(r["n_tok"])
