@@ -31,9 +31,11 @@ from .plans.workflow import Workflow
 # name on the package itself
 _sys.modules[__name__ + ".workflow"] = workflow
 from .sources.dataset import Dataset
+from .plans.merge import WorkflowMergeError, merge_fits
 
 __version__ = "0.1.0"
 
 __all__ = ["Workflow", "ColumnSelector", "Node", "WorkflowNode",
            "Subgraph", "Schema",
-           "ColumnSchema", "Tags", "Dataset", "ops", "__version__"]
+           "ColumnSchema", "Tags", "Dataset", "ops", "__version__",
+           "merge_fits", "WorkflowMergeError"]

@@ -105,6 +105,10 @@ class Operator:
             f"{type(self).__name__} implements neither expr() nor transform()"
         )
 
+    def merge_fitted(self, other: "Operator") -> None:
+        """Stateless op: nothing to merge (see plans/merge.py)."""
+        return None
+
     # -- algebra -----------------------------------------------------------
     def __rrshift__(self, other) -> Node:
         return _to_node(other) >> self
@@ -188,6 +192,17 @@ class StatOperator(Operator):
             raise RuntimeError(
                 f"{type(self).__name__} used before fit(); call workflow.fit() first"
             )
+
+    def merge_fitted(self, other: "StatOperator") -> None:
+        """Combine ``other``'s fitted state into this op, exactly as if
+        this op had been fit on the union of both inputs (see
+        plans/merge.py). Default: refuse — only ops whose state is a
+        distributive sufficient statistic override this."""
+        from ..plans.merge import WorkflowMergeError
+        raise WorkflowMergeError(
+            f"{type(self).__name__} fitted state is not mergeable (its "
+            "statistics are not distributive over row partitions); "
+            "re-fit on the union instead")
 
     def save_params(self) -> dict:
         params = super().save_params()

@@ -664,6 +664,52 @@ class Categorify(StatOperator):
             }
         return props
 
+    def merge_fitted(self, other: "Categorify") -> None:
+        """Exact partition-wise vocab merge (plans/merge.py): union the
+        two count-carrying vocab tables, sum counts, re-rank. Only
+        count-PRESERVING configurations are mergeable — freq_threshold
+        > 1 or max_size truncate the stored counts (a value below
+        threshold in both halves but above it combined would be lost),
+        and user vocabs carry no counts."""
+        from ..plans.merge import WorkflowMergeError
+        from ..sources.artifacts import materialize, parquet_rows
+        self._require_fitted(), other._require_fitted()
+        thr_vals = (self.freq_threshold.values()
+                    if isinstance(self.freq_threshold, dict)
+                    else [self.freq_threshold])
+        if any((t or 0) > 1 for t in thr_vals):
+            raise WorkflowMergeError(
+                "Categorify with freq_threshold > 1 stores truncated "
+                "counts — partition-wise merge would undercount; fit "
+                "with freq_threshold <= 1 and filter after merging, or "
+                "re-fit on the union")
+        if self.max_size:
+            raise WorkflowMergeError(
+                "Categorify with max_size truncates the stored vocab — "
+                "not mergeable; re-fit on the union")
+        if self.vocabs:
+            raise WorkflowMergeError(
+                "Categorify with a user-supplied vocabulary has no "
+                "counts to merge — the vocab is already fixed")
+        if set(self._vocab_dfs) != set(other._vocab_dfs):
+            raise WorkflowMergeError(
+                f"Categorify vocab key sets differ: "
+                f"{sorted(self._vocab_dfs)} vs {sorted(other._vocab_dfs)}")
+        for key, va in self._vocab_dfs.items():
+            vb = other._vocab_dfs[key]
+            value_cols = [c for c in va.columns
+                          if c not in ("value_count", "code")]
+            cols = [*value_cols, "value_count"]
+            merged = (va.select(*cols).unionByName(vb.select(*cols))
+                      .groupBy(*value_cols)
+                      .agg(F.sum("value_count").alias("value_count")))
+            ranked = self._rank_vocab(merged, key, value_cols)
+            self._vocab_dfs[key], self._paths[key] = materialize(
+                ranked, f"vocab_merged_{key}")
+            self._sizes[key] = parquet_rows(
+                self._paths[key], fallback_df=self._vocab_dfs[key]) \
+                + self._start_index(key)
+
     def artifacts(self):
         return dict(self._vocab_dfs)
 

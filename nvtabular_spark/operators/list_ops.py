@@ -114,5 +114,16 @@ class ValueCount(AggStatOperator):
         self.counts = state["counts"]
         self.fitted = True
 
+    def merge_fitted(self, other: "ValueCount") -> None:
+        self._require_fitted(), other._require_fitted()
+        for pub, c in other.counts.items():
+            a = self.counts.get(pub)
+            if a is None:
+                self.counts[pub] = dict(c)
+                continue
+            for k, pick in (("min", min), ("max", max)):
+                if c[k] is not None:
+                    a[k] = c[k] if a[k] is None else pick(a[k], c[k])
+
     def output_tags(self):
         return ["list"]

