@@ -225,11 +225,14 @@ def pack_sequences_global(df: DataFrame, capacity: int = 2048,
 
 
 def packing_stats(packed: DataFrame, capacity: int = 2048,
-                  shard_col: str = "entity_id",
+                  shard_col: Optional[str] = "entity_id",
                   tok_col: str = "n_tok") -> DataFrame:
     """Per-(shard, bin) fill statistics: sequence count, token total,
-    fill fraction — the packing-efficiency report."""
-    return (packed.groupBy(shard_col, "bin_id")
+    fill fraction — the packing-efficiency report. Pass
+    ``shard_col=None`` for :func:`pack_sequences_global` output, whose
+    bins are corpus-wide (grouped by ``bin_id`` alone)."""
+    keys = ["bin_id"] if shard_col is None else [shard_col, "bin_id"]
+    return (packed.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n_seqs"),
                  F.sum(tok_col).cast("long").alias("bin_tokens"))
             .withColumn("fill_frac",

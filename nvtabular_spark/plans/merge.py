@@ -19,9 +19,10 @@ TargetEncoding (per-(group, fold) count/sum tables are additive; fold
 assignment is row-local so partitioning cannot change it).
 
 Refused with a clear error: order statistics (FillMedian, QuantileBin)
-and finalized summaries (DataStats) — their saved state is not a
-sufficient statistic for the union. Use their ``approx``/sketch
-variants refit on the union instead.
+and finalized summaries (DataStats, JoinGroupby — its per-key table
+stores FINALIZED mean/std, not the Chan partials) — their saved state
+is not a sufficient statistic for the union. Re-fit those on the union
+(their fits are single aggregation scans).
 
 This mirrors the reference's two-phase fit/transform split
 (nvtabular/workflow/workflow.py fit statistics pass) extended with the

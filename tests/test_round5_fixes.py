@@ -263,3 +263,19 @@ def test_pack_sequences_global_fractional_float_tokens(spark):
             assert r["bin_offset"] == expect, \
                 (b, g[["doc_id", "n_tok", "bin_offset"]].to_dict())
             expect += int(r["n_tok"])
+
+
+def test_packing_stats_global_bins(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(50)),
+         "n_tok": [(i * 7) % 40 for i in range(50)]}))
+    packed = packing.pack_sequences_global(
+        df, capacity=120, order_col="doc_id", tok_col="n_tok",
+        id_col="doc_id", shards=2)
+    st = packing.packing_stats(packed, capacity=120,
+                               shard_col=None).toPandas()
+    assert set(st.columns) == {"bin_id", "n_seqs", "bin_tokens",
+                               "fill_frac"}
+    assert st["n_seqs"].sum() == 50
+    assert (st["fill_frac"] <= 1.0).all()

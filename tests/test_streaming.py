@@ -29,8 +29,12 @@ def stream_dir(spark, tmp_path):
 def test_fitted_workflow_transforms_a_stream(spark, stream_dir, tmp_path):
     path, pdf = stream_dir
     static = spark.read.parquet(path)
+    # QuantileBin included: a fitted-boundary op must stream like any
+    # other pure-expression transform (fit state frozen at fit time)
     wf = nvt.Workflow((["cat"] >> ops.Categorify())
                       + (["x"] >> ops.FillMissing() >> ops.Normalize())
+                      + (["x"] >> ops.QuantileBin(n_bins=3)
+                         >> ops.Rename(postfix="_qb"))
                       + ["rid"])
     wf.fit(static)
     expected = wf.transform(static).orderBy("rid").toPandas()
