@@ -150,3 +150,31 @@ def test_merge_after_save_load_round_trip(spark, tmp_path):
         merged.plan.order[1].op.moments["x"][1]
         if hasattr(merged.plan.order[1].op, "moments") else 0.0,
         0.0, abs_tol=1e18)  # smoke: moments attribute present post-load
+
+
+def test_merge_categorify_list_and_combo(spark):
+    """Vocab merging must cover the list-column (exploded counts) and
+    joint ('combo', multi-value-column vocab) shapes too."""
+    def mk(lo, hi):
+        rows = [(i, [f"u{(i + j) % 7}" for j in range(1 + i % 3)],
+                 f"p{i % 4}", f"s{i % 2}") for i in range(lo, hi)]
+        return spark.createDataFrame(pd.DataFrame(
+            rows, columns=["k", "authors", "prio", "status"]))
+
+    def dag():
+        return ((["authors"] >> ops.Categorify())
+                + ([["prio", "status"]] >> ops.Categorify(
+                    encode_type="combo"))
+                + ["k"])
+
+    a, b = mk(0, 40), mk(40, 100)
+    merged = nvt.merge_fits(nvt.Workflow(dag()).fit(a),
+                            nvt.Workflow(dag()).fit(b))
+    want = nvt.Workflow(dag()).fit(a.unionByName(b))
+    probe = mk(0, 100)
+    got_pdf = merged.transform(probe).orderBy("k").toPandas()
+    want_pdf = want.transform(probe).orderBy("k").toPandas()
+    assert [list(v) for v in got_pdf["authors"]] == \
+           [list(v) for v in want_pdf["authors"]]
+    assert got_pdf["prio_status"].tolist() == \
+           want_pdf["prio_status"].tolist()
