@@ -232,9 +232,17 @@ def packing_stats(packed: DataFrame, capacity: int = 2048,
     ``shard_col=None`` for :func:`pack_sequences_global` output, whose
     bins are corpus-wide (grouped by ``bin_id`` alone)."""
     keys = ["bin_id"] if shard_col is None else [shard_col, "bin_id"]
+    tok = F.col(tok_col)
+    if packed.schema[tok_col].dataType.simpleString() in ("float",
+                                                          "double"):
+        tok = F.when(F.isnan(tok), F.lit(None)).otherwise(tok)
+    # per-row truncation BEFORE the sum — the same int64 view the
+    # packers use, so a capacity-exact bin can never report
+    # fill_frac > 1.0 for fractional float token counts
     return (packed.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n_seqs"),
-                 F.sum(tok_col).cast("long").alias("bin_tokens"))
+                 F.coalesce(F.sum(tok.cast("long")), F.lit(0))
+                 .cast("long").alias("bin_tokens"))
             .withColumn("fill_frac",
                         F.col("bin_tokens") / F.lit(float(capacity))))
 

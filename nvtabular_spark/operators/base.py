@@ -105,6 +105,12 @@ class Operator:
             f"{type(self).__name__} implements neither expr() nor transform()"
         )
 
+    def merge_precheck(self, other: "Operator") -> None:
+        """Raise WorkflowMergeError if this op pair cannot merge; runs
+        over the WHOLE DAG before any mutation (see plans/merge.py).
+        Stateless ops always can."""
+        return None
+
     def merge_fitted(self, other: "Operator") -> None:
         """Stateless op: nothing to merge (see plans/merge.py)."""
         return None
@@ -193,16 +199,25 @@ class StatOperator(Operator):
                 f"{type(self).__name__} used before fit(); call workflow.fit() first"
             )
 
-    def merge_fitted(self, other: "StatOperator") -> None:
-        """Combine ``other``'s fitted state into this op, exactly as if
-        this op had been fit on the union of both inputs (see
-        plans/merge.py). Default: refuse — only ops whose state is a
-        distributive sufficient statistic override this."""
+    def merge_precheck(self, other: "StatOperator") -> None:
+        """Default stat-op answer: refuse — only ops whose state is a
+        distributive sufficient statistic override this (and
+        ``merge_fitted``). Runs over the whole DAG before any mutation
+        so a refusal never leaves a half-merged workflow."""
         from ..plans.merge import WorkflowMergeError
         raise WorkflowMergeError(
             f"{type(self).__name__} fitted state is not mergeable (its "
             "statistics are not distributive over row partitions); "
             "re-fit on the union instead")
+
+    def merge_fitted(self, other: "StatOperator") -> None:
+        """Combine ``other``'s fitted state into this op, exactly as if
+        this op had been fit on the union of both inputs (see
+        plans/merge.py). Only called after every node's
+        ``merge_precheck`` passed."""
+        raise NotImplementedError(
+            f"{type(self).__name__}.merge_fitted called without a "
+            "matching merge_precheck override")
 
     def save_params(self) -> dict:
         params = super().save_params()

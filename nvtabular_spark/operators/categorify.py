@@ -664,15 +664,12 @@ class Categorify(StatOperator):
             }
         return props
 
-    def merge_fitted(self, other: "Categorify") -> None:
-        """Exact partition-wise vocab merge (plans/merge.py): union the
-        two count-carrying vocab tables, sum counts, re-rank. Only
-        count-PRESERVING configurations are mergeable — freq_threshold
-        > 1 or max_size truncate the stored counts (a value below
-        threshold in both halves but above it combined would be lost),
-        and user vocabs carry no counts."""
+    def merge_precheck(self, other: "Categorify") -> None:
+        """Only count-PRESERVING configurations are mergeable —
+        freq_threshold > 1 or max_size truncate the stored counts (a
+        value below threshold in both halves but above it combined
+        would be lost), and user vocabs carry no counts."""
         from ..plans.merge import WorkflowMergeError
-        from ..sources.artifacts import materialize, parquet_rows
         self._require_fitted(), other._require_fitted()
         thr_vals = (self.freq_threshold.values()
                     if isinstance(self.freq_threshold, dict)
@@ -695,6 +692,11 @@ class Categorify(StatOperator):
             raise WorkflowMergeError(
                 f"Categorify vocab key sets differ: "
                 f"{sorted(self._vocab_dfs)} vs {sorted(other._vocab_dfs)}")
+
+    def merge_fitted(self, other: "Categorify") -> None:
+        """Exact partition-wise vocab merge (plans/merge.py): union the
+        two count-carrying vocab tables, sum counts, re-rank."""
+        from ..sources.artifacts import materialize, parquet_rows
         for key, va in self._vocab_dfs.items():
             vb = other._vocab_dfs[key]
             value_cols = [c for c in va.columns
@@ -704,11 +706,15 @@ class Categorify(StatOperator):
                       .groupBy(*value_cols)
                       .agg(F.sum("value_count").alias("value_count")))
             ranked = self._rank_vocab(merged, key, value_cols)
+            n_vocab = getattr(ranked, "total_rows", None)
+            # out_path matters on a real cluster: artifacts must land on
+            # a SHARED filesystem, same as every fit-path materialize
             self._vocab_dfs[key], self._paths[key] = materialize(
-                ranked, f"vocab_merged_{key}")
-            self._sizes[key] = parquet_rows(
-                self._paths[key], fallback_df=self._vocab_dfs[key]) \
-                + self._start_index(key)
+                ranked, f"vocab_merged_{key}", self.out_path)
+            if n_vocab is None:
+                n_vocab = parquet_rows(self._paths[key],
+                                       fallback_df=self._vocab_dfs[key])
+            self._sizes[key] = n_vocab + self._start_index(key)
 
     def artifacts(self):
         return dict(self._vocab_dfs)

@@ -114,8 +114,10 @@ class ValueCount(AggStatOperator):
         self.counts = state["counts"]
         self.fitted = True
 
-    def merge_fitted(self, other: "ValueCount") -> None:
+    def merge_precheck(self, other: "ValueCount") -> None:
         self._require_fitted(), other._require_fitted()
+
+    def merge_fitted(self, other: "ValueCount") -> None:
         for pub, c in other.counts.items():
             a = self.counts.get(pub)
             if a is None:

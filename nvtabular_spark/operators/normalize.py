@@ -99,13 +99,15 @@ class Normalize(AggStatOperator):
         self.means[pub] = float(mean)
         self.stds[pub] = math.sqrt(max(var, 0.0))
 
-    def merge_fitted(self, other: "Normalize") -> None:
+    def merge_precheck(self, other: "Normalize") -> None:
         from ..plans.merge import WorkflowMergeError
         self._require_fitted(), other._require_fitted()
         if not self.moments or not other.moments:
             raise WorkflowMergeError(
                 "Normalize fitted state predates moment tracking (loaded "
                 "from an old save?) — re-fit before merging")
+
+    def merge_fitted(self, other: "Normalize") -> None:
         for pub, (n, s, s2) in other.moments.items():
             a = self.moments.get(pub, [0, 0.0, 0.0])
             self.moments[pub] = [a[0] + n, a[1] + s, a[2] + s2]
@@ -185,7 +187,7 @@ class NormalizeMinMax(AggStatOperator):
             self.mins[pub] = float(mn or 0.0)
             self.maxs[pub] = float(mx or 0.0)
 
-    def merge_fitted(self, other: "NormalizeMinMax") -> None:
+    def merge_precheck(self, other: "NormalizeMinMax") -> None:
         from ..plans.merge import WorkflowMergeError
         self._require_fitted(), other._require_fitted()
         if not self.raw_minmax or not other.raw_minmax:
@@ -193,6 +195,8 @@ class NormalizeMinMax(AggStatOperator):
                 "NormalizeMinMax fitted state predates raw-extrema "
                 "tracking (loaded from an old save?) — re-fit before "
                 "merging")
+
+    def merge_fitted(self, other: "NormalizeMinMax") -> None:
         for pub, (mn_b, mx_b) in other.raw_minmax.items():
             mn_a, mx_a = self.raw_minmax.get(pub, [None, None])
             mn = mn_b if mn_a is None else (

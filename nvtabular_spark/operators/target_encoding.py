@@ -303,19 +303,22 @@ class TargetEncoding(StatOperator):
         df = df.withColumns(passthrough)
         return df.drop("__fold__") if self.drop_folds else df
 
+    def merge_precheck(self, other: "TargetEncoding") -> None:
+        from ..plans.merge import WorkflowMergeError
+        self._require_fitted(), other._require_fitted()
+        if set(self._fold_dfs) != set(other._fold_dfs):
+            raise WorkflowMergeError(
+                f"TargetEncoding group key sets differ: "
+                f"{sorted(self._fold_dfs)} vs {sorted(other._fold_dfs)}")
+
     def merge_fitted(self, other: "TargetEncoding") -> None:
         """Exact partition-wise merge (plans/merge.py): per-(group,
         fold) count/sum tables are additive, and the fold assignment is
         row-local (hash/modulo of a stable key), so summing the two
         fold tables reproduces the union fit exactly; the all-folds
         table and global means re-derive from the merged folds."""
-        from ..plans.merge import WorkflowMergeError
         from ..sources.artifacts import materialize, parquet_rows
-        self._require_fitted(), other._require_fitted()
-        if set(self._fold_dfs) != set(other._fold_dfs):
-            raise WorkflowMergeError(
-                f"TargetEncoding group key sets differ: "
-                f"{sorted(self._fold_dfs)} vs {sorted(other._fold_dfs)}")
+        last = None
         for key, fa in self._fold_dfs.items():
             fb = other._fold_dfs[key]
             g_cols = [c for c in fa.columns
@@ -333,8 +336,12 @@ class TargetEncoding(StatOperator):
                   for t in self.targets],
                 *[F.sum(f"__sum_{t}").alias(f"__sum_{t}")
                   for t in self.targets])
+            last = (folded, fpath)
+        if last is not None:
+            # global means are identical from ANY key's fold table
+            # (every table sums all rows) — derive ONCE, same as fit
             self.means = {}
-            self._derive_means(folded, fpath)
+            self._derive_means(*last)
 
     def artifacts(self):
         out = {}

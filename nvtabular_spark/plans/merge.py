@@ -57,11 +57,17 @@ def merge_fits(into, other):
     """Merge ``other``'s fitted statistics INTO ``into`` (both fitted
     on disjoint row sets of the same logical table, with structurally
     identical DAGs). Returns ``into``. Exact: equivalent to having fit
-    ``into`` on the union of both inputs, for every supported op."""
+    ``into`` on the union of both inputs, for every supported op.
+
+    Validation is TWO-PHASE: every structural check and every op's
+    ``merge_precheck`` runs over the whole DAG before the first
+    mutation, so a refusal anywhere leaves ``into`` exactly as fitted
+    — never half-merged."""
     a_order, b_order = into.plan.order, other.plan.order
     if len(a_order) != len(b_order):
         raise WorkflowMergeError(
             f"DAG shape mismatch: {len(a_order)} vs {len(b_order)} nodes")
+    pairs = []
     for na, nb in zip(a_order, b_order):
         oa, ob = na.op, nb.op
         if (oa is None) != (ob is None):
@@ -85,5 +91,8 @@ def merge_fits(into, other):
         if sa != sb:
             raise WorkflowMergeError(
                 f"selector mismatch at {type(oa).__name__}: {sa} vs {sb}")
+        oa.merge_precheck(ob)
+        pairs.append((oa, ob))
+    for oa, ob in pairs:
         oa.merge_fitted(ob)
     return into
