@@ -28,6 +28,16 @@ This mirrors the reference's two-phase fit/transform split
 (nvtabular/workflow/workflow.py fit statistics pass) extended with the
 standard distributive-aggregation merge; the reference itself has no
 incremental fit.
+
+Cost model, measured honestly: the merge itself costs O(state) — a
+re-rank over vocab ROWS and a re-aggregation of group tables, plus a
+handful of small Spark jobs — independent of how many corpus rows
+produced that state. A full re-fit costs O(corpus scan). At sandbox
+scale (150k rows, sub-2s scans) the fixed job overhead makes the full
+re-fit FASTER (measured: 1.6s refit vs 3.3s delta+merge at sf0.1);
+the crossover is wherever the historical scan exceeds a few seconds —
+i.e. everywhere the north rule lives. Don't use merge_fits to
+micro-optimize small fits; use it to avoid re-scanning a corpus.
 """
 
 from __future__ import annotations
