@@ -342,3 +342,87 @@ def random_projection(vec: Column, dim: int, out_dim: int = 16) -> Column:
                            F.lit(0.0), lambda a, v: a + v)
         outs.append(proj * F.lit(scale))
     return F.array(*outs)
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+            out_dim: int = 8, center: bool = True) -> dict:
+    """Distributed PCA fit over an ``array<float>`` column — the
+    whitening / dimensionality-reduction step of embedding-dedup
+    pipelines (SemDeDup-style, Abbas et al. 2023 — public method).
+
+    Plan shape at 100 TB: ONE Arrow-batched ``mapInPandas`` pass emits
+    per-batch partial moments ``(n, Σx, ΣxᵀX)`` — a d²+d+1 double
+    vector per batch, O(batches) rows collected driver-side — then the
+    (d×d) covariance eigendecomposition runs in numpy on the driver
+    (d is the embedding width, never the corpus). No shuffle at all.
+
+    Returns ``{"mean": [d], "components": [[d] × out_dim],
+    "explained_variance": [out_dim], "n": int}``. Component sign is
+    canonicalized (largest-|coefficient| entry positive) so refits are
+    reproducible.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField
+    from pyspark.sql.types import LongType, StructType
+
+    d = int(dim)
+    out_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("xtx", ArrayType(DoubleType())),
+    ])
+
+    def partials(batches):
+        for pdf in batches:
+            arrs = [np.asarray(v, dtype="float64")
+                    for v in pdf[vec_col] if v is not None and len(v) == d]
+            if not arrs:
+                continue
+            x = np.stack(arrs)
+            yield pd.DataFrame({
+                "n": [x.shape[0]],
+                "s": [x.sum(axis=0).tolist()],
+                "xtx": [(x.T @ x).ravel().tolist()],
+            })
+
+    rows = df.select(vec_col).mapInPandas(partials, out_schema).collect()
+    if not rows:
+        raise ValueError(f"pca_fit: no rows with a length-{d} {vec_col!r}")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    xtx = np.sum([np.asarray(r["xtx"]).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    if center:
+        cov = (xtx - n * np.outer(mu, mu)) / max(n - 1, 1)
+    else:
+        cov = xtx / max(n - 1, 1)
+        mu = np.zeros(d)
+    w, v = np.linalg.eigh(cov)                  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:int(out_dim)]
+    comps = []
+    for j in order:
+        c = v[:, j]
+        if c[int(np.argmax(np.abs(c)))] < 0:    # deterministic sign
+            c = -c
+        comps.append(c.tolist())
+    return {"mean": mu.tolist(), "components": comps,
+            "explained_variance": [float(w[j]) for j in order], "n": int(n)}
+
+
+def pca_project(vec: Column, model: dict) -> Column:
+    """Project an embedding column with a :func:`pca_fit` model —
+    components and mean inlined as literals, the per-dim dot product a
+    JVM-side fold (same zero-shuffle shape as
+    :func:`random_projection`)."""
+    mean = model["mean"]
+    centered = F.zip_with(vec.cast("array<double>"),
+                          F.array(*[F.lit(float(m)) for m in mean]),
+                          lambda x, m: x - m)
+    outs = []
+    for comp in model["components"]:
+        c = F.array(*[F.lit(float(x)) for x in comp])
+        outs.append(F.aggregate(F.zip_with(centered, c,
+                                           lambda x, y: x * y),
+                                F.lit(0.0), lambda a, v: a + v))
+    return F.array(*outs)

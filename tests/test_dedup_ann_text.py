@@ -836,3 +836,65 @@ def test_mjpeg_avi_real_frame_sampling(spark):
                                           width=2, height=2))
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         avi_mjpeg_frames(bytes(fake_avi))
+
+
+def test_pca_fit_matches_numpy(spark):
+    """Distributed partial-moment PCA == numpy PCA on the collected
+    matrix (same covariance, same eigvecs up to canonical sign)."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    # low-rank + noise so the spectrum is unambiguous
+    base = rng.normal(size=(300, 3)) @ rng.normal(size=(3, 16))
+    x = base + 0.01 * rng.normal(size=(300, 16))
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(300), "embedding": [r.tolist() for r in x]}))
+    model = ann.pca_fit(df, "embedding", dim=16, out_dim=3)
+    assert model["n"] == 300
+
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    assert np.allclose(model["mean"], mu, atol=1e-9)
+    assert np.allclose(sorted(model["explained_variance"], reverse=True),
+                       sorted(w[order], reverse=True), rtol=1e-9)
+    for j, oi in enumerate(order):
+        c_ref = v[:, oi]
+        if c_ref[int(np.argmax(np.abs(c_ref)))] < 0:
+            c_ref = -c_ref
+        assert np.allclose(model["components"][j], c_ref, atol=1e-8), j
+
+    # projection: expression fold == numpy matmul
+    out = df.select("vec_id", ann.pca_project(
+        F.col("embedding"), model).alias("p")).orderBy("vec_id").toPandas()
+    got = np.stack([np.asarray(p) for p in out["p"]])
+    want = (x - mu) @ np.asarray(model["components"]).T
+    assert np.allclose(got, want, atol=1e-8)
+    # 3 components of a rank-3 signal capture ~all variance
+    assert sum(model["explained_variance"]) / w.sum() > 0.99
+
+
+def test_pca_project_then_ann_agrees_on_strong_pairs(spark):
+    """PCA to the true signal rank preserves the near-dup structure:
+    top-1 neighbors found in projected space match full-space top-1
+    for planted duplicate pairs."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 4)) @ rng.normal(size=(4, 32))
+    dups = base[:10] + 0.001 * rng.normal(size=(10, 32))
+    x = np.vstack([base, dups])
+    df = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(50), "embedding": [r.tolist() for r in x]}))
+    model = ann.pca_fit(df, "embedding", dim=32, out_dim=4)
+    proj = df.select("vec_id", ann.pca_project(
+        F.col("embedding"), model).alias("embedding"))
+    # planted dup i <-> base i must be mutual nearest in projected space
+    pdf = proj.orderBy("vec_id").toPandas()
+    p = np.stack([np.asarray(v) for v in pdf["embedding"]])
+    pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+    sims = pn @ pn.T
+    np.fill_diagonal(sims, -1)
+    for i in range(10):
+        assert sims[40 + i].argmax() == i
