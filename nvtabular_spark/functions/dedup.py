@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import planning
@@ -745,19 +745,37 @@ def _components_loop(spark, pairs, src, dst, max_iter, ckpt, prune,
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          src: str = "id_a", dst: str = "id_b",
-                         checkpoint_dir: Optional[str] = None) -> DataFrame:
-    """Keep ONE document per near-duplicate cluster (the minimum id),
-    given candidate pairs from any of the pair generators above.
+                         checkpoint_dir: Optional[str] = None,
+                         keep_by: Optional[str] = None) -> DataFrame:
+    """Keep ONE document per near-duplicate cluster, given candidate
+    pairs from any of the pair generators above.
+
+    Representative policy: by default the MINIMUM id survives (cheap,
+    deterministic). Pass ``keep_by="quality_score"`` (any numeric
+    column of ``df``) to keep the cluster member with the HIGHEST
+    value instead — the keep-best-document policy real curation
+    pipelines use; ties break toward the smaller id so the result
+    stays deterministic.
 
     Implementation: connected components over the pair graph, then an
-    anti-join dropping every node that is not its cluster's
-    representative. The anti-join ships only ``(id)`` rows — the wide
-    document payload never shuffles.
+    anti-join dropping every non-representative. The anti-join ships
+    only ``(id)`` rows — and for ``keep_by``, ``(id, score)`` rows —
+    the wide document payload never shuffles.
     """
     comp = connected_components(pairs, src, dst,
                                 checkpoint_dir=checkpoint_dir)
-    losers = comp.where(F.col("id") != F.col("component")) \
-        .select(F.col("id").alias(id_col))
+    if keep_by is None:
+        losers = comp.where(F.col("id") != F.col("component")) \
+            .select(F.col("id").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(keep_by).alias("__s")),
+        "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("__s").desc_nulls_last(), F.col("id").asc())
+    losers = (scored.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") > 1)
+              .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
 
 

@@ -898,3 +898,20 @@ def test_pca_project_then_ann_agrees_on_strong_pairs(spark):
     np.fill_diagonal(sims, -1)
     for i in range(10):
         assert sims[40 + i].argmax() == i
+
+
+def test_drop_near_duplicates_keep_by_quality(spark):
+    """keep_by keeps the highest-scoring cluster member (ties -> min
+    id), instead of the default min-id representative."""
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "q": [0.1, 0.9, 0.5, 0.7, 0.7],
+    }))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [1, 2, 4], "id_b": [2, 3, 5]}))   # clusters {1,2,3},{4,5}
+    default = dedup.drop_near_duplicates(df, pairs)
+    assert sorted(r["doc_id"] for r in default.collect()) == [1, 4]
+    best = dedup.drop_near_duplicates(df, pairs, keep_by="q")
+    # cluster {1,2,3}: doc 2 has max q; cluster {4,5}: tie 0.7 -> min id 4
+    assert sorted(r["doc_id"] for r in best.collect()) == [2, 4]
