@@ -351,10 +351,13 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     pipelines (SemDeDup-style, Abbas et al. 2023 — public method).
 
     Plan shape at 100 TB: ONE Arrow-batched ``mapInPandas`` pass emits
-    per-batch partial moments ``(n, Σx, ΣxᵀX)`` — a d²+d+1 double
-    vector per batch, O(batches) rows collected driver-side — then the
-    (d×d) covariance eigendecomposition runs in numpy on the driver
-    (d is the embedding width, never the corpus). No shuffle at all.
+    ONE partial-moment row per PARTITION (``(n, Σx, ΣxᵀX)`` — a
+    d²+d+1 double vector, accumulated across the partition's batches
+    in numpy), then a single Spark-side element-wise reduction
+    (posexplode + groupBy position) combines partitions to ONE row, so
+    the driver receives d²+d+1 doubles regardless of corpus size or
+    partition count; the (d×d) eigendecomposition runs in numpy on the
+    driver (d is the embedding width, never the corpus).
 
     Returns ``{"mean": [d], "components": [[d] × out_dim],
     "explained_variance": [out_dim], "n": int}``. Component sign is
@@ -374,24 +377,38 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     ])
 
     def partials(batches):
+        # ONE row per partition: accumulate across the iterator so the
+        # later reduction sees O(partitions) rows, not O(batches)
+        n_acc, s_acc, xtx_acc = 0, np.zeros(d), np.zeros((d, d))
         for pdf in batches:
             arrs = [np.asarray(v, dtype="float64")
                     for v in pdf[vec_col] if v is not None and len(v) == d]
             if not arrs:
                 continue
             x = np.stack(arrs)
-            yield pd.DataFrame({
-                "n": [x.shape[0]],
-                "s": [x.sum(axis=0).tolist()],
-                "xtx": [(x.T @ x).ravel().tolist()],
-            })
+            n_acc += x.shape[0]
+            s_acc += x.sum(axis=0)
+            xtx_acc += x.T @ x
+        if n_acc:
+            yield pd.DataFrame({"n": [n_acc], "s": [s_acc.tolist()],
+                                "xtx": [xtx_acc.ravel().tolist()]})
 
-    rows = df.select(vec_col).mapInPandas(partials, out_schema).collect()
-    if not rows:
+    part = df.select(vec_col).mapInPandas(partials, out_schema)
+    # Spark-side tree combine in ONE job: flatten each partial —
+    # [n, Σx…, ΣxᵀX…] — to (pos, value) rows and sum by position; the
+    # driver receives exactly d²+d+1 doubles however many partitions
+    # the corpus has
+    flat = part.select(F.posexplode(
+        F.concat(F.array(F.col("n").cast("double")), "s", "xtx"))
+        .alias("pos", "val"))
+    combined = (flat.groupBy("pos").agg(F.sum("val").alias("val"))
+                .orderBy("pos").collect())
+    if not combined:
         raise ValueError(f"pca_fit: no rows with a length-{d} {vec_col!r}")
-    n = sum(r["n"] for r in rows)
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    xtx = np.sum([np.asarray(r["xtx"]).reshape(d, d) for r in rows], axis=0)
+    vals = np.asarray([r["val"] for r in combined])
+    n = int(vals[0])
+    s = vals[1:d + 1]
+    xtx = vals[d + 1:].reshape(d, d)
     mu = s / n
     if center:
         cov = (xtx - n * np.outer(mu, mu)) / max(n - 1, 1)
