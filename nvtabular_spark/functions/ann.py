@@ -443,3 +443,56 @@ def pca_project(vec: Column, model: dict) -> Column:
                                            lambda x, y: x * y),
                                 F.lit(0.0), lambda a, v: a + v))
     return F.array(*outs)
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = 64, pca_dim: Optional[int] = None,
+                   n_clusters: int = 16, max_cluster: int = 10000,
+                   keep_pairs: bool = False):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    public method): optional PCA reduction → spherical k-means
+    clustering (:func:`ivf_train`) → WITHIN-cluster cosine pairing →
+    connected components → min-id survivor per semantic cluster.
+
+    Composition of already-scaled parts: the PCA fit ships d²-sized
+    partials, clustering is the IVF trainer (sampled k-means, one
+    assignment pass), pair generation is per-cluster with the standard
+    occupancy cap (``max_cluster``), and the survivor anti-join ships
+    only ids. Returns the surviving rows of ``df``; with
+    ``keep_pairs=True`` returns ``(survivors, pairs)`` for auditing.
+
+    Note the semantics: near-duplicate PAIRS require cosine ≥
+    ``threshold`` in the (possibly PCA-reduced) embedding space, and
+    candidate pairs are only generated within a k-means cluster —
+    recall < 1 at cluster boundaries, the same trade the published
+    pipeline makes (it also searches within clusters only).
+    """
+    from .dedup import _group_pairs, connected_components
+    work = df.select(F.col(id_col).alias("doc"),
+                     F.col(vec_col).alias("v"))
+    if pca_dim:
+        model = pca_fit(df, vec_col, dim=dim, out_dim=pca_dim)
+        work = work.withColumn("v", pca_project(F.col("v"), model))
+    cents = ivf_train(work.withColumnRenamed("doc", id_col)
+                      .withColumnRenamed("v", vec_col),
+                      n_centroids=n_clusters,
+                      id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(work.withColumnRenamed("doc", id_col)
+                          .withColumnRenamed("v", vec_col), cents,
+                          id_col=id_col, vec_col=vec_col) \
+        .select(F.col("neighbor_id").alias("doc"),
+                F.col("__cv__").alias("v"),
+                F.col("__cl__").alias("bucket"))
+    pairs = _group_pairs(assigned, ["bucket"], max_cluster)
+    sim = cosine(F.col("a.v").cast("array<double>"),
+                 F.col("b.v").cast("array<double>"))
+    dup_pairs = (pairs.select(F.col("a.doc").alias("id_a"),
+                              F.col("b.doc").alias("id_b"),
+                              sim.alias("cosine_sim"))
+                 .filter(F.col("cosine_sim") >= F.lit(float(threshold))))
+    comp = connected_components(dup_pairs, "id_a", "id_b")
+    losers = comp.where(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    survivors = df.join(losers, id_col, "left_anti")
+    return (survivors, dup_pairs) if keep_pairs else survivors

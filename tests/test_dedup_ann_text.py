@@ -915,3 +915,35 @@ def test_drop_near_duplicates_keep_by_quality(spark):
     best = dedup.drop_near_duplicates(df, pairs, keep_by="q")
     # cluster {1,2,3}: doc 2 has max q; cluster {4,5}: tie 0.7 -> min id 4
     assert sorted(r["doc_id"] for r in best.collect()) == [2, 4]
+
+
+def test_semantic_dedup_drops_planted_near_identicals(spark):
+    """SemDeDup composition: PCA -> cluster -> within-cluster cosine ->
+    components -> min-id survivor. Planted near-identical vectors must
+    collapse to one survivor each; distinct vectors all survive."""
+    rng = np.random.RandomState(21)
+    base = rng.randn(30, 24).astype("float64")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # docs 30..39 are near-copies of docs 0..9
+    dups = base[:10] + 0.0005 * rng.randn(10, 24)
+    x = np.vstack([base, dups])
+    df = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(40), "embedding": [r.tolist() for r in x]}))
+    survivors, pairs = ann.semantic_dedup(
+        df, threshold=0.999, dim=24, n_clusters=4, keep_pairs=True)
+    ids = sorted(r["vec_id"] for r in survivors.select("vec_id").collect())
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every planted pair that shares a cluster must be found AND the
+    # min-id member survives; non-dup docs 10..29 all survive
+    assert set(range(10, 30)) <= set(ids)
+    for i in range(10):
+        if (i, 30 + i) in got_pairs:
+            assert 30 + i not in ids and i in ids
+    # at least most planted pairs land in the same k-means cluster
+    assert sum((i, 30 + i) in got_pairs for i in range(10)) >= 7
+
+    # PCA-reduced variant runs end-to-end and keeps all non-dups
+    surv2 = ann.semantic_dedup(df, threshold=0.999, dim=24, pca_dim=8,
+                               n_clusters=4)
+    ids2 = sorted(r["vec_id"] for r in surv2.select("vec_id").collect())
+    assert set(range(10, 30)) <= set(ids2)
