@@ -94,10 +94,16 @@ def save_workflow(workflow, path: str) -> None:
             rec["op_state"] = op.save_state()
             artifacts = op.artifacts()
             if artifacts:
+                import re as _re
                 art_paths = {}
                 for name, adf in artifacts.items():
-                    rel = os.path.join("artifacts", f"node_{nid}",
-                                       name.replace("/", "_"))
+                    # artifact KEYS may contain any separator (e.g.
+                    # TargetEncoding's "all::source") but Hadoop paths
+                    # cannot: ':' parses as a URI scheme on relative
+                    # paths and is forbidden outright on HDFS/S3 —
+                    # sanitize the path segment, keep the key verbatim
+                    safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+                    rel = os.path.join("artifacts", f"node_{nid}", safe)
                     adf.write.mode("overwrite").parquet(os.path.join(path, rel))
                     art_paths[name] = rel
                 rec["artifacts"] = art_paths

@@ -141,3 +141,28 @@ def test_version_mismatch_load_raises(spark, tmp_path):
         json.dump(data, f)
     with pytest.raises(WorkflowSerializationError, match="format"):
         nvt.Workflow.load(p)
+
+
+def test_double_save_overwrites_artifact_paths(spark, tmp_path):
+    """Artifact KEYS may contain ':' (TargetEncoding's 'all::key'),
+    which Hadoop paths cannot — a second save to the SAME path used to
+    die in URI parsing on the overwrite. Keys stay verbatim; only the
+    on-disk segment is sanitized."""
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cat": ["a", "b", "a"], "lbl": [1.0, 0.0, 1.0], "k": [0, 1, 2]}))
+    wf = nvt.Workflow((["cat"] >> ops.TargetEncoding(
+        target="lbl", fold_col="k", kfold=2)) + ["k"])
+    wf.fit(df)
+    p = str(tmp_path / "wf")
+    wf.save(p)
+    wf.save(p)          # overwrite must succeed
+    got = nvt.Workflow.load(p).transform(df).toPandas()
+    want = wf.transform(df).toPandas()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("k").reset_index(drop=True),
+        want[cols].sort_values("k").reset_index(drop=True))
+    import os as _os
+    art_root = _os.path.join(p, "artifacts")
+    for root, _d, _f in _os.walk(art_root):
+        assert ":" not in _os.path.basename(root)
