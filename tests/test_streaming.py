@@ -304,3 +304,47 @@ def test_pii_scrub_and_repetition_on_stream(spark, tmp_path):
     exp = apply(static).orderBy("doc_id").toPandas()
     pd.testing.assert_frame_equal(got, exp)
     assert got["s"].tolist() == ["mail <EMAIL> now", "visit <URL> today"]
+
+
+def test_stream_restart_recovers_exactly_once(spark, tmp_path):
+    """Checkpoint recovery: stop a fitted-workflow stream query, land
+    MORE input, restart with the SAME checkpointLocation — the file
+    sink must contain every input row exactly once (no reprocessing of
+    batch-1 files, no gaps). This is the property a production restart
+    relies on; availableNow + parquet source/sink are both
+    replayable/idempotent so transform_stream must compose with it."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(lo, hi):
+        pdf = pd.DataFrame({
+            "cat": ["a", "b"] * ((hi - lo) // 2),
+            "x": np.arange(lo, hi, dtype="float64"),
+            "rid": np.arange(lo, hi, dtype="int64"),
+        })
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    land(0, 100)
+    static = spark.read.parquet(in_dir)
+    wf = nvt.Workflow((["cat"] >> ops.Categorify())
+                      + (["x"] >> ops.FillMissing() >> ops.Normalize())
+                      + ["rid"])
+    wf.fit(static)
+
+    def run_once():
+        stream = spark.readStream.schema(static.schema).parquet(in_dir)
+        q = (transform_stream(wf, stream)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()                      # processes rows 0..99
+    land(100, 160)                  # more data lands while "down"
+    run_once()                      # restart from the same checkpoint
+
+    got = spark.read.parquet(out_dir).select("rid").toPandas()["rid"]
+    assert sorted(got.tolist()) == list(range(160))   # exactly once
+    assert got.nunique() == 160
