@@ -50,7 +50,11 @@ def sessionize_stream(stream_df: DataFrame, ts_col: str, key: str,
     state_schema = "last_ts double, session_id long"
 
     def fn(key_tuple, pdfs, state):
-        last_ts, session_id = state.get() if state.exists else (None, 0)
+        # GroupState.get is a PROPERTY in pyspark (calling it returns
+        # the state tuple, so () then TypeErrors) — only reachable
+        # once state EXISTS, i.e. multi-batch runs and checkpoint
+        # restarts; caught by the restart-recovery test
+        last_ts, session_id = state.get if state.exists else (None, 0)
         rows = []
         for pdf in pdfs:
             pdf = pdf.dropna(subset=[ts_col]).sort_values(ts_col)
@@ -105,7 +109,7 @@ def lag_rolling_stream(stream_df: DataFrame, key: str, ts_col: str,
     state_schema = "buf array<double>"
 
     def fn(key_tuple, pdfs, state):
-        buf = list(state.get()[0]) if state.exists else []
+        buf = list(state.get[0]) if state.exists else []  # .get is a property
         rows = []
         for pdf in pdfs:
             pdf = pdf.dropna(subset=[ts_col]).sort_values(ts_col)
@@ -184,7 +188,7 @@ def asof_join_stream(left_stream: DataFrame, right_stream: DataFrame,
     side_sort_asc = bool(allow_exact_matches)
 
     def fn(key_tuple, pdfs, state):
-        last_ts, last_val = state.get() if state.exists else (None, None)
+        last_ts, last_val = state.get if state.exists else (None, None)  # .get is a property
         out = []
         for pdf in pdfs:
             # NaT timestamps cannot be ordered for an as-of lookup

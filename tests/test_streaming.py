@@ -348,3 +348,87 @@ def test_stream_restart_recovers_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out_dir).select("rid").toPandas()["rid"]
     assert sorted(got.tolist()) == list(range(160))   # exactly once
     assert got.nunique() == 160
+
+
+def test_sessionize_stream_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState checkpoint recovery: the per-key
+    (last_ts, session_id) state must survive a query restart — an
+    event landed AFTER the restart that exceeds the gap from the last
+    PRE-restart event must open session 1, not restart numbering at
+    0 (which is what a lost state would produce)."""
+    from nvtabular_spark.streaming import sessionize_stream
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(ts_list):
+        pdf = pd.DataFrame({"user": ["u1"] * len(ts_list),
+                            "ts": pd.to_datetime(ts_list, unit="s")})
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    land([0, 100])
+    schema = spark.read.parquet(in_dir).schema
+    out_dir = str(tmp_path / "sess_out")
+
+    def run_once():
+        # file sink: the one that supports checkpoint recovery
+        # (memory sink refuses to restart from a checkpoint)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        out = sessionize_stream(stream, "ts", "user", gap_seconds=1800.0)
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()                      # session 0: events {0, 100}
+    land([5000])                    # gap 4900s > 1800 -> NEW session...
+    run_once()                      # ...but only if last_ts survived
+
+    allr = spark.read.parquet(out_dir).toPandas()
+    per_session = allr.groupby("session_id")["events"].sum()
+    assert per_session.to_dict() == {0: 2, 1: 1}, per_session.to_dict()
+
+
+def test_lag_rolling_stream_state_across_batches(spark, tmp_path):
+    """Force MULTIPLE micro-batches in one run (maxFilesPerTrigger=1):
+    the per-entity state path (GroupState.get — a property, not a
+    method) must carry the rolling buffer across batches, matching the
+    batch ops on the full data."""
+    from nvtabular_spark.streaming import lag_rolling_stream
+    in_dir = str(tmp_path / "in")
+    rng = np.random.RandomState(3)
+
+    def land(lo, hi):
+        pdf = pd.DataFrame({
+            "ent": ["a"] * (hi - lo),
+            "ts": pd.to_datetime(np.arange(lo, hi) * 60, unit="s"),
+            "v": rng.rand(hi - lo)})
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    land(0, 10)
+    land(10, 20)          # second FILE -> second micro-batch
+    sdf = spark.read.parquet(in_dir)
+
+    stream = (spark.readStream.schema(sdf.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = lag_rolling_stream(stream, key="ent", ts_col="ts",
+                             value_col="v", lags=(1,), window_rows=4)
+    q = (out.writeStream.format("memory").queryName("lr_mb")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from lr_mb").orderBy("ts").toPandas()
+    assert len(got) == 20
+
+    batch = nvt.Workflow(
+        (["v"] >> ops.Lag("ent", "ts", [1]))
+        + (["v"] >> ops.RollingAgg("ent", "ts", window_rows=4,
+                                   aggs=["mean"]))
+        + ["ent", "ts"]).transform(sdf).orderBy("ts").toPandas()
+    np.testing.assert_allclose(
+        got["v_lag_1"].to_numpy("float64"),
+        batch["v_lag_1"].to_numpy("float64"), equal_nan=True)
+    np.testing.assert_allclose(
+        got["v_rolling_mean_4"].to_numpy("float64"),
+        batch["v_rolling_mean_4"].to_numpy("float64"), equal_nan=True)
