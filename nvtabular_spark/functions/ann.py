@@ -376,16 +376,31 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
         StructField("xtx", ArrayType(DoubleType())),
     ])
 
+    # pilot shift (centered fit only): moments of raw x suffer
+    # catastrophic cancellation in xtx - n·μμᵀ when ||μ|| ≫ the spread
+    # (common for un-normalized encoder outputs) — accumulate moments
+    # of (x - pilot) instead, with ONE global pilot vector (a single
+    # LIMIT-1 job) so partitions stay summable; covariance around the
+    # pilot is numerically benign and μ = pilot + Σ(x-pilot)/n exactly
+    pilot = np.zeros(d)
+    if center:
+        row = (df.select(F.col(vec_col).alias("v"))
+               .filter(F.size("v") == d).limit(1).collect())
+        if row and row[0]["v"] is not None:
+            pilot = np.asarray(row[0]["v"], dtype="float64")
+    pilot_list = pilot.tolist()
+
     def partials(batches):
         # ONE row per partition: accumulate across the iterator so the
         # later reduction sees O(partitions) rows, not O(batches)
+        shift = np.asarray(pilot_list)
         n_acc, s_acc, xtx_acc = 0, np.zeros(d), np.zeros((d, d))
         for pdf in batches:
             arrs = [np.asarray(v, dtype="float64")
                     for v in pdf[vec_col] if v is not None and len(v) == d]
             if not arrs:
                 continue
-            x = np.stack(arrs)
+            x = np.stack(arrs) - shift
             n_acc += x.shape[0]
             s_acc += x.sum(axis=0)
             xtx_acc += x.T @ x
@@ -407,13 +422,14 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
         raise ValueError(f"pca_fit: no rows with a length-{d} {vec_col!r}")
     vals = np.asarray([r["val"] for r in combined])
     n = int(vals[0])
-    s = vals[1:d + 1]
-    xtx = vals[d + 1:].reshape(d, d)
-    mu = s / n
+    s = vals[1:d + 1]                  # Σ(x - pilot)
+    xtx = vals[d + 1:].reshape(d, d)   # Σ(x - pilot)(x - pilot)ᵀ
     if center:
-        cov = (xtx - n * np.outer(mu, mu)) / max(n - 1, 1)
+        mu_shift = s / n
+        cov = (xtx - n * np.outer(mu_shift, mu_shift)) / max(n - 1, 1)
+        mu = pilot + mu_shift
     else:
-        cov = xtx / max(n - 1, 1)
+        cov = xtx / max(n - 1, 1)      # pilot is zero in this branch
         mu = np.zeros(d)
     w, v = np.linalg.eigh(cov)                  # ascending eigenvalues
     order = np.argsort(w)[::-1][:int(out_dim)]
@@ -448,19 +464,35 @@ def pca_project(vec: Column, model: dict) -> Column:
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dim: int = 64, pca_dim: Optional[int] = None,
-                   n_clusters: int = 16, max_cluster: int = 10000,
+                   n_clusters="auto", max_cluster: int = 10000,
+                   keep_by: Optional[str] = None,
+                   checkpoint_dir: Optional[str] = None,
+                   approx_count: Optional[int] = None,
                    keep_pairs: bool = False):
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     public method): optional PCA reduction → spherical k-means
     clustering (:func:`ivf_train`) → WITHIN-cluster cosine pairing →
-    connected components → min-id survivor per semantic cluster.
+    connected components → one survivor per semantic cluster
+    (min id, or the best ``keep_by`` score — see
+    :func:`~nvtabular_spark.functions.dedup.drop_near_duplicates`).
+
+    ``n_clusters="auto"`` (default) sizes the clustering to the corpus
+    so expected occupancy stays well under ``max_cluster`` — essential,
+    because an over-cap k-means cluster is DROPPED from pair
+    generation (the occupancy-cap contract shared with every pair
+    generator here), and with a fixed small ``n_clusters`` a large
+    corpus would silently no-op. Dropped over-cap clusters raise a
+    ``ResourceWarning`` naming the count, never pass silently. The
+    auto count uses ``approx_count`` when given, else plan statistics,
+    else a bounded LIMIT probe.
 
     Composition of already-scaled parts: the PCA fit ships d²-sized
     partials, clustering is the IVF trainer (sampled k-means, one
-    assignment pass), pair generation is per-cluster with the standard
-    occupancy cap (``max_cluster``), and the survivor anti-join ships
-    only ids. Returns the surviving rows of ``df``; with
-    ``keep_pairs=True`` returns ``(survivors, pairs)`` for auditing.
+    assignment pass over the lazily-checkpointed projected vectors —
+    projected ONCE, not once per consumer), pair generation is
+    per-cluster capped, and the survivor anti-join ships only ids.
+    Returns the surviving rows of ``df``; with ``keep_pairs=True``
+    returns ``(survivors, pairs)`` for auditing.
 
     Note the semantics: near-duplicate PAIRS require cosine ≥
     ``threshold`` in the (possibly PCA-reduced) embedding space, and
@@ -468,19 +500,28 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     recall < 1 at cluster boundaries, the same trade the published
     pipeline makes (it also searches within clusters only).
     """
-    from .dedup import _group_pairs, connected_components
+    from .dedup import _group_pairs, drop_near_duplicates
     work = df.select(F.col(id_col).alias("doc"),
                      F.col(vec_col).alias("v"))
     if pca_dim:
         model = pca_fit(df, vec_col, dim=dim, out_dim=pca_dim)
         work = work.withColumn("v", pca_project(F.col("v"), model))
-    cents = ivf_train(work.withColumnRenamed("doc", id_col)
-                      .withColumnRenamed("v", vec_col),
-                      n_centroids=n_clusters,
-                      id_col=id_col, vec_col=vec_col)
-    assigned = ivf_assign(work.withColumnRenamed("doc", id_col)
-                          .withColumnRenamed("v", vec_col), cents,
-                          id_col=id_col, vec_col=vec_col) \
+        # two consumers below (trainer sample scan + assignment pass):
+        # without the checkpoint each would re-run the projection fold
+        # over the whole corpus
+        work = work.localCheckpoint(eager=False)
+    if n_clusters == "auto":
+        import math
+        n = approx_count
+        if n is None:
+            n = planning.estimate_row_count(df)
+        if n is None:
+            n = df.limit(4_000_000).count()
+        occupancy = max(max_cluster // 4, 1)
+        n_clusters = max(16, math.ceil(max(n, 1) / occupancy))
+    cents = ivf_train(work, n_centroids=int(n_clusters),
+                      id_col="doc", vec_col="v")
+    assigned = ivf_assign(work, cents, id_col="doc", vec_col="v") \
         .select(F.col("neighbor_id").alias("doc"),
                 F.col("__cv__").alias("v"),
                 F.col("__cl__").alias("bucket"))
@@ -491,8 +532,17 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                               F.col("b.doc").alias("id_b"),
                               sim.alias("cosine_sim"))
                  .filter(F.col("cosine_sim") >= F.lit(float(threshold))))
-    comp = connected_components(dup_pairs, "id_a", "id_b")
-    losers = comp.where(F.col("id") != F.col("component")) \
-        .select(F.col("id").alias(id_col))
-    survivors = df.join(losers, id_col, "left_anti")
+    # loud, not silent: an over-cap cluster contributes NO pairs
+    dropped = (assigned.groupBy("bucket").count()
+               .filter(F.col("count") > max_cluster).count())
+    if dropped:
+        import warnings
+        warnings.warn(
+            f"semantic_dedup: {dropped} cluster(s) exceed "
+            f"max_cluster={max_cluster} and were excluded from pair "
+            "generation — raise n_clusters (or max_cluster) to cover "
+            "them", ResourceWarning)
+    survivors = drop_near_duplicates(df, dup_pairs, id_col=id_col,
+                                     checkpoint_dir=checkpoint_dir,
+                                     keep_by=keep_by)
     return (survivors, dup_pairs) if keep_pairs else survivors

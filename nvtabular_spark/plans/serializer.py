@@ -94,6 +94,7 @@ def save_workflow(workflow, path: str) -> None:
             rec["op_state"] = op.save_state()
             artifacts = op.artifacts()
             if artifacts:
+                import hashlib as _hl
                 import re as _re
                 art_paths = {}
                 for name, adf in artifacts.items():
@@ -101,8 +102,12 @@ def save_workflow(workflow, path: str) -> None:
                     # TargetEncoding's "all::source") but Hadoop paths
                     # cannot: ':' parses as a URI scheme on relative
                     # paths and is forbidden outright on HDFS/S3 —
-                    # sanitize the path segment, keep the key verbatim
-                    safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+                    # sanitize the path segment, keep the key verbatim.
+                    # The md5 suffix keeps sanitization injective (two
+                    # keys differing only in separators must not share
+                    # a directory) and defuses traversal segments
+                    safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", name) \
+                        + "_" + _hl.md5(name.encode()).hexdigest()[:8]
                     rel = os.path.join("artifacts", f"node_{nid}", safe)
                     adf.write.mode("overwrite").parquet(os.path.join(path, rel))
                     art_paths[name] = rel

@@ -947,3 +947,22 @@ def test_semantic_dedup_drops_planted_near_identicals(spark):
                                n_clusters=4)
     ids2 = sorted(r["vec_id"] for r in surv2.select("vec_id").collect())
     assert set(range(10, 30)) <= set(ids2)
+
+
+def test_pca_fit_large_offset_stability(spark):
+    """Un-normalized encoders can have ||mean|| >> spread — the pilot
+    shift must keep the covariance (and thus components) accurate
+    where the naive xtx - n*mu*mu' form loses all significant digits."""
+    rng = np.random.RandomState(8)
+    base = rng.normal(size=(200, 2)) @ rng.normal(size=(2, 12))
+    offset = 1.0e8 * np.ones(12)        # mean 8 orders above the spread
+    x = base + offset
+    df = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(200), "embedding": [r.tolist() for r in x]}))
+    model = ann.pca_fit(df, "embedding", dim=12, out_dim=2)
+    cov = np.cov(x, rowvar=False)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1][:2]
+    got = np.asarray(sorted(model["explained_variance"], reverse=True))
+    assert np.allclose(got, w, rtol=1e-6), (got, w)
+    assert (got > 0).all()
+    assert np.allclose(model["mean"], x.mean(axis=0), rtol=1e-12)
