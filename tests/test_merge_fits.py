@@ -203,3 +203,43 @@ def test_merge_refusal_leaves_target_untouched(spark):
         nvt.merge_fits(wa, wb)
     # Normalize (which COULD merge) was not mutated by the failed call
     assert {k: list(v) for k, v in norm.moments.items()} == before
+
+
+def test_merge_randomized_partitions_equal_union(spark):
+    """Randomized property: for random frames and random 3-way row
+    partitions, chained merges (A+B)+C must equal the union fit —
+    across Categorify, Normalize, MinMax and TargetEncoding."""
+    import numpy as np
+    rng = np.random.RandomState(31)
+    for trial in range(3):
+        n = int(rng.randint(30, 120))
+        pdf = pd.DataFrame({
+            "k": np.arange(n),
+            "cat": rng.choice(list("abcdefg"), n),
+            "x": np.where(rng.rand(n) < 0.15, np.nan, rng.randn(n) * 10),
+            "label": rng.rand(n),
+            "fold": rng.randint(0, 3, n),
+        })
+        parts = rng.randint(0, 3, n)
+        frames = [spark.createDataFrame(pdf[parts == i])
+                  for i in range(3)]
+        union = spark.createDataFrame(pdf)
+
+        fits = [nvt.Workflow(_dag()).fit(f) for f in frames
+                if f.count() > 0]
+        merged = fits[0]
+        for other in fits[1:]:
+            merged = nvt.merge_fits(merged, other)
+        want = nvt.Workflow(_dag()).fit(union)
+
+        got_pdf = _sorted(merged.transform(union))
+        want_pdf = _sorted(want.transform(union))
+        for c in got_pdf.columns:
+            if got_pdf[c].dtype == object:
+                assert got_pdf[c].tolist() == want_pdf[c].tolist(), \
+                    (trial, c)
+            else:
+                assert np.allclose(
+                    got_pdf[c].to_numpy("float64"),
+                    want_pdf[c].to_numpy("float64"),
+                    rtol=1e-8, atol=1e-8, equal_nan=True), (trial, c)
