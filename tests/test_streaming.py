@@ -432,3 +432,50 @@ def test_lag_rolling_stream_state_across_batches(spark, tmp_path):
     np.testing.assert_allclose(
         got["v_rolling_mean_4"].to_numpy("float64"),
         batch["v_rolling_mean_4"].to_numpy("float64"), equal_nan=True)
+
+
+def test_asof_stream_state_survives_restart(spark, tmp_path):
+    """The as-of stream's (last_ts, last_val) state must survive a
+    checkpoint restart: a trade landed AFTER the restart, with NO new
+    quotes, must still join against the last pre-restart quote."""
+    from nvtabular_spark.streaming import asof_join_stream
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def land(path, pdf):
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(path)
+
+    land(rp, pd.DataFrame({"ent": ["e1"],
+                           "ts": pd.to_datetime([5], unit="s"),
+                           "quote": [100.0]}))
+    land(lp, pd.DataFrame({"ent": ["e1"],
+                           "ts": pd.to_datetime([10], unit="s"),
+                           "tid": np.array([0], dtype="int64"),
+                           "px": [1.0]}))
+    lschema = spark.read.parquet(lp).schema
+    rschema = spark.read.parquet(rp).schema
+
+    def run_once():
+        ls = spark.readStream.schema(lschema).parquet(lp)
+        rs = spark.readStream.schema(rschema).parquet(rp)
+        out = asof_join_stream(ls, rs, on="ent", ts_col="ts",
+                               value_col="quote", left_id_col="tid",
+                               allow_exact_matches=False)
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()                       # trade 0 joins quote 100.0
+    # a later trade lands while "down"; NO new quote — the answer must
+    # come from recovered state
+    land(lp, pd.DataFrame({"ent": ["e1"],
+                           "ts": pd.to_datetime([20], unit="s"),
+                           "tid": np.array([1], dtype="int64"),
+                           "px": [1.0]}))
+    run_once()
+
+    got = spark.read.parquet(out_dir).orderBy("tid").toPandas()
+    assert got["tid"].tolist() == [0, 1]
+    assert got["quote_asof"].tolist() == [100.0, 100.0]
