@@ -1394,7 +1394,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prev % 5000 AS BIGINT) AS bin_offset
             FROM w""",
         "pack_sequences_greedy": """
-            WITH RECURSIVE ordered AS (
+            WITH RECURSIVE ordered AS MATERIALIZED (
               SELECT doc_id, lang, n_chars,
                      ROW_NUMBER() OVER (PARTITION BY lang
                                         ORDER BY doc_id) AS rn
@@ -1419,11 +1419,11 @@ def oracle_sql() -> dict[str, str]:
                    AND o.rn = r.rn + 1)
             SELECT doc_id, lang, bin_id, bin_offset FROM rec""",
         "pack_sequences_global": f"""
-            WITH RECURSIVE base AS (
+            WITH RECURSIVE base AS MATERIALIZED (
               SELECT doc_id, n_chars,
                      ({_md5h('doc_id')} % 4) AS shard
               FROM documents),
-            ordered AS (
+            ordered AS MATERIALIZED (
               SELECT doc_id, n_chars, shard,
                      ROW_NUMBER() OVER (PARTITION BY shard
                                         ORDER BY doc_id) AS rn
@@ -1445,12 +1445,12 @@ def oracle_sql() -> dict[str, str]:
                           ELSE r.fill + o.n_chars END
               FROM rec r JOIN ordered o
                 ON o.shard = r.shard AND o.rn = r.rn + 1),
-            summ AS (
+            summ AS MATERIALIZED (
               SELECT r.shard, r.lbin,
                      CAST(SUM(b.n_chars) AS BIGINT) AS btok
               FROM rec r JOIN base b USING (doc_id)
               GROUP BY 1, 2),
-            sordered AS (
+            sordered AS MATERIALIZED (
               SELECT shard, lbin, btok,
                      ROW_NUMBER() OVER (ORDER BY shard, lbin) AS srn
               FROM summ),
