@@ -872,3 +872,119 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
         F.when(F.col("n_words") > 0,
                dw.cast("double") / F.col("n_words"))
         .alias("dup_word_frac"))
+
+
+def duplicate_line_counts(df: DataFrame, text_col: str = "text",
+                          min_chars: int = 5, normalized: bool = True,
+                          family: str = "md5") -> DataFrame:
+    """Corpus-wide occurrence counts of dedup-eligible lines:
+    ``(line_key, n_occurrences)``.
+
+    A line is eligible iff its trimmed length ≥ ``min_chars`` (short
+    lines — blanks, list bullets, separators — are structural, not
+    boilerplate; counting them would strip paragraph breaks from every
+    document). ``normalized`` keys on ``lower(trim(line))`` so
+    casing/indentation variants of the same boilerplate collapse.
+
+    Scale shape: one flatMap (split+explode, no shuffle) + ONE
+    map-side-partial groupBy on the 64-bit line hash — strings never
+    shuffle, only (hash, count) pairs.
+    """
+    line = F.explode(F.split(F.col(text_col), "\n")).alias("__line__")
+    lines = df.select(line)
+    key_src = (F.lower(F.trim(F.col("__line__"))) if normalized
+               else F.col("__line__"))
+    return (lines
+            .filter(F.length(F.trim(F.col("__line__"))) >= min_chars)
+            .select(hash64(key_src, family).alias("line_key"))
+            .groupBy("line_key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences")))
+
+
+def drop_duplicate_lines(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", min_count: int = 2,
+                         min_chars: int = 5, normalized: bool = True,
+                         family: str = "md5",
+                         counts: Optional[DataFrame] = None,
+                         broadcast: Optional[bool] = None) -> DataFrame:
+    """RefinedWeb-style line-level deduplication (Penedo et al. 2023
+    §3.2; also the Falcon / MassiveText curation recipes): remove from
+    every document ALL copies of any eligible line that occurs
+    ``min_count``-or-more times across the corpus — navigation bars,
+    cookie banners, boilerplate headers repeated on thousands of pages.
+
+    Returns the input columns plus::
+
+        text_clean         text minus removed lines ('\\n'-rejoined,
+                           original order; null text passes through)
+        n_lines            total lines in the document
+        n_lines_removed    lines dropped as corpus-duplicates
+        removed_char_frac  removed chars / total chars (0.0 when empty)
+
+    Lines shorter than ``min_chars`` after trimming are always kept
+    (see :func:`duplicate_line_counts`). ``counts``: pass a
+    precomputed counts table to reuse it across calls. ``broadcast``:
+    ``True`` hints the dup-line table into the membership join,
+    ``False`` forbids it, ``None`` (default) lets AQE decide at
+    runtime — the dup set is corpus-derived, so unlike a benchmark
+    table it is not presumed small.
+
+    Scale shape: the counts pass (one shuffle, hashes only), a
+    membership left-join of exploded lines against the ≥min_count
+    keys, one groupBy(``id_col``) to reassemble (array_sort on the
+    line position — no collect_list ordering assumption), and one
+    join back to the input row. No Python touches row data.
+    """
+    if counts is None:
+        counts = duplicate_line_counts(df, text_col, min_chars,
+                                       normalized, family)
+    dups = counts.filter(F.col("n_occurrences") >= min_count) \
+                 .select("line_key")
+    if broadcast:
+        dups = F.broadcast(dups)
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__pos__", "__line__"))
+    key_src = (F.lower(F.trim(F.col("__line__"))) if normalized
+               else F.col("__line__"))
+    eligible = F.length(F.trim(F.col("__line__"))) >= min_chars
+    keyed = lines.select(
+        id_col, "__pos__", "__line__",
+        F.when(eligible, hash64(key_src, family)).alias("line_key"))
+    marked = (keyed.join(dups.withColumn("__dup__", F.lit(True)),
+                         "line_key", "left")
+              .withColumn("__dup__",
+                          F.coalesce(F.col("__dup__"), F.lit(False))))
+
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col("__pos__").alias("pos"),
+                 F.col("__line__").alias("line"),
+                 F.col("__dup__").alias("dup"))))
+    kept = F.filter(ordered, lambda x: ~x["dup"])
+    per_doc = marked.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda x: x["line"]), "\n")
+        .alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("__dup__").cast("long")).cast("long")
+        .alias("n_lines_removed"),
+        F.sum(F.when(F.col("__dup__"), F.length(F.col("__line__")))
+              .otherwise(F.lit(0))).cast("long").alias("__rm_chars__"))
+
+    out = df.join(per_doc, id_col, "left")
+    total_chars = F.coalesce(F.length(F.col(text_col)), F.lit(0))
+    return out.select(
+        *df.columns,
+        # null text never explodes → per_doc misses the row
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .otherwise(F.coalesce(F.col("text_clean"), F.lit("")))
+        .alias("text_clean"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long")
+        .alias("n_lines"),
+        F.coalesce(F.col("n_lines_removed"), F.lit(0)).cast("long")
+        .alias("n_lines_removed"),
+        F.when(total_chars > 0,
+               F.coalesce(F.col("__rm_chars__"), F.lit(0))
+               .cast("double") / total_chars)
+        .otherwise(F.lit(0.0)).alias("removed_char_frac"))

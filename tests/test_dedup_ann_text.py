@@ -966,3 +966,109 @@ def test_pca_fit_large_offset_stability(spark):
     assert np.allclose(got, w, rtol=1e-6), (got, w)
     assert (got > 0).all()
     assert np.allclose(model["mean"], x.mean(axis=0), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    boiler = "Subscribe to our newsletter for updates"
+    nav = "Home | About | Contact"
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            f"{boiler}\nUnique story about a fox.\n{nav}",
+            f"{boiler}\nA different unique paragraph.\n\n{nav}",
+            f"intro line kept\n{boiler}\nmore unique prose",
+            "no boilerplate at all\njust plain text",
+            None,
+        ],
+    }))
+
+
+def test_drop_duplicate_lines_planted(spark, line_docs):
+    out = (dedup.drop_duplicate_lines(line_docs, min_count=2)
+           .orderBy("doc_id").toPandas())
+    # boilerplate + nav occur >= 2x -> removed everywhere; blanks and
+    # unique lines survive in original order
+    assert out.loc[0, "text_clean"] == "Unique story about a fox."
+    assert out.loc[1, "text_clean"] == "A different unique paragraph.\n"
+    assert out.loc[2, "text_clean"] == "intro line kept\nmore unique prose"
+    assert out.loc[3, "text_clean"] == out.loc[3, "text"]
+    assert out.loc[4, "text_clean"] is None
+    assert out["n_lines"].tolist() == [3, 4, 3, 2, 0]
+    assert out["n_lines_removed"].tolist() == [2, 2, 1, 0, 0]
+    assert out.loc[3, "removed_char_frac"] == 0.0
+    assert 0.0 < out.loc[0, "removed_char_frac"] < 1.0
+
+
+def test_drop_duplicate_lines_short_lines_always_kept(spark):
+    # "---" occurs 3x but is under min_chars -> structural, kept
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a real sentence here\n---",
+                 "another real sentence\n---",
+                 "---\nthird unique sentence"],
+    }))
+    out = (dedup.drop_duplicate_lines(df, min_count=2)
+           .orderBy("doc_id").toPandas())
+    assert out["n_lines_removed"].tolist() == [0, 0, 0]
+    assert (out["text_clean"] == out["text"]).all()
+
+
+def test_drop_duplicate_lines_normalization_toggle(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["Cookie Banner Text\nunique one",
+                 "  cookie banner text  \nunique two"],
+    }))
+    norm = (dedup.drop_duplicate_lines(df, min_count=2)
+            .orderBy("doc_id").toPandas())
+    assert norm["n_lines_removed"].tolist() == [1, 1]
+    raw = (dedup.drop_duplicate_lines(df, min_count=2, normalized=False)
+           .orderBy("doc_id").toPandas())
+    assert raw["n_lines_removed"].tolist() == [0, 0]
+
+
+def test_drop_duplicate_lines_duckdb_equivalence(spark):
+    """Cross-engine check on the sf0.001 documents table: DuckDB
+    rebuilds the same eligible-line counts, removal set, reassembly
+    and stats with raw SQL (string keys — equivalent to the md5 line
+    hash modulo collisions, which the 5k-line corpus cannot hit)."""
+    duckdb = pytest.importorskip("duckdb")
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = (dedup.drop_duplicate_lines(docs, min_count=2)
+           .select("doc_id", "text_clean", "n_lines", "n_lines_removed")
+           .orderBy("doc_id").toPandas())
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest(ls) AS line,
+                 generate_subscripts(ls, 1) AS pos
+          FROM (SELECT doc_id,
+                       string_split(text, chr(10)) AS ls
+                FROM '{path}' WHERE text IS NOT NULL) d),
+        counts AS (
+          SELECT lower(trim(line)) AS k, COUNT(*) AS n
+          FROM lines WHERE length(trim(line)) >= 5 GROUP BY 1),
+        dup AS (SELECT k FROM counts WHERE n >= 2),
+        marked AS (
+          SELECT l.doc_id, l.pos, l.line,
+                 (length(trim(l.line)) >= 5 AND
+                  lower(trim(l.line)) IN (SELECT k FROM dup)) AS is_dup
+          FROM lines l)
+        SELECT m.doc_id,
+               COALESCE(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text_clean,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lines_removed
+        FROM marked m GROUP BY 1 ORDER BY 1""").df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_lines"].tolist() == exp["n_lines"].tolist()
+    assert got["n_lines_removed"].tolist() == exp["n_lines_removed"].tolist()
+    assert got["text_clean"].tolist() == exp["text_clean"].tolist()
