@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 import nvtabular_spark as nvt
 from nvtabular_spark import ops
-from nvtabular_spark.functions import dedup, packing, sampling, text
+from nvtabular_spark.functions import dedup, lm, packing, sampling, text
 
 
 def curate(spark, sf_dir, capacity=4096):
@@ -63,6 +63,23 @@ def curate(spark, sf_dir, capacity=4096):
                     & (F.coalesce("dup_ngram_frac", F.lit(0.0)) < 0.9)
                     & (F.coalesce("dup_word_frac", F.lit(0.0)) < 0.5)))
     counts["after_quality_filter"] = kept.count()
+
+    # 4b: CCNet-style perplexity gate — fit a unigram LM on the
+    # surviving corpus, drop the worst-perplexity tail third. (The
+    # Gopher/C4 rule sets also run here as signals only: the synthetic
+    # corpus is single-line punctuation-free text, so C4's
+    # terminal-punctuation rule and Gopher's stopword rule would
+    # reject it wholesale — on real web text they'd be filters.)
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id")
+    model = lm.unigram_lm_fit(kept_docs, vocab_size=10_000)
+    scores = lm.perplexity_score(kept_docs, model)
+    head_mid = lm.perplexity_partition(scores, 1 / 3, 1 / 3) \
+        .filter(F.col("ppl_bucket") != "tail").select("doc_id")
+    kept = kept.join(head_mid, "doc_id")
+    counts["after_ppl_filter"] = kept.count()
+    counts["gopher_pass"] = int(
+        text.gopher_quality_flags(kept_docs)
+        .filter("gopher_pass").count())
 
     # 5: decontamination vs a synthetic benchmark slice. Compare RAW
     # text on both sides — the scrubbed text from step 3 would break

@@ -276,7 +276,6 @@ def gopher_quality_flags(df: "DataFrame", text_col: str = "text",
           if name.startswith("ok_") else c.alias(name)
           for name, c in flags.items()])
     ok_cols = [n for n in flags if n.startswith("ok_")]
-    gopher = ok_cols[0]
     acc = F.col(ok_cols[0])
     for n in ok_cols[1:]:
         acc = acc & F.col(n)

@@ -477,8 +477,12 @@ def test_curation_pipeline_end_to_end(spark):
     assert counts["input"] == 500
     assert counts["after_exact_dedup"] <= counts["input"]
     assert counts["after_fuzzy_dedup"] < counts["input"]
+    # CCNet tail drop keeps roughly the best two thirds
+    assert counts["after_ppl_filter"] < counts["after_quality_filter"]
+    assert counts["after_ppl_filter"] >= \
+        counts["after_quality_filter"] // 2
     assert counts["after_decontamination"] <= \
-        counts["after_quality_filter"]
+        counts["after_ppl_filter"]
     assert counts["train"] + counts["holdout"] <= \
         counts["after_decontamination"]
     assert counts["bins"] > 0 and 0 < counts["avg_fill"] <= 1.0
