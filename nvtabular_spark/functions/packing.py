@@ -319,3 +319,66 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
                        F.col("n_contaminated").cast("double")
                        / F.col("n_ngrams"))
                 .otherwise(F.lit(0.0)).alias("contamination_frac")))
+
+
+def chunk_sequences(df: DataFrame, max_len: int, stride: Optional[int] = None,
+                    tokens_col: str = "tokens", id_col: str = "doc_id",
+                    min_tail: int = 1) -> DataFrame:
+    """Split over-length token arrays into training-window chunks.
+
+    The standard context-window preparation step (HF ``run_clm``-style
+    grouping, public method): a document whose ``tokens_col`` array is
+    longer than ``max_len`` becomes several rows, one per window of
+    ``max_len`` tokens taken every ``stride`` positions (``stride <
+    max_len`` ⇒ overlapping windows for long-range-context training;
+    default ``stride = max_len`` ⇒ disjoint chunks). Output keeps every
+    input column, overwrites ``tokens_col`` with the window and
+    ``n_tok`` with its length, and adds ``chunk_id`` (0-based window
+    index) + ``chunk_start`` (0-based token offset).
+
+    Contract details:
+
+    * windows start at ``k * stride`` for every ``k`` with
+      ``k * stride < len(tokens)``; the last window is short when the
+      document doesn't divide evenly.
+    * tail windows shorter than ``min_tail`` are dropped UNLESS they
+      are the document's only window (short documents survive as one
+      chunk) — dropping a 3-token tail beats training on it, but
+      dropping whole short documents silently would change corpus
+      membership, which is a sampling decision, not a chunking one.
+    * null/empty token arrays produce no output rows (documented; use
+      a Dropna/filter beforehand if their ids must be preserved).
+    * per-row token invariant: with ``stride = max_len`` the
+      concatenation of a document's chunks in ``chunk_id`` order is
+      byte-equal to the source array (property-tested).
+
+    Scale shape: pure expressions — one ``explode(sequence(...))`` +
+    ``slice``; no shuffle, no Python on data, survives any input
+    partitioning. Output row count ≈ total_tokens / stride.
+    """
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    stride = max_len if stride is None else stride
+    if not 1 <= stride:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if stride > max_len:
+        raise ValueError(
+            f"stride {stride} > max_len {max_len} would skip tokens")
+    if min_tail < 1:
+        raise ValueError(f"min_tail must be >= 1, got {min_tail}")
+    toks = F.col(tokens_col)
+    n = F.size(toks)                         # -1 for null arrays
+    base = df.filter(n > 0)
+    # last window index: greatest k with k*stride < n
+    last = F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+    out = (base
+           .withColumn("chunk_id",
+                       F.explode(F.sequence(F.lit(0), last)))
+           .withColumn("chunk_start",
+                       (F.col("chunk_id") * F.lit(stride)).cast("int")))
+    chunk = F.slice(toks, F.col("chunk_start") + F.lit(1), max_len)
+    out = (out
+           .withColumn(tokens_col, chunk)
+           .withColumn("n_tok", F.size(F.col(tokens_col)).cast("int")))
+    return out.filter((F.col("n_tok") >= min_tail)
+                      | (F.col("chunk_id") == 0))

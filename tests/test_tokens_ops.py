@@ -1,0 +1,161 @@
+"""Token-pipeline ops over the north-rule tokenized-sequence table:
+context-window chunking (this file also hosts the BPE trainer tests).
+
+The tokenized table (doc_id, tokens:array<int>, n_tok, source) is
+synthesized deterministically in pandas and fed byte-identically to
+Spark and DuckDB, so cross-engine checks compare the op, not a
+tokenizer.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from nvtabular_spark.functions import packing
+
+
+def _tok_table(n_docs=60, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_docs):
+        n = int(rng.integers(0, 40))
+        rows.append({
+            "doc_id": f"d{i:03d}",
+            "tokens": rng.integers(0, 50000, size=n).astype("int32").tolist(),
+            "n_tok": n,
+            "source": ["web", "books", "code"][i % 3],
+        })
+    # explicit edge rows: empty array and a null array
+    rows.append({"doc_id": "d_empty", "tokens": [], "n_tok": 0,
+                 "source": "web"})
+    rows.append({"doc_id": "d_null", "tokens": None, "n_tok": 0,
+                 "source": "web"})
+    return pd.DataFrame(rows)
+
+
+def _spark_toks(spark, pdf):
+    return spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def _chunk_ref(pdf, max_len, stride=None, min_tail=1):
+    """Naive python reference for chunk_sequences."""
+    stride = max_len if stride is None else stride
+    out = []
+    for r in pdf.itertuples(index=False):
+        toks = r.tokens
+        if toks is None or len(toks) == 0:
+            continue
+        k = 0
+        while k * stride < len(toks):
+            w = list(toks[k * stride: k * stride + max_len])
+            if len(w) >= min_tail or k == 0:
+                out.append((r.doc_id, k, k * stride, w, len(w), r.source))
+            k += 1
+    return sorted(out)
+
+
+def _collect_chunks(df):
+    rows = df.select("doc_id", "chunk_id", "chunk_start", "tokens",
+                     "n_tok", "source").collect()
+    return sorted((r.doc_id, r.chunk_id, r.chunk_start,
+                   list(r.tokens), r.n_tok, r.source) for r in rows)
+
+
+def test_chunk_disjoint_matches_reference(spark):
+    pdf = _tok_table()
+    got = _collect_chunks(packing.chunk_sequences(
+        _spark_toks(spark, pdf), max_len=8))
+    assert got == _chunk_ref(pdf, 8)
+
+
+def test_chunk_overlap_matches_reference(spark):
+    pdf = _tok_table(seed=11)
+    got = _collect_chunks(packing.chunk_sequences(
+        _spark_toks(spark, pdf), max_len=10, stride=4, min_tail=3))
+    assert got == _chunk_ref(pdf, 10, stride=4, min_tail=3)
+
+
+def test_chunk_concat_byte_equal_to_source(spark):
+    """North-rule per-row token invariant: disjoint chunks reassemble
+    to the exact source array."""
+    pdf = _tok_table(seed=23)
+    out = packing.chunk_sequences(_spark_toks(spark, pdf), max_len=7)
+    re = (out.groupBy("doc_id")
+          .agg(F.flatten(F.array_sort(F.collect_list(
+              F.struct("chunk_id", "tokens"))).tokens).alias("re")))
+    src = {r.doc_id: list(r.tokens) if r.tokens is not None else None
+           for r in _spark_toks(spark, pdf).collect()}
+    for r in re.collect():
+        assert list(r.re) == src[r.doc_id]
+
+
+def test_chunk_min_tail_keeps_only_chunk_zero(spark):
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "tokens": [[1, 2, 3], [1, 2, 3, 4, 5, 6, 7, 8, 9]],
+        "n_tok": [3, 9], "source": ["web", "web"]})
+    out = packing.chunk_sequences(_spark_toks(spark, pdf),
+                                  max_len=8, min_tail=4)
+    got = {(r.doc_id, r.chunk_id): r.n_tok for r in out.collect()}
+    # a: single 3-token window survives as the doc's only chunk
+    # b: 8-token window kept, 1-token tail dropped (< min_tail)
+    assert got == {("a", 0): 3, ("b", 0): 8}
+
+
+def test_chunk_null_and_empty_produce_no_rows(spark):
+    pdf = _tok_table(n_docs=0)
+    out = packing.chunk_sequences(_spark_toks(spark, pdf), max_len=8)
+    assert out.count() == 0
+
+
+def test_chunk_validation():
+    with pytest.raises(ValueError):
+        packing.chunk_sequences(None, max_len=0)
+    with pytest.raises(ValueError):
+        packing.chunk_sequences(None, max_len=8, stride=0)
+    with pytest.raises(ValueError):
+        packing.chunk_sequences(None, max_len=8, stride=9)
+    with pytest.raises(ValueError):
+        packing.chunk_sequences(None, max_len=8, min_tail=0)
+
+
+def test_chunk_plan_is_pure_codegen(spark):
+    """No shuffle, no Python on data: the plan must contain neither an
+    Exchange nor any python/pandas eval node."""
+    pdf = _tok_table(seed=3)
+    out = packing.chunk_sequences(_spark_toks(spark, pdf), max_len=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_chunk_duckdb_equivalence(spark):
+    """Cross-engine: same pandas table through DuckDB SQL."""
+    duckdb = pytest.importorskip("duckdb")
+    pdf = _tok_table(seed=42)
+    got = _collect_chunks(packing.chunk_sequences(
+        _spark_toks(spark, pdf), max_len=6, stride=3, min_tail=2))
+    con = duckdb.connect()
+    con.register("toks", pdf)
+    oracle = con.execute("""
+        WITH base AS (
+            SELECT doc_id, tokens, source,
+                   unnest(generate_series(
+                       0, (len(tokens) - 1) // 3)) AS chunk_id
+            FROM toks WHERE tokens IS NOT NULL AND len(tokens) > 0
+        ), win AS (
+            SELECT doc_id, chunk_id, chunk_id * 3 AS chunk_start,
+                   list_slice(tokens, chunk_id * 3 + 1,
+                              chunk_id * 3 + 6) AS tokens, source
+            FROM base
+        )
+        SELECT doc_id, chunk_id, chunk_start, tokens,
+               len(tokens) AS n_tok, source
+        FROM win WHERE len(tokens) >= 2 OR chunk_id = 0
+    """).fetchall()
+    want = sorted((d, int(c), int(s), [int(t) for t in toks], int(n), src)
+                  for d, c, s, toks, n, src in oracle)
+    assert got == want
