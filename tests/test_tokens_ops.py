@@ -159,3 +159,163 @@ def test_chunk_duckdb_equivalence(spark):
     want = sorted((d, int(c), int(s), [int(t) for t in toks], int(n), src)
                   for d, c, s, toks, n, src in oracle)
     assert got == want
+
+
+# ---------------------------------------------------------------- BPE
+
+from collections import Counter
+
+from nvtabular_spark.functions import bpe
+
+
+def _naive_merges(word_counter, n_merges, min_pair_count=2):
+    """From-scratch reference: recount every pair every iteration."""
+    words = {w: list(bpe._word_symbols(w)) for w in word_counter}
+    merges = []
+    while len(merges) < n_merges:
+        pc = Counter()
+        for w, sym in words.items():
+            c = word_counter[w]
+            for p in zip(sym, sym[1:]):
+                pc[p] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < min_pair_count:
+            break
+        a, b = best
+        for w in words:
+            words[w] = bpe._merge_word(words[w], a, b, a + b)
+        merges.append(best)
+    return merges
+
+
+def _naive_encode(model, text):
+    """Apply merges strictly in rank order (classic formulation)."""
+    ids = []
+    unk = model.vocab[bpe.UNK]
+    for w in bpe._pretokenize_py(text, model.lowercase):
+        sym = list(bpe._word_symbols(w))
+        for a, b in model.merges:
+            sym = bpe._merge_word(sym, a, b, a + b)
+        ids.extend(model.vocab.get(s, unk) for s in sym)
+    return ids
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps, the quick fox runs!",
+    "low lower lowest new newer newest",
+    "Unicode: café naïve 東京 12345 mixed-case Words",
+    "    ",
+    "",
+    None,
+    "repeat repeat repeat repeat repeat",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+
+
+def test_word_counts_match_python(spark, corpus_df):
+    got = {r.word: r.cnt for r in
+           bpe.word_counts(corpus_df, lowercase=True).collect()}
+    want = Counter()
+    for t in CORPUS:
+        if t is not None:
+            want.update(bpe._pretokenize_py(t, True))
+    assert got == dict(want)
+
+
+def test_bpe_fit_matches_naive_reference(spark, corpus_df):
+    model = bpe.bpe_fit(corpus_df, n_merges=40, min_pair_count=2)
+    want = Counter()
+    for t in CORPUS:
+        if t is not None:
+            want.update(bpe._pretokenize_py(t, True))
+    assert model.merges == _naive_merges(want, 40)
+    assert model.alphabet == sorted(
+        {s for w in want for s in bpe._word_symbols(w)})
+
+
+def test_bpe_fit_deterministic_across_partitionings(spark, corpus_df):
+    m1 = bpe.bpe_fit(corpus_df, n_merges=30)
+    m2 = bpe.bpe_fit(corpus_df.repartition(7), n_merges=30)
+    assert m1.merges == m2.merges and m1.vocab == m2.vocab
+
+
+def test_bpe_encode_matches_naive(spark, corpus_df):
+    model = bpe.bpe_fit(corpus_df, n_merges=40)
+    out = {r.doc_id: r.tokens for r in
+           bpe.bpe_encode(corpus_df, model).collect()}
+    for i, t in enumerate(CORPUS):
+        if t is None:
+            assert out[i] is None
+        else:
+            assert out[i] == _naive_encode(model, t), (i, t)
+
+
+def test_bpe_round_trip_normalized_text(spark, corpus_df):
+    """decode(encode(x)) == pretokenized words joined by spaces, for
+    text whose alphabet was fully seen at fit time."""
+    model = bpe.bpe_fit(corpus_df, n_merges=50)
+    got = {r.doc_id: r.text_decoded for r in bpe.bpe_decode(
+        bpe.bpe_encode(corpus_df, model), model).collect()}
+    for i, t in enumerate(CORPUS):
+        if t is None:
+            assert got[i] is None
+        else:
+            assert got[i] == " ".join(bpe._pretokenize_py(t, True))
+
+
+def test_bpe_model_save_load_round_trip(spark, corpus_df, tmp_path):
+    model = bpe.bpe_fit(corpus_df, n_merges=25)
+    p = str(tmp_path / "bpe.json")
+    model.save(p)
+    loaded = bpe.BPEModel.load(p)
+    assert loaded.merges == model.merges
+    assert loaded.vocab == model.vocab
+    assert loaded.lowercase == model.lowercase
+
+
+def test_bpe_unk_for_unseen_alphabet(spark, corpus_df):
+    model = bpe.bpe_fit(corpus_df, n_merges=10)
+    df = spark.createDataFrame([(0, "ŘŘŘ")], "doc_id long, text string")
+    row = bpe.bpe_encode(df, model).collect()[0]
+    assert row.tokens == [model.vocab[bpe.UNK]] * 3
+    assert row.n_tok == 3
+
+
+def test_bpe_fit_empty_corpus_raises(spark):
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe.bpe_fit(df, n_merges=5)
+
+
+def test_bpe_fit_plan_is_one_shuffle_topk(spark, corpus_df):
+    """Fit's corpus job: one Exchange (word groupBy) + TakeOrdered —
+    no global sort, no Python on data."""
+    wc = bpe.word_counts(corpus_df)
+    top = wc.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(100)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_bpe_encode_on_documents_testdata(spark):
+    """End-to-end on the real documents table: fit + encode, token
+    arrays non-empty for non-empty docs, ids within vocab range."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    model = bpe.bpe_fit(docs, n_merges=200, max_words=10_000)
+    enc = bpe.bpe_encode(docs, model)
+    stats = enc.agg(
+        F.min("n_tok").alias("mn"),
+        F.max(F.array_max("tokens")).alias("mx")).collect()[0]
+    assert stats.mn >= 0
+    assert stats.mx < model.vocab_size
+    assert 2 < model.vocab_size
