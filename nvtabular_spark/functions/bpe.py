@@ -216,12 +216,12 @@ def bpe_fit(df: DataFrame, text_col: str = "text",
 
 
 def bpe_encode(df: DataFrame, model: BPEModel, text_col: str = "text",
-               out_col: str = "tokens",
+               out_col: str = "tokens", n_tok_col: Optional[str] = "n_tok",
                memo_cap: int = 1 << 20) -> DataFrame:
-    """Add ``out_col: array<int>`` (+ ``n_tok: int``) — Arrow-batched,
-    no shuffle; null text stays null. The per-executor word→ids memo
-    is capped at ``memo_cap`` entries (reset when full) so a
-    pathological all-unique corpus cannot grow executor memory
+    """Add ``out_col: array<int>`` (+ ``n_tok_col: int`` unless None) —
+    Arrow-batched, no shuffle; null text stays null. The per-executor
+    word→ids memo is capped at ``memo_cap`` entries (reset when full)
+    so a pathological all-unique corpus cannot grow executor memory
     unboundedly."""
     ranks = {m: i for i, m in enumerate(model.merges)}
     lowercase = model.lowercase
@@ -246,8 +246,10 @@ def bpe_encode(df: DataFrame, model: BPEModel, text_col: str = "text",
         return pd.Series([one(t) for t in texts])
 
     out = df.withColumn(out_col, enc(F.col(text_col)))
+    if n_tok_col is None:
+        return out
     return out.withColumn(
-        "n_tok", F.coalesce(F.size(out_col), F.lit(0)).cast("int"))
+        n_tok_col, F.coalesce(F.size(out_col), F.lit(0)).cast("int"))
 
 
 def bpe_decode(df: DataFrame, model: BPEModel,

@@ -20,7 +20,8 @@ from .rowops import (AddMetadata, AddProperties, AddTags, DropLowCardinality,
                      Dropna, Filter, ReduceDtypeSize, Rename, TagAsItemFeatures,
                      TagAsItemID, TagAsUserFeatures, TagAsUserID)
 from .target_encoding import TargetEncoding
-from .text_ops import LangId, QualityScore, ScrubPII, TokenCount
+from .text_ops import (BPETokenize, LangId, QualityScore, ScrubPII,
+                       TokenCount)
 from .temporal import (AsOfJoin, Lag, Lead, RollingAgg, RollingBackfill,
                        Sessionize)
 # named sub-DAG boundary (reference merlin.dag.ops.subgraph.Subgraph)
@@ -32,7 +33,7 @@ __all__ = [
     "ColumnSimilarity", "DataStats", "DifferenceLag",
     "FillMedian", "FillMissing", "Groupby", "HashBucket", "HashedCross",
     "JoinExternal", "JoinGroupby", "LambdaOp", "ListSlice", "ValueCount",
-    "ScrubPII", "TokenCount", "LangId", "QualityScore",
+    "ScrubPII", "TokenCount", "LangId", "QualityScore", "BPETokenize",
     "Bucketize", "Clip", "LogOp", "QuantileBin", "Normalize", "NormalizeMinMax",
     "AddMetadata", "AddProperties", "AddTags", "DropLowCardinality",
     "Dropna", "Filter", "ReduceDtypeSize", "Rename",

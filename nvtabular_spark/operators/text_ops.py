@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text
-from .base import Operator, TransformContext
+from .base import Operator, StatOperator, TransformContext
 
 
 class ScrubPII(Operator):
@@ -95,3 +95,82 @@ class QualityScore(Operator):
 
     def output_tags(self):
         return ["continuous"]
+
+
+class BPETokenize(StatOperator):
+    """Fitted tokenizer op: ``fit`` trains BPE merges on the union of
+    the selected text columns (ONE word-count pass over the corpus —
+    functions/bpe.py holds the trainer and the cost model); ``transform``
+    emits ``<col>_tokens: array<int>`` per column via the Arrow-batched
+    encoder. The fitted model is JSON-safe state (ranked merges +
+    alphabet), so Workflow save/load round-trips it like any other
+    stat — a saved curation workflow carries its tokenizer.
+
+    No reference analog (NVTabular consumes pre-tokenized data); this
+    is the op that PRODUCES the north-rule (doc_id, tokens, n_tok)
+    table from raw text inside the same DAG that cleans it.
+    """
+
+    out_dtype = "array<int>"
+
+    def __init__(self, n_merges: int = 10_000, max_words: int = 1_000_000,
+                 min_pair_count: int = 2, lowercase: bool = True,
+                 postfix: str = "_tokens"):
+        super().__init__()
+        self.n_merges = int(n_merges)
+        self.max_words = int(max_words)
+        self.min_pair_count = int(min_pair_count)
+        self.lowercase = bool(lowercase)
+        self.postfix = postfix
+        self._model = None
+
+    def output_column_names(self, selector):
+        return [f"{c}{self.postfix}" for c in selector.names]
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        from ..functions import bpe as bpe_mod
+        acts = [act for _, act in ctx.pairs()]
+        # one shared vocabulary across the selected columns: stack them
+        # into a single text column (columns-as-rows union keeps the
+        # word-count pass at ONE job regardless of selector width)
+        stacked = df.select(
+            F.explode(F.array(*[F.col(a).cast("string") for a in acts]))
+            .alias("text"))
+        self._model = bpe_mod.bpe_fit(
+            stacked, text_col="text", n_merges=self.n_merges,
+            max_words=self.max_words, min_pair_count=self.min_pair_count,
+            lowercase=self.lowercase)
+        self.fitted = True
+
+    @property
+    def model(self):
+        self._require_fitted()
+        return self._model
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        self._require_fitted()
+        from ..functions import bpe as bpe_mod
+        for pub, act in ctx.pairs():
+            df = bpe_mod.bpe_encode(df, self._model, text_col=act,
+                                    out_col=ctx.out(f"{pub}{self.postfix}"),
+                                    n_tok_col=None)
+        return df
+
+    def save_state(self):
+        m = self.model
+        return {"merges": [list(p) for p in m.merges],
+                "alphabet": list(m.alphabet)}
+
+    def load_state(self, state):
+        from ..functions import bpe as bpe_mod
+        self._model = bpe_mod.BPEModel(
+            merges=[tuple(p) for p in state["merges"]],
+            alphabet=list(state["alphabet"]), lowercase=self.lowercase)
+        self.fitted = True
+
+    def clear(self):
+        super().clear()
+        self._model = None
+
+    def output_tags(self):
+        return ["tokens"]

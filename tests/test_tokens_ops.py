@@ -319,3 +319,51 @@ def test_bpe_encode_on_documents_testdata(spark):
     assert stats.mn >= 0
     assert stats.mx < model.vocab_size
     assert 2 < model.vocab_size
+
+
+# ------------------------------------------------------- BPETokenize op
+
+import nvtabular_spark as nvt
+from nvtabular_spark import ops
+
+
+def test_bpetokenize_workflow_matches_direct(spark, corpus_df):
+    wf = nvt.Workflow(
+        (["text"] >> ops.BPETokenize(n_merges=30)) + ["doc_id"])
+    out = wf.fit_transform(corpus_df)
+    model = bpe.bpe_fit(corpus_df, n_merges=30)
+    want = {r.doc_id: r.tokens for r in
+            bpe.bpe_encode(corpus_df, model, n_tok_col=None).collect()}
+    got = {r.doc_id: r.text_tokens for r in out.collect()}
+    assert got == want
+    assert dict(out.dtypes)["text_tokens"] == "array<int>"
+
+
+def test_bpetokenize_save_load_round_trip(spark, corpus_df, tmp_path):
+    wf = nvt.Workflow(
+        (["text"] >> ops.BPETokenize(n_merges=20)) + ["doc_id"])
+    a = wf.fit_transform(corpus_df)
+    p = str(tmp_path / "wf_bpe")
+    wf.save(p)
+    wf2 = nvt.Workflow.load(p, spark)
+    b = wf2.transform(corpus_df)
+    ra = sorted((r.doc_id, r.text_tokens) for r in a.collect())
+    rb = sorted((r.doc_id, r.text_tokens) for r in b.collect())
+    assert ra == rb
+    def _walk(n, seen):
+        if id(n) in seen:
+            return
+        seen.add(id(n))
+        yield n
+        for p in n.parents:
+            yield from _walk(p, seen)
+    op2 = [n.op for n in _walk(wf2.output_node, set())
+           if isinstance(n.op, ops.BPETokenize)]
+    assert op2 and op2[0].model.merges == bpe.bpe_fit(
+        corpus_df, n_merges=20).merges
+
+
+def test_bpetokenize_requires_fit(spark, corpus_df):
+    wf = nvt.Workflow(["text"] >> ops.BPETokenize(n_merges=5))
+    with pytest.raises(RuntimeError):
+        wf.transform(corpus_df).collect()
