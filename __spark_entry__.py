@@ -801,6 +801,48 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_signals(spark, sf_dir):
+    """Consolidated per-doc text-signal row: text_stats LEFT JOIN
+    repetition_stats (docs under 2 words have no 2-grams → NULL
+    signals) JOIN pii_scrub, all on doc_id — the former text_stats /
+    text_repetition / pii_scrub rows in one driver slot with no value
+    coverage lost (each branch keeps its exact columns)."""
+    ts = q_text_stats(spark, sf_dir)
+    tr = q_text_repetition(spark, sf_dir)
+    ps = q_pii_scrub(spark, sf_dir).select(
+        "doc_id", "scrubbed", "n_url", "n_email", "n_ipv4")
+    return ts.join(tr, "doc_id", "left").join(ps, "doc_id")
+
+
+def q_chunk_sequences(spark, sf_dir):
+    """Context-window chunking (functions/packing.py::chunk_sequences):
+    token arrays synthesized deterministically from documents text
+    (per-word lengths — cross-engine-stable ints), then overlapping
+    12-token windows every 5 with min_tail=3."""
+    from nvtabular_spark.functions import packing
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.transform(text.words(F.col("text")),
+                    lambda w: F.length(w).cast("int")).alias("tokens"))
+    out = packing.chunk_sequences(base, max_len=12, stride=5, min_tail=3)
+    return out.select(
+        "doc_id", "chunk_id", "chunk_start",
+        _arr_str_int(F.col("tokens")).alias("chunk_toks"), "n_tok")
+
+
+def q_bpe_word_counts(spark, sf_dir):
+    """The distributed portion of the BPE trainer (functions/bpe.py):
+    one word-count pass with the shared ASCII-exact pretokenizer +
+    deterministic top-300 (count desc, word asc). The driver's
+    value-hash gates the exact table the merge loop trains on."""
+    from nvtabular_spark.functions import bpe
+    docs = _t(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs, text_col="text", lowercase=True)
+    return (wc.orderBy(F.col("cnt").desc(), F.col("word").asc())
+            .limit(300))
+
+
 def q_tokens_pipeline(spark, sf_dir, family="md5"):
     docs = _t_wide(spark, sf_dir, "documents")
     tokens = F.transform(
@@ -843,9 +885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: categorify_multi, groupby_events, lag_lead_difference,
         # duplicate_spans_full). Rows with no prior driver-green record
         # lead, so every key gets a hard CORRECTNESS row this round.
+        "chunk_sequences": q_chunk_sequences,
+        "bpe_word_counts": q_bpe_word_counts,
+        "text_signals": q_text_signals,
         "ann_cosine_topk": q_ann_cosine_topk,
         "column_similarity": q_column_similarity,
-        "text_stats": q_text_stats,
         "tokens_pipeline": q_tokens_pipeline,
         "reduce_dtype": q_reduce_dtype,
         "filter_dropna_rename": q_filter_dropna_rename,
@@ -888,8 +932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_components": q_dedup_components,
         "near_dedup_survivors": q_near_dedup_survivors,
-        "text_repetition": q_text_repetition,
-        "pii_scrub": q_pii_scrub,
         "random_projection": q_random_projection,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1033,7 +1075,7 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
-    return {
+    o = {
         "groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS l_quantity_sum,
@@ -1794,3 +1836,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CASE WHEN value > 150 THEN NULL ELSE value END) IS NOT NULL
               AND (CASE WHEN value > 150 THEN NULL ELSE value END) > 100""",
     }
+
+    # consolidated text-signal row: the three per-doc bodies above,
+    # joined on doc_id exactly as the Spark query joins them (LEFT for
+    # repetition — docs under 2 words have no 2-grams)
+    o["text_signals"] = f"""
+        SELECT ts.doc_id, ts.n_tok, ts.sw_en, ts.lang_pred, ts.fp,
+               ts.quality,
+               tr.ngram_count, tr.distinct_ngrams, tr.top_ngram_count,
+               tr.dup_ngram_frac, tr.top_ngram_char_frac,
+               tr.dup_ngram_char_frac,
+               ps.scrubbed, ps.n_url, ps.n_email, ps.n_ipv4
+        FROM ({o["text_stats"]}) ts
+        LEFT JOIN ({o["text_repetition"]}) tr ON ts.doc_id = tr.doc_id
+        JOIN ({o["pii_scrub"]}) ps ON ts.doc_id = ps.doc_id"""
+
+    # context-window chunking: per-word-length token arrays (stable
+    # ints across engines), 12-token windows every 5, min_tail=3
+    o["chunk_sequences"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                                w -> CAST(len(w) AS INTEGER)) tokens
+          FROM documents),
+        base AS (
+          SELECT doc_id, tokens,
+                 unnest(generate_series(0, (len(tokens) - 1) // 5))
+                   AS chunk_id
+          FROM t WHERE len(tokens) > 0),
+        win AS (
+          SELECT doc_id, chunk_id, chunk_id * 5 AS chunk_start,
+                 list_slice(tokens, chunk_id * 5 + 1,
+                            chunk_id * 5 + 12) AS toks
+          FROM base)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(chunk_start AS INTEGER) AS chunk_start,
+               array_to_string(list_transform(
+                   toks, x -> CAST(x AS VARCHAR)), ',') AS chunk_toks,
+               CAST(len(toks) AS INTEGER) AS n_tok
+        FROM win WHERE len(toks) >= 3 OR chunk_id = 0"""
+
+    # BPE trainer's distributed pass: word counts with the shared
+    # ASCII-exact pretokenizer + deterministic top-300. The regex is
+    # built from chr() so the tab/newline bytes survive SQL quoting.
+    o["bpe_word_counts"] = """
+        WITH w AS (
+          SELECT unnest(regexp_extract_all(lower(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ' || chr(9) || chr(10)
+                   || chr(13) || ']')) AS word
+          FROM documents WHERE text IS NOT NULL)
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM w GROUP BY word
+        ORDER BY cnt DESC, word ASC LIMIT 300"""
+    return o
