@@ -12,6 +12,12 @@ the integrated story the individual ops serve:
   6. mixing + split     (deterministic per-source sampling quotas,
                          train/holdout split on a stable key)
   7. packing            (greedy fixed-capacity training bins)
+  8. tokenization       (BPE fit on the curated train split, encode to
+                         token arrays, chunk to the context window,
+                         re-pack by REAL token counts — the pipeline's
+                         terminal artifact is the north-rule table
+                         shape (doc_id, tokens:array<int>, n_tok,
+                         source))
 
 Run: python examples/curation_pipeline.py [sf_dir]
 Prints one JSON line of per-stage row counts.
@@ -27,7 +33,8 @@ from pyspark.sql import functions as F
 
 import nvtabular_spark as nvt
 from nvtabular_spark import ops
-from nvtabular_spark.functions import dedup, lm, packing, sampling, text
+from nvtabular_spark.functions import (bpe, dedup, lm, packing, sampling,
+                                       text)
 
 
 def curate(spark, sf_dir, capacity=4096):
@@ -115,6 +122,36 @@ def curate(spark, sf_dir, capacity=4096):
                  F.avg("fill_frac").alias("avg_fill")).collect()[0]
     counts["bins"] = int(row["bins"])
     counts["avg_fill"] = round(float(row["avg_fill"]), 3)
+
+    # 8: tokenize the curated train split with a BPE model fitted ON
+    # that split (fit = one word-count pass; the merge loop never
+    # re-reads the corpus), chunk over-length sequences to the
+    # training context window, and re-pack by the REAL token counts —
+    # the terminal artifact is the north-rule training-sequence table
+    # (doc_id, tokens:array<int>, n_tok, source).
+    train_raw = docs.join(train.select("doc_id"), "doc_id")
+    model = bpe.bpe_fit(train_raw, n_merges=512, max_words=50_000)
+    counts["bpe_vocab"] = model.vocab_size
+    toks = bpe.bpe_encode(train_raw, model).select(
+        "doc_id", "source", "tokens", "n_tok")
+    # context window 64 < the corpus' max sequence length, so the
+    # chunker genuinely splits at this scale (the synthetic corpus
+    # tops out near 100 tokens/doc)
+    chunks = packing.chunk_sequences(toks, max_len=64, min_tail=8)
+    sequences = chunks.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("chunk_id").cast("string")).alias("doc_id"),
+        "tokens", "n_tok", "source")
+    counts["sequences"] = sequences.count()
+    tok_packed = packing.pack_sequences(
+        sequences, capacity=capacity, shard_col="source",
+        order_col="doc_id", tok_col="n_tok", strategy="greedy")
+    tok_st = packing.packing_stats(tok_packed, capacity=capacity,
+                                   shard_col="source", tok_col="n_tok")
+    row = tok_st.agg(F.count(F.lit(1)).alias("bins"),
+                     F.avg("fill_frac").alias("avg_fill")).collect()[0]
+    counts["token_bins"] = int(row["bins"])
+    counts["token_avg_fill"] = round(float(row["avg_fill"]), 3)
     return counts
 
 

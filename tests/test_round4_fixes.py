@@ -486,6 +486,13 @@ def test_curation_pipeline_end_to_end(spark):
     assert counts["train"] + counts["holdout"] <= \
         counts["after_decontamination"]
     assert counts["bins"] > 0 and 0 < counts["avg_fill"] <= 1.0
+    # stage 8: BPE fit on the train split, chunked to the context
+    # window, re-packed by real token counts — the terminal
+    # north-rule sequence table
+    assert counts["bpe_vocab"] > 0
+    assert counts["sequences"] >= counts["train"]
+    assert counts["token_bins"] > 0
+    assert 0 < counts["token_avg_fill"] <= 1.0
 
 
 def test_components_with_disk_checkpoint(spark, tmp_path):
