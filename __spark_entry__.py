@@ -471,15 +471,29 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_rolling_agg(spark, sf_dir):
+    """Both rolling frames in one DAG: the previous-3-rows frame and
+    the trailing-hour time-range frame [ts - 3600s, ts - 1s] — same
+    single entity×ts window partitioning, zero temporal leakage."""
     ev = _t(spark, sf_dir, "events")
     ra = ops.RollingAgg(partition_cols="user_id", order_by="ts",
                         window_rows=3, aggs=["mean", "count"])
-    wf = nvt.Workflow((["value"] >> ra) + ["event_id"])
+    rt = ops.RollingAgg(partition_cols="user_id", order_by="ts",
+                        window_seconds=3600, aggs=["mean", "count"])
+    td = ops.TimeDecay(partition_cols="user_id", order_by="ts",
+                       half_life_seconds=1800, window_seconds=3600,
+                       aggs=["sum"])
+    wf = nvt.Workflow((["value"] >> ra) + (["value"] >> rt)
+                      + (["value"] >> td) + ["event_id"])
     out = wf.transform(ev)
     return out.select("event_id",
                       F.round("value_rolling_mean_3", 6)
                       .alias("value_rolling_mean_3"),
-                      "value_rolling_count_3")
+                      "value_rolling_count_3",
+                      F.round("value_rolling_mean_t3600s", 6)
+                      .alias("value_rolling_mean_t3600s"),
+                      "value_rolling_count_t3600s",
+                      F.round("value_decay_sum_h1800s", 6)
+                      .alias("value_decay_sum_h1800s"))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1367,9 +1381,21 @@ def oracle_sql() -> dict[str, str]:
         "rolling_agg": """
             SELECT event_id,
                    ROUND(AVG(value) OVER w, 6) AS value_rolling_mean_3,
-                   CAST(COUNT(value) OVER w AS BIGINT) AS value_rolling_count_3
-            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""",
+                   CAST(COUNT(value) OVER w AS BIGINT) AS value_rolling_count_3,
+                   ROUND(AVG(value) OVER wt, 6) AS value_rolling_mean_t3600s,
+                   CAST(COUNT(value) OVER wt AS BIGINT)
+                       AS value_rolling_count_t3600s,
+                   ROUND(COALESCE(list_sum(list_transform(
+                       ARRAY_AGG(struct_pack(t := epoch(ts), v := value))
+                           OVER wt,
+                       s -> COALESCE(s.v, 0)
+                            * POWER(0.5, (epoch(ts) - s.t) / 1800.0))),
+                       0.0), 6) AS value_decay_sum_h1800s
+            FROM events WINDOW
+                 w AS (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                 wt AS (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)""",
         "dedup_exact": f"""
             WITH keyed AS (SELECT doc_id, {fp_expr} AS dup_key FROM documents),
             canon AS (SELECT dup_key, MIN(doc_id) canonical_id FROM keyed

@@ -375,9 +375,20 @@ class Sessionize(Operator):
 
 
 class RollingAgg(Operator):
-    """Rolling aggregates over the strictly-past window (frame ends at
-    -1 row): e.g. trailing mean/sum/count of the previous ``n`` events
-    per entity. Zero temporal leakage by construction."""
+    """Rolling aggregates over the strictly-past window: e.g. trailing
+    mean/sum/count of the previous ``n`` events (row frame ending at
+    -1 row) or of the trailing ``window_seconds`` of wall time (range
+    frame over epoch seconds of the single ``order_by`` timestamp,
+    ending at ``gap_seconds`` before the current row). Zero temporal
+    leakage by construction — the current row is never inside its own
+    frame, and in time mode neither is any row with the same (or a
+    sub-``gap_seconds``-older) timestamp, which also makes the result
+    deterministic under timestamp ties.
+
+    Both frames are a single partitionBy(entity).orderBy(ts) window —
+    ONE Exchange, or zero when the input is already entity-bucketed
+    and ts-sorted (``sources.write_bucketed``); at 10^12 rows the
+    range frame costs the same shuffle as the row frame."""
 
     _FNS = {"sum": F.sum, "mean": F.mean, "min": F.min, "max": F.max,
             "count": F.count}
@@ -387,28 +398,59 @@ class RollingAgg(Operator):
     def __init__(self, partition_cols: Union[str, List[str]],
                  order_by: Union[str, List[str]],
                  window_rows: Optional[int] = None,
-                 aggs: Union[str, List[str]] = "mean"):
+                 aggs: Union[str, List[str]] = "mean",
+                 window_seconds: Optional[int] = None,
+                 gap_seconds: int = 1):
         self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
             else list(partition_cols)
         self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
         self.window_rows = window_rows
         self.aggs = [aggs] if isinstance(aggs, str) else list(aggs)
+        self.window_seconds = window_seconds
+        self.gap_seconds = gap_seconds
+        if window_seconds is not None:
+            if window_rows is not None:
+                raise ValueError(
+                    "window_rows and window_seconds are exclusive; "
+                    "compose two RollingAgg ops for both frames")
+            if len(self.order_by) != 1:
+                raise ValueError("a time-range frame orders by exactly "
+                                 "one timestamp/numeric column")
+            if int(window_seconds) <= 0 or int(gap_seconds) < 1:
+                raise ValueError("window_seconds must be > 0 and "
+                                 "gap_seconds >= 1 (whole seconds; the "
+                                 ">=1s gap is what guarantees the "
+                                 "strictly-past contract under ties)")
 
     def dependencies(self):
         return self.partition_cols + self.order_by
 
+    def _suffix(self):
+        if self.window_seconds is not None:
+            return f"t{int(self.window_seconds)}s"
+        return self.window_rows or "all"
+
     def output_column_names(self, selector: ColumnSelector):
-        n = self.window_rows or "all"
+        n = self._suffix()
         return [f"{c}_rolling_{a}_{n}" for c in selector.names
                 for a in self.aggs]
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        start = Window.unboundedPreceding if self.window_rows is None \
-            else -self.window_rows
-        w = (Window.partitionBy(*self.partition_cols)
-             .orderBy(*self.order_by)
-             .rowsBetween(start, -1))   # -1: strictly before current row
-        n = self.window_rows or "all"
+        base = Window.partitionBy(*self.partition_cols)
+        if self.window_seconds is not None:
+            # range frame [ts - window_seconds, ts - gap_seconds] over
+            # fractional epoch seconds (Sessionize._seconds ≡ DuckDB
+            # epoch()); int boundaries coerce to the double order key
+            sec = Sessionize._seconds(df, self.order_by[0])
+            w = (base.orderBy(sec)
+                 .rangeBetween(-int(self.window_seconds),
+                               -int(self.gap_seconds)))
+        else:
+            start = Window.unboundedPreceding if self.window_rows is None \
+                else -self.window_rows
+            w = (base.orderBy(*self.order_by)
+                 .rowsBetween(start, -1))  # -1: strictly before current row
+        n = self._suffix()
         cols = {}
         for pub, act in ctx.pairs():
             for a in self.aggs:
@@ -417,4 +459,88 @@ class RollingAgg(Operator):
                 if a == "count":
                     out = out.cast("long")
                 cols[ctx.out(f"{pub}_rolling_{a}_{n}")] = out
+        return df.withColumns(cols)
+
+
+class TimeDecay(Operator):
+    """Exponentially time-decayed trailing aggregates — the classic
+    CTR-counter feature: at each (entity, t),
+
+        decayed_sum(t)   = sum_{t-W <= t' <= t-gap} v(t') * 0.5^((t-t')/h)
+        decayed_count(t) = same with v(t') := 1 for non-null v
+
+    with half-life ``h`` seconds over the trailing ``window_seconds``
+    = W. Strictly past (frame ends ``gap_seconds`` before the row, so
+    timestamp ties never leak and the result is deterministic).
+
+    Execution is pure Catalyst: ONE entity×ts range window collects
+    the in-frame (t', v) pairs, then ``F.aggregate`` folds the decay
+    weights JVM-side — no Python on data, exponents bounded by W/h so
+    the fold cannot overflow (the naive prefix-sum factorization
+    0.5^(-t'/h) does overflow for long-lived entities, which is why
+    the window-bounded fold is the exact path). Cost is
+    O(events-in-frame) per row, the same bound any sliding-frame
+    aggregate pays; W is required, which also caps frame memory.
+    Zero Exchange on entity-bucketed input (same window as RollingAgg).
+    """
+
+    cheap_transform = False  # window-backed
+
+    def __init__(self, partition_cols: Union[str, List[str]],
+                 order_by: str,
+                 half_life_seconds: float,
+                 window_seconds: int,
+                 gap_seconds: int = 1,
+                 aggs: Union[str, List[str]] = "sum"):
+        self.partition_cols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
+        self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        self.half_life_seconds = float(half_life_seconds)
+        self.window_seconds = int(window_seconds)
+        self.gap_seconds = int(gap_seconds)
+        self.aggs = [aggs] if isinstance(aggs, str) else list(aggs)
+        if len(self.order_by) != 1:
+            raise ValueError("TimeDecay orders by exactly one "
+                             "timestamp/numeric column")
+        if self.half_life_seconds <= 0:
+            raise ValueError("half_life_seconds must be > 0")
+        if self.window_seconds <= 0 or self.gap_seconds < 1:
+            raise ValueError("window_seconds must be > 0 and "
+                             "gap_seconds >= 1")
+        bad = set(self.aggs) - {"sum", "count"}
+        if bad:
+            raise ValueError(f"unsupported decay aggs: {sorted(bad)}")
+
+    def dependencies(self):
+        return self.partition_cols + self.order_by
+
+    def output_column_names(self, selector: ColumnSelector):
+        h = int(self.half_life_seconds)
+        return [f"{c}_decay_{a}_h{h}s" for c in selector.names
+                for a in self.aggs]
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        sec = Sessionize._seconds(df, self.order_by[0])
+        w = (Window.partitionBy(*self.partition_cols)
+             .orderBy(sec)
+             .rangeBetween(-self.window_seconds, -self.gap_seconds))
+        h = F.lit(self.half_life_seconds)
+        half = F.lit(0.5)
+        cur = sec
+        cols = {}
+        for pub, act in ctx.pairs():
+            pairs = F.collect_list(
+                F.struct(sec.alias("t"), F.col(act).alias("v"))).over(w)
+            for a in self.aggs:
+                if a == "sum":
+                    contrib = lambda x: F.coalesce(x["v"], F.lit(0.0))  # noqa: E731
+                else:
+                    contrib = lambda x: F.when(                         # noqa: E731
+                        x["v"].isNotNull(), F.lit(1.0)).otherwise(0.0)
+                out = F.aggregate(
+                    pairs, F.lit(0.0),
+                    lambda acc, x: acc + contrib(x)
+                    * F.pow(half, (cur - x["t"]) / h))
+                name = f"{pub}_decay_{a}_h{int(self.half_life_seconds)}s"
+                cols[ctx.out(name)] = out
         return df.withColumns(cols)

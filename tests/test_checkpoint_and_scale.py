@@ -97,7 +97,10 @@ def test_bucketed_input_elides_window_shuffle(spark, tmp_path):
     t = spark.table(table)
     lag = ops.Lag("entity_id", "ts", 1)
     sz = ops.Sessionize("entity_id", gap=1800.0)
-    out = nvt.Workflow((["n_tok"] >> lag) + (["ts"] >> sz) + ["doc_id"]) \
+    rt = ops.RollingAgg("entity_id", "ts", window_seconds=3600,
+                        aggs=["mean"])
+    out = nvt.Workflow((["n_tok"] >> lag) + (["ts"] >> sz)
+                       + (["n_tok"] >> rt) + ["doc_id"]) \
         .transform(t)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

@@ -192,3 +192,152 @@ def test_asof_plan_single_exchange_no_join(spark):
     assert shuffles <= 2      # one per union leg into the same window
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Checkpoint" not in plan
+
+
+def test_rolling_agg_time_window_brute_force(spark, events_pdf):
+    """Time-range frame [ts - w, ts - 1s]: verified against a pandas
+    brute-force recomputation per row (zero temporal leakage; events
+    closer than gap_seconds — including ties — are excluded)."""
+    w_sec = 50_000
+    df = spark.createDataFrame(events_pdf)
+    ra = ops.RollingAgg("entity", "ts", window_seconds=w_sec,
+                        aggs=["mean", "count"])
+    out = nvt.Workflow((["v"] >> ra) + ["rid"]).transform(df) \
+        .orderBy("rid").toPandas()
+    suffix = f"t{w_sec}s"
+    epoch = events_pdf["ts"].astype("int64") / 1e9
+    for i, row in events_pdf.iterrows():
+        t = epoch.iloc[i]
+        mask = ((events_pdf["entity"] == row["entity"])
+                & (epoch >= t - w_sec) & (epoch <= t - 1))
+        window = events_pdf.loc[mask, "v"]
+        got_m = out.loc[out["rid"] == row["rid"],
+                        f"v_rolling_mean_{suffix}"].iloc[0]
+        got_c = out.loc[out["rid"] == row["rid"],
+                        f"v_rolling_count_{suffix}"].iloc[0]
+        if len(window) == 0:
+            assert pd.isna(got_m)
+            assert got_c == 0
+        else:
+            np.testing.assert_allclose(got_m, window.mean(), rtol=1e-9)
+            assert got_c == len(window)
+
+
+def test_rolling_agg_time_window_excludes_ties(spark):
+    """Two events at the SAME timestamp must not see each other — the
+    >=1s gap keeps the strictly-past contract deterministic under
+    ties (a rows-frame cannot promise that)."""
+    pdf = pd.DataFrame({
+        "e": ["a"] * 4,
+        "ts": pd.to_datetime([1000, 2000, 2000, 3000], unit="s"),
+        "v": [1.0, 10.0, 20.0, 100.0],
+        "rid": range(4)})
+    df = spark.createDataFrame(pdf)
+    ra = ops.RollingAgg("e", "ts", window_seconds=10_000, aggs=["sum"])
+    out = nvt.Workflow((["v"] >> ra) + ["rid"]).transform(df) \
+        .orderBy("rid").toPandas()
+    # both ts=2000 rows see ONLY the ts=1000 row; ts=3000 sees the
+    # three earlier rows (1 + 10 + 20) and never itself
+    assert out["v_rolling_sum_t10000s"].tolist()[1:] == [1.0, 1.0, 31.0]
+    assert pd.isna(out["v_rolling_sum_t10000s"].iloc[0])
+
+
+def test_rolling_agg_time_window_validation_and_roundtrip(spark, tmp_path):
+    with pytest.raises(ValueError, match="exclusive"):
+        ops.RollingAgg("e", "ts", window_rows=3, window_seconds=60)
+    with pytest.raises(ValueError, match="one timestamp"):
+        ops.RollingAgg("e", ["ts", "ts2"], window_seconds=60)
+    with pytest.raises(ValueError, match="gap_seconds"):
+        ops.RollingAgg("e", "ts", window_seconds=60, gap_seconds=0)
+    # save/load round-trip carries the time-frame params
+    wf = nvt.Workflow((["v"] >> ops.RollingAgg(
+        "e", "ts", window_seconds=3600, gap_seconds=2,
+        aggs=["mean"])) + ["rid"])
+    path = str(tmp_path / "ra_wf")
+    wf.save(path)
+    loaded = nvt.Workflow.load(path)
+    pdf = pd.DataFrame({"e": ["a", "a"],
+                        "ts": pd.to_datetime([0, 1800], unit="s"),
+                        "v": [5.0, 7.0], "rid": [0, 1]})
+    out = loaded.transform(spark.createDataFrame(pdf)) \
+        .orderBy("rid").toPandas()
+    assert pd.isna(out["v_rolling_mean_t3600s"].iloc[0])
+    assert out["v_rolling_mean_t3600s"].iloc[1] == 5.0
+
+
+def test_time_decay_brute_force(spark, events_pdf):
+    """decayed_sum/count over [ts-W, ts-1s] with half-life h must match
+    a per-row pandas recomputation exactly (strictly past, 0.5^(dt/h)
+    weights)."""
+    w_sec, h = 80_000, 20_000.0
+    df = spark.createDataFrame(events_pdf)
+    td = ops.TimeDecay("entity", "ts", half_life_seconds=h,
+                       window_seconds=w_sec, aggs=["sum", "count"])
+    out = nvt.Workflow((["v"] >> td) + ["rid"]).transform(df) \
+        .orderBy("rid").toPandas()
+    epoch = events_pdf["ts"].astype("int64") / 1e9
+    for i, row in events_pdf.iterrows():
+        t = epoch.iloc[i]
+        mask = ((events_pdf["entity"] == row["entity"])
+                & (epoch >= t - w_sec) & (epoch <= t - 1))
+        dt = t - epoch[mask]
+        wts = np.power(0.5, dt / h)
+        exp_sum = float((events_pdf.loc[mask, "v"] * wts).sum())
+        exp_cnt = float(wts.sum())
+        got = out[out["rid"] == row["rid"]]
+        np.testing.assert_allclose(got["v_decay_sum_h20000s"].iloc[0],
+                                   exp_sum, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(got["v_decay_count_h20000s"].iloc[0],
+                                   exp_cnt, rtol=1e-9, atol=1e-12)
+
+
+def test_time_decay_nulls_and_validation(spark):
+    """NULL values contribute 0 to decayed_sum and 0 to decayed_count,
+    but their rows still exist on the timeline."""
+    pdf = pd.DataFrame({
+        "e": ["a"] * 3,
+        "ts": pd.to_datetime([0, 100, 200], unit="s"),
+        "v": [4.0, np.nan, 1.0],
+        "rid": range(3)})
+    df = spark.createDataFrame(pdf).withColumn(
+        "v", F.when(F.isnan("v"), None).otherwise(F.col("v")))
+    td = ops.TimeDecay("e", "ts", half_life_seconds=100.0,
+                       window_seconds=1000, aggs=["sum", "count"])
+    out = nvt.Workflow((["v"] >> td) + ["rid"]).transform(df) \
+        .orderBy("rid").toPandas()
+    # rid=2 at t=200 sees v=4 at dt=200 (weight 0.25) and the NULL row
+    # at dt=100 (contributes 0 to both sum and count)
+    np.testing.assert_allclose(out["v_decay_sum_h100s"].iloc[2], 1.0)
+    np.testing.assert_allclose(out["v_decay_count_h100s"].iloc[2], 0.25)
+    with pytest.raises(ValueError, match="half_life"):
+        ops.TimeDecay("e", "ts", half_life_seconds=0, window_seconds=10)
+    with pytest.raises(ValueError, match="unsupported decay"):
+        ops.TimeDecay("e", "ts", half_life_seconds=1.0,
+                      window_seconds=10, aggs=["median"])
+
+
+def test_time_decay_duckdb_cross_engine(spark, events_pdf):
+    """Cross-engine parity: the same decayed sum via DuckDB's windowed
+    ARRAY_AGG + list_transform lambda."""
+    import duckdb
+    w_sec, h = 80_000, 20_000.0
+    df = spark.createDataFrame(events_pdf)
+    td = ops.TimeDecay("entity", "ts", half_life_seconds=h,
+                       window_seconds=w_sec, aggs=["sum"])
+    got = nvt.Workflow((["v"] >> td) + ["rid"]).transform(df) \
+        .orderBy("rid").toPandas()
+    con = duckdb.connect()
+    con.register("events", events_pdf)
+    exp = con.execute(f"""
+        WITH e AS (SELECT rid, entity, v, epoch(ts) AS t FROM events)
+        SELECT rid,
+               COALESCE(list_sum(list_transform(
+                   ARRAY_AGG(struct_pack(t := t, v := v)) OVER w,
+                   s -> COALESCE(s.v, 0) * POWER(0.5, (t - s.t) / {h}))),
+                   0.0) AS dsum
+        FROM e WINDOW w AS (PARTITION BY entity ORDER BY t
+             RANGE BETWEEN {w_sec} PRECEDING AND 1 PRECEDING)
+        ORDER BY rid""").df()
+    np.testing.assert_allclose(got["v_decay_sum_h20000s"].to_numpy(),
+                               exp["dsum"].to_numpy(),
+                               rtol=1e-9, atol=1e-12)
