@@ -99,8 +99,11 @@ def test_bucketed_input_elides_window_shuffle(spark, tmp_path):
     sz = ops.Sessionize("entity_id", gap=1800.0)
     rt = ops.RollingAgg("entity_id", "ts", window_seconds=3600,
                         aggs=["mean"])
+    td = ops.TimeDecay("entity_id", "ts", half_life_seconds=1800,
+                       window_seconds=3600)
     out = nvt.Workflow((["n_tok"] >> lag) + (["ts"] >> sz)
-                       + (["n_tok"] >> rt) + ["doc_id"]) \
+                       + (["n_tok"] >> rt) + (["n_tok"] >> td)
+                       + ["doc_id"]) \
         .transform(t)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
