@@ -391,7 +391,7 @@ class RollingAgg(Operator):
     range frame costs the same shuffle as the row frame."""
 
     _FNS = {"sum": F.sum, "mean": F.mean, "min": F.min, "max": F.max,
-            "count": F.count}
+            "count": F.count, "std": F.stddev_samp, "var": F.var_samp}
 
     cheap_transform = False  # window-backed
 

@@ -341,3 +341,46 @@ def test_time_decay_duckdb_cross_engine(spark, events_pdf):
     np.testing.assert_allclose(got["v_decay_sum_h20000s"].to_numpy(),
                                exp["dsum"].to_numpy(),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_rolling_agg_std_var_brute_force(spark, events_pdf):
+    """Rolling volatility (ddof=1 std/var, matching the package-wide
+    sample convention) over both frame kinds vs pandas recomputation."""
+    df = spark.createDataFrame(events_pdf)
+    ra = ops.RollingAgg("entity", "ts", window_rows=5,
+                        aggs=["std", "var"])
+    out = nvt.Workflow((["v"] >> ra) + ["rid"]).transform(df) \
+        .orderBy("rid").toPandas()
+    pdf = events_pdf.sort_values(["entity", "ts"])
+    for ent, grp in pdf.groupby("entity"):
+        vals = grp["v"].to_numpy()
+        for i in range(len(vals)):
+            window = vals[max(0, i - 5):i]
+            got_s = out.loc[out["rid"] == grp["rid"].iloc[i],
+                            "v_rolling_std_5"].iloc[0]
+            got_v = out.loc[out["rid"] == grp["rid"].iloc[i],
+                            "v_rolling_var_5"].iloc[0]
+            if len(window) < 2:
+                assert pd.isna(got_s) and pd.isna(got_v)
+            else:
+                np.testing.assert_allclose(got_s, window.std(ddof=1),
+                                           rtol=1e-9)
+                np.testing.assert_allclose(got_v, window.var(ddof=1),
+                                           rtol=1e-9)
+    # time-range frame takes the same aggs
+    rt = ops.RollingAgg("entity", "ts", window_seconds=80_000,
+                        aggs=["std"])
+    out_t = nvt.Workflow((["v"] >> rt) + ["rid"]).transform(df) \
+        .orderBy("rid").toPandas()
+    epoch = events_pdf["ts"].astype("int64") / 1e9
+    for i, row in events_pdf.iterrows():
+        t = epoch.iloc[i]
+        mask = ((events_pdf["entity"] == row["entity"])
+                & (epoch >= t - 80_000) & (epoch <= t - 1))
+        window = events_pdf.loc[mask, "v"].to_numpy()
+        got = out_t.loc[out_t["rid"] == row["rid"],
+                        "v_rolling_std_t80000s"].iloc[0]
+        if len(window) < 2:
+            assert pd.isna(got)
+        else:
+            np.testing.assert_allclose(got, window.std(ddof=1), rtol=1e-9)
