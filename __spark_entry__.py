@@ -476,9 +476,10 @@ def q_rolling_agg(spark, sf_dir):
     single entity×ts window partitioning, zero temporal leakage."""
     ev = _t(spark, sf_dir, "events")
     ra = ops.RollingAgg(partition_cols="user_id", order_by="ts",
-                        window_rows=3, aggs=["mean", "count"])
+                        window_rows=3, aggs=["mean", "count", "nunique"])
     rt = ops.RollingAgg(partition_cols="user_id", order_by="ts",
-                        window_seconds=3600, aggs=["mean", "count"])
+                        window_seconds=3600,
+                        aggs=["mean", "count", "nunique"])
     td = ops.TimeDecay(partition_cols="user_id", order_by="ts",
                        half_life_seconds=1800, window_seconds=3600,
                        aggs=["sum"])
@@ -489,9 +490,11 @@ def q_rolling_agg(spark, sf_dir):
                       F.round("value_rolling_mean_3", 6)
                       .alias("value_rolling_mean_3"),
                       "value_rolling_count_3",
+                      "value_rolling_nunique_3",
                       F.round("value_rolling_mean_t3600s", 6)
                       .alias("value_rolling_mean_t3600s"),
                       "value_rolling_count_t3600s",
+                      "value_rolling_nunique_t3600s",
                       F.round("value_decay_sum_h1800s", 6)
                       .alias("value_decay_sum_h1800s"))
 
@@ -1382,9 +1385,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    ROUND(AVG(value) OVER w, 6) AS value_rolling_mean_3,
                    CAST(COUNT(value) OVER w AS BIGINT) AS value_rolling_count_3,
+                   CAST(COUNT(DISTINCT value) OVER w AS BIGINT)
+                       AS value_rolling_nunique_3,
                    ROUND(AVG(value) OVER wt, 6) AS value_rolling_mean_t3600s,
                    CAST(COUNT(value) OVER wt AS BIGINT)
                        AS value_rolling_count_t3600s,
+                   CAST(COUNT(DISTINCT value) OVER wt AS BIGINT)
+                       AS value_rolling_nunique_t3600s,
                    ROUND(COALESCE(list_sum(list_transform(
                        ARRAY_AGG(struct_pack(t := epoch(ts), v := value))
                            OVER wt,

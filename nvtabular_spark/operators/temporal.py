@@ -388,10 +388,21 @@ class RollingAgg(Operator):
     Both frames are a single partitionBy(entity).orderBy(ts) window —
     ONE Exchange, or zero when the input is already entity-bucketed
     and ts-sorted (``sources.write_bucketed``); at 10^12 rows the
-    range frame costs the same shuffle as the row frame."""
+    range frame costs the same shuffle as the row frame.
+
+    ``nunique`` is the trailing distinct count (e.g. distinct items a
+    user touched in the last hour — the classic breadth counter):
+    exact via ``size(collect_set) OVER``, whose frame state is
+    O(distinct-in-frame); ``approx_nunique`` is the HyperLogLog++
+    variant whose state is O(2^p) REGARDLESS of frame width — the
+    100 TB choice whenever a hot entity can hold millions of distinct
+    values inside one window. Nulls never count; an empty frame
+    yields 0 (a count, not a moment — unlike std/var there is no
+    minimum-observations contract)."""
 
     _FNS = {"sum": F.sum, "mean": F.mean, "min": F.min, "max": F.max,
             "count": F.count, "std": F.stddev_samp, "var": F.var_samp}
+    _DISTINCT = {"nunique", "approx_nunique"}
 
     cheap_transform = False  # window-backed
 
@@ -408,6 +419,9 @@ class RollingAgg(Operator):
         self.aggs = [aggs] if isinstance(aggs, str) else list(aggs)
         self.window_seconds = window_seconds
         self.gap_seconds = gap_seconds
+        bad = set(self.aggs) - set(self._FNS) - self._DISTINCT
+        if bad:
+            raise ValueError(f"unsupported rolling aggs: {sorted(bad)}")
         if window_seconds is not None:
             if window_rows is not None:
                 raise ValueError(
@@ -454,10 +468,17 @@ class RollingAgg(Operator):
         cols = {}
         for pub, act in ctx.pairs():
             for a in self.aggs:
-                fn = self._FNS[a]
-                out = fn(F.col(act)).over(w)
-                if a == "count":
-                    out = out.cast("long")
+                if a == "nunique":
+                    # collect_set drops nulls; empty frame → size 0
+                    out = F.size(
+                        F.collect_set(F.col(act)).over(w)).cast("long")
+                elif a == "approx_nunique":
+                    out = F.approx_count_distinct(
+                        F.col(act)).over(w).cast("long")
+                else:
+                    out = self._FNS[a](F.col(act)).over(w)
+                    if a == "count":
+                        out = out.cast("long")
                 cols[ctx.out(f"{pub}_rolling_{a}_{n}")] = out
         return df.withColumns(cols)
 

@@ -384,3 +384,48 @@ def test_rolling_agg_std_var_brute_force(spark, events_pdf):
             assert pd.isna(got)
         else:
             np.testing.assert_allclose(got, window.std(ddof=1), rtol=1e-9)
+
+
+def test_rolling_nunique_brute_force(spark, events_pdf):
+    """Trailing distinct count (exact nunique) over both frame kinds vs
+    pandas recomputation; approx_nunique agrees exactly at the tiny
+    per-frame cardinalities the fixture produces (HLL++ is exact far
+    below its relative-error regime)."""
+    pdf = events_pdf.copy()
+    # quantize values so frames actually contain repeats
+    pdf["item"] = (pdf["v"] // 20).astype("int64")
+    df = spark.createDataFrame(pdf)
+    ra = ops.RollingAgg("entity", "ts", window_rows=4,
+                        aggs=["nunique", "approx_nunique"])
+    rt = ops.RollingAgg("entity", "ts", window_seconds=80_000,
+                        aggs=["nunique"])
+    out = nvt.Workflow((["item"] >> ra) + (["item"] >> rt) + ["rid"]) \
+        .transform(df).orderBy("rid").toPandas()
+
+    srt = pdf.sort_values(["entity", "ts"])
+    for ent, grp in srt.groupby("entity"):
+        vals = grp["item"].to_numpy()
+        for i in range(len(vals)):
+            frame = vals[max(0, i - 4):i]
+            exp = len(set(frame))
+            rid = grp["rid"].iloc[i]
+            got = out.loc[out["rid"] == rid, "item_rolling_nunique_4"]
+            assert int(got.iloc[0]) == exp, (ent, i)
+            got_a = out.loc[out["rid"] == rid,
+                            "item_rolling_approx_nunique_4"]
+            assert int(got_a.iloc[0]) == exp, (ent, i)
+
+    epoch = pdf["ts"].astype("int64") / 1e9
+    for i, row in pdf.iterrows():
+        t = epoch.iloc[i]
+        mask = ((pdf["entity"] == row["entity"])
+                & (epoch >= t - 80_000) & (epoch <= t - 1))
+        exp = pdf.loc[mask, "item"].nunique()
+        got = out.loc[out["rid"] == row["rid"],
+                      "item_rolling_nunique_t80000s"]
+        assert int(got.iloc[0]) == exp, i
+
+
+def test_rolling_agg_rejects_unknown_agg():
+    with pytest.raises(ValueError, match="unsupported rolling aggs"):
+        ops.RollingAgg("e", "ts", window_rows=3, aggs=["median"])
