@@ -988,3 +988,57 @@ def drop_duplicate_lines(df: DataFrame, text_col: str = "text",
                F.coalesce(F.col("__rm_chars__"), F.lit(0))
                .cast("double") / total_chars)
         .otherwise(F.lit(0.0)).alias("removed_char_frac"))
+
+
+def exact_keys(df: DataFrame, text_col: str = "text",
+               normalized: bool = True) -> DataFrame:
+    """Distinct exact-dedup fingerprints of a corpus — the compact
+    ingest ledger (one 32-hex key per distinct document, ~16 bytes of
+    entropy) to persist between ingestion runs so the next increment
+    never re-reads the corpus text. Same key family as
+    :func:`exact_duplicates` with the same ``normalized`` switch."""
+    key = fingerprint(F.col(text_col)) if normalized \
+        else F.md5(F.col(text_col))
+    return df.select(key.alias("dup_key")).distinct()
+
+
+def novel_documents(increment: DataFrame, seen: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    normalized: bool = True, dedup_within: bool = True,
+                    seen_is_keys: bool = False) -> DataFrame:
+    """Incremental ingestion dedup: the rows of ``increment`` whose
+    text was NOT already ingested — "dedupe today's crawl against the
+    corpus" — plus, with ``dedup_within`` (default), one canonical
+    (min-``id_col``) row per duplicate group *inside* the increment,
+    so the survivors are ingestible as-is.
+
+    ``seen`` is either the prior corpus (fingerprinted here with the
+    same ``normalized`` rule) or, with ``seen_is_keys=True``, a
+    persisted :func:`exact_keys` ledger — the steady-state shape: the
+    ledger is O(distinct docs) × 16 bytes, so a 100 TB corpus ledgers
+    into ~1.6 TB of keys that each nightly increment anti-joins
+    against WITHOUT touching corpus text.
+
+    Scale shape: one LEFT ANTI hash join on the key (only fingerprints
+    shuffle, never text) + the within-increment groupBy. Catalyst's
+    runtime bloom-filter join pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) prunes the
+    ledger scan down to the increment's key space before the shuffle
+    when the increment is far smaller than the ledger — the bloom
+    path without hand-building a filter. Returns ``increment``'s
+    columns unchanged.
+    """
+    key = fingerprint(F.col(text_col)) if normalized \
+        else F.md5(F.col(text_col))
+    cols = increment.columns
+    keyed = increment.withColumn("__dk__", key)
+    ledger = seen if seen_is_keys \
+        else exact_keys(seen, text_col, normalized)
+    fresh = keyed.join(ledger.withColumnRenamed("dup_key", "__dk__"),
+                       "__dk__", "left_anti")
+    if dedup_within:
+        canon = fresh.groupBy("__dk__").agg(
+            F.min(id_col).alias("__cid__"))
+        fresh = (fresh.join(canon, "__dk__")
+                 .filter(F.col(id_col) == F.col("__cid__")))
+    return fresh.select(*cols)

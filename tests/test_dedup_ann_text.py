@@ -1366,3 +1366,76 @@ def test_dsir_lowercase_mismatch_raises(spark, lm_corpus):
     b = lm.unigram_lm_fit(lm_corpus, vocab_size=4, lowercase=False)
     with pytest.raises(ValueError, match="lowercase"):
         lm.dsir_log_weights(lm_corpus, a, b)
+
+
+def test_novel_documents_incremental(spark):
+    """Incremental ingest dedup: planted cross-corpus dups vanish,
+    within-increment dup groups keep the min-id row, and the persisted
+    exact_keys ledger path is identical to fingerprinting the corpus."""
+    seen = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha doc body", "beta doc body", "gamma doc body"],
+    }))
+    inc = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 14, 15],
+        "text": [
+            "Alpha DOC body",        # dup of seen 0 (normalized)
+            "delta doc body",        # novel
+            "delta doc body",        # within-increment dup of 11
+            "epsilon doc body",      # novel
+            "beta doc body",         # exact dup of seen 1
+            "zeta doc body",         # novel
+        ],
+    }))
+    out = dedup.novel_documents(inc, seen).orderBy("doc_id").toPandas()
+    assert out["doc_id"].tolist() == [11, 13, 15]
+    assert list(out.columns) == ["doc_id", "text"]
+
+    # ledger path ≡ corpus path
+    ledger = dedup.exact_keys(seen)
+    out2 = dedup.novel_documents(inc, ledger, seen_is_keys=True) \
+        .orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+    # dedup_within=False keeps both copies of the novel dup group
+    out3 = dedup.novel_documents(inc, seen, dedup_within=False) \
+        .orderBy("doc_id").toPandas()
+    assert out3["doc_id"].tolist() == [11, 12, 13, 15]
+
+    # normalized=False treats the case-variant as novel
+    out4 = dedup.novel_documents(inc, seen, normalized=False) \
+        .orderBy("doc_id").toPandas()
+    assert 10 in out4["doc_id"].tolist()
+
+
+def test_novel_documents_duckdb_equivalence(spark):
+    """Cross-engine: anti-join + min-id-within on md5(lower/trimmed
+    collapse) must match DuckDB running the same relational plan."""
+    duckdb = pytest.importorskip("duckdb")
+    rng = np.random.RandomState(7)
+    def mk(n, start):
+        return pd.DataFrame({
+            "doc_id": np.arange(start, start + n),
+            "text": ["doc body %d" % rng.randint(0, 40) for _ in range(n)],
+        })
+    seen_pdf, inc_pdf = mk(60, 0), mk(50, 1000)
+    seen = spark.createDataFrame(seen_pdf)
+    inc = spark.createDataFrame(inc_pdf)
+    got = dedup.novel_documents(inc, seen).orderBy("doc_id").toPandas()
+
+    con = duckdb.connect()
+    con.register("seen", seen_pdf)
+    con.register("inc", inc_pdf)
+    # same normalization as text.fingerprint: lower → strip non-
+    # [a-z0-9 ] → collapse spaces → trim → md5
+    norm = ("md5(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))")
+    exp = con.execute(f"""
+        WITH ik AS (SELECT doc_id, text, {norm} AS dk FROM inc),
+        sk AS (SELECT DISTINCT {norm} AS dk FROM seen),
+        fresh AS (SELECT * FROM ik WHERE dk NOT IN (SELECT dk FROM sk)),
+        canon AS (SELECT dk, MIN(doc_id) cid FROM fresh GROUP BY 1)
+        SELECT f.doc_id, f.text FROM fresh f JOIN canon c
+        ON f.dk = c.dk WHERE f.doc_id = c.cid ORDER BY f.doc_id""").df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["text"].tolist() == exp["text"].tolist()
