@@ -499,6 +499,21 @@ def q_rolling_agg(spark, sf_dir):
                       .alias("value_decay_sum_h1800s"))
 
 
+def q_expanding_te(spark, sf_dir):
+    """Leakage-free time-ordered target encoding: smoothed expanding
+    mean of ``value`` over each user's STRICTLY-PAST events (range
+    frame over epoch seconds ending 1 s before the row; prior = the
+    fitted global mean). The streaming-shaped sibling of the kfold
+    TargetEncoding — no feature reads rows at t' >= t."""
+    ev = _t(spark, sf_dir, "events")
+    ete = ops.ExpandingTargetEncoding(target="value", order_by="ts",
+                                      p_smooth=20.0)
+    wf = nvt.Workflow((["user_id"] >> ete) + ["event_id"])
+    out = wf.fit_transform(ev)
+    return out.select("event_id",
+                      F.round("ETE_user_id_value", 6).alias("ete_value"))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs).select(
@@ -902,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: categorify_multi, groupby_events, lag_lead_difference,
         # duplicate_spans_full). Rows with no prior driver-green record
         # lead, so every key gets a hard CORRECTNESS row this round.
+        "expanding_te": q_expanding_te,
         "chunk_sequences": q_chunk_sequences,
         "bpe_word_counts": q_bpe_word_counts,
         "text_signals": q_text_signals,
@@ -1381,6 +1397,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS ts_session_id,
                    event_id
             FROM g""",
+        "expanding_te": """
+            SELECT event_id,
+                   ROUND((COALESCE(SUM(value) OVER w, 0)
+                          + 20 * (SELECT AVG(value) FROM events))
+                         / (COUNT(value) OVER w + 20), 6) AS ete_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)""",
         "rolling_agg": """
             SELECT event_id,
                    ROUND(AVG(value) OVER w, 6) AS value_rolling_mean_3,

@@ -22,8 +22,8 @@ from .rowops import (AddMetadata, AddProperties, AddTags, DropLowCardinality,
 from .target_encoding import TargetEncoding
 from .text_ops import (BPETokenize, LangId, QualityScore, ScrubPII,
                        TokenCount)
-from .temporal import (AsOfJoin, Lag, Lead, RollingAgg, RollingBackfill, TimeDecay,
-                       Sessionize)
+from .temporal import (AsOfJoin, ExpandingTargetEncoding, Lag, Lead, RollingAgg,
+                       RollingBackfill, TimeDecay, Sessionize)
 # named sub-DAG boundary (reference merlin.dag.ops.subgraph.Subgraph)
 from ..plans.graph import Subgraph
 
@@ -39,6 +39,7 @@ __all__ = [
     "Dropna", "Filter", "ReduceDtypeSize", "Rename",
     "TagAsItemFeatures", "TagAsItemID", "TagAsUserFeatures", "TagAsUserID",
     "TargetEncoding",
-    "AsOfJoin", "Lag", "Lead", "RollingAgg", "RollingBackfill", "TimeDecay", "Sessionize",
+    "AsOfJoin", "ExpandingTargetEncoding", "Lag", "Lead", "RollingAgg",
+    "RollingBackfill", "TimeDecay", "Sessionize",
     "Subgraph",
 ]

@@ -29,7 +29,7 @@ from typing import List, Optional, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .base import Operator, TransformContext
+from .base import AggStatOperator, Operator, TransformContext
 from ..plans.graph import ColumnSelector
 
 
@@ -564,4 +564,126 @@ class TimeDecay(Operator):
                     * F.pow(half, (cur - x["t"]) / h))
                 name = f"{pub}_decay_{a}_h{int(self.half_life_seconds)}s"
                 cols[ctx.out(name)] = out
+        return df.withColumns(cols)
+
+
+class ExpandingTargetEncoding(AggStatOperator):
+    """Leakage-free time-ordered target encoding: at each (entity, t)
+    the smoothed mean of the target over the entity's STRICTLY-PAST
+    rows,
+
+        ETE(t) = (sum_{t' <= t-gap} y + p_smooth * prior)
+               / (count_{t' <= t-gap}  + p_smooth)
+
+    Selector columns are the entity keys (grouped selectors encode
+    multi-column keys, as in :class:`~.target_encoding.TargetEncoding`,
+    reference target_encoding.py:35-61 for the smoothing formula);
+    output ``ETE_<key>_<target>``, keys pass through.
+
+    vs the kfold TargetEncoding: same formula, but "the other rows"
+    are the entity's own past instead of the other folds — the
+    streaming/production shape where a training row may only use
+    features computable at its own event time (north_rule: zero
+    temporal leakage, no feature reads rows at t' >= t). An entity's
+    first event encodes to exactly ``prior`` (count 0, empty-frame sum
+    coalesced to 0); with ``p_smooth=0`` history-less rows are NULL
+    (0/0) — the raw expanding mean.
+
+    Execution: ONE entity-partitioned range window per key group —
+    sum and count share the frame, Spark's window executor evaluates
+    both incrementally in a single pass; no join, no second scan of
+    the input. fit is a single global aggregate (the prior), batched
+    by the compiler with every other AggStatOperator in the DAG into
+    one job. The frame is a RANGE over epoch seconds ending
+    ``gap_seconds`` before the row, so timestamp ties never leak and
+    the encoding is deterministic under ties (a ROWS frame would be
+    tie-order dependent). Zero Exchange on entity-bucketed, ts-sorted
+    input — the same window shape as RollingAgg, so at 10^12 rows a
+    feature stack of [RollingAgg, TimeDecay, ExpandingTargetEncoding]
+    over one entity key pays ONE shuffle total.
+    """
+
+    cheap_transform = False  # window-backed
+
+    def __init__(self, target: Union[str, List[str]], order_by: str,
+                 p_smooth: float = 20, target_mean: Optional[float] = None,
+                 gap_seconds: int = 1, out_dtype: str = "double",
+                 name_sep: str = "_"):
+        super().__init__()
+        self.targets = [target] if isinstance(target, str) else list(target)
+        self.order_by = order_by
+        self.p_smooth = float(p_smooth)
+        self.target_mean = target_mean
+        self.gap_seconds = int(gap_seconds)
+        self.out_dtype = out_dtype
+        self.name_sep = name_sep
+        self.means: dict = {}
+        if self.gap_seconds < 1:
+            raise ValueError("gap_seconds must be >= 1 (0 would let "
+                             "same-timestamp rows leak into the frame)")
+
+    def dependencies(self):
+        return list(self.targets) + [self.order_by]
+
+    @staticmethod
+    def _clean(t: str) -> Column:
+        tc = F.col(t).cast("double")
+        # pandas/cudf agg semantics: NaN ≡ missing (see TargetEncoding)
+        return F.when(F.isnan(tc), F.lit(None)).otherwise(tc)
+
+    def _groups(self, selector: ColumnSelector) -> List[tuple]:
+        return [g if isinstance(g, tuple) else (g,)
+                for g in selector.grouped_names]
+
+    def output_column_names(self, selector: ColumnSelector):
+        return list(selector.names) + [
+            f"ETE_{self.name_sep.join(g)}_{t}"
+            for g in self._groups(selector) for t in self.targets]
+
+    # -- fit: the global prior, one fused aggregate ---------------------------
+    def agg_requests(self, ctx: TransformContext, df: DataFrame):
+        return [F.avg(self._clean(t)).alias(self._alias(f"mean_{t}"))
+                for t in self.targets]
+
+    def consume_agg(self, row) -> None:
+        if self.target_mean is not None:
+            self.means = {t: float(self.target_mean) for t in self.targets}
+            return
+        # an all-null target has no defined mean; 0.0 keeps the
+        # encoding total (the formula then shrinks toward 0)
+        self.means = {
+            t: (float(v) if (v := row[self._alias(f"mean_{t}")])
+                is not None else 0.0)
+            for t in self.targets}
+
+    def save_state(self):
+        return {"means": self.means}
+
+    def load_state(self, state):
+        self.means = state["means"]
+        self.fitted = True
+
+    # -- transform: one range window per key group -----------------------------
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        self._require_fitted()
+        sec = Sessionize._seconds(df, self.order_by)
+        cols = {}
+        for g in self._groups(ctx.selector):
+            acts = [ctx.inputs.get(c, c) for c in g]
+            w = (Window.partitionBy(*acts).orderBy(sec)
+                 .rangeBetween(Window.unboundedPreceding,
+                               -self.gap_seconds))
+            for t in self.targets:
+                tc = self._clean(t)
+                s = F.coalesce(F.sum(tc).over(w), F.lit(0.0))
+                c = F.count(tc).over(w)
+                # try_divide: with p_smooth=0 a history-less row is
+                # 0/0 → NULL by contract (ANSI mode would error)
+                te = F.try_divide(
+                    s + F.lit(self.p_smooth) * F.lit(self.means[t]),
+                    c + F.lit(self.p_smooth)).cast(self.out_dtype)
+                name = f"ETE_{self.name_sep.join(g)}_{t}"
+                cols[ctx.out(name)] = te
+        # key columns pass through under their output names
+        cols.update({ctx.out(pub): F.col(act) for pub, act in ctx.pairs()})
         return df.withColumns(cols)

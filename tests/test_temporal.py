@@ -429,3 +429,119 @@ def test_rolling_nunique_brute_force(spark, events_pdf):
 def test_rolling_agg_rejects_unknown_agg():
     with pytest.raises(ValueError, match="unsupported rolling aggs"):
         ops.RollingAgg("e", "ts", window_rows=3, aggs=["median"])
+
+
+# -- ExpandingTargetEncoding ---------------------------------------------------
+
+def test_expanding_te_brute_force(spark, events_pdf):
+    """ETE at (e, t) must equal (sum_past + p*prior)/(count_past + p)
+    where past = the entity's rows at ts <= t - 1s over the WHOLE
+    input (expanding frame), prior = the global mean — recomputed
+    per row in pandas."""
+    p = 20.0
+    df = spark.createDataFrame(events_pdf)
+    ete = ops.ExpandingTargetEncoding(target="v", order_by="ts",
+                                      p_smooth=p)
+    out = nvt.Workflow((["entity"] >> ete) + ["rid"]) \
+        .fit_transform(df).orderBy("rid").toPandas()
+    prior = events_pdf["v"].mean()
+    epoch = events_pdf["ts"].astype("int64") / 1e9
+    for i, row in events_pdf.iterrows():
+        t = epoch.iloc[i]
+        past = events_pdf.loc[(events_pdf["entity"] == row["entity"])
+                              & (epoch <= t - 1), "v"]
+        exp = (past.sum() + p * prior) / (len(past) + p)
+        got = out.loc[out["rid"] == row["rid"], "ETE_entity_v"].iloc[0]
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_expanding_te_first_event_is_prior_and_ties_excluded(spark):
+    pdf = pd.DataFrame({
+        "e": ["a"] * 4,
+        "ts": pd.to_datetime([1000, 2000, 2000, 3000], unit="s"),
+        "y": [4.0, 8.0, 16.0, 2.0],
+        "rid": range(4)})
+    df = spark.createDataFrame(pdf)
+    ete = ops.ExpandingTargetEncoding(target="y", order_by="ts",
+                                      p_smooth=2.0)
+    out = nvt.Workflow((["e"] >> ete) + ["rid"]) \
+        .fit_transform(df).orderBy("rid").toPandas()
+    prior = pdf["y"].mean()    # 7.5
+    # rid 0: no past → exactly the prior
+    np.testing.assert_allclose(out["ETE_e_y"].iloc[0], prior)
+    # the two ts=2000 rows see ONLY ts=1000 — not each other
+    exp_tied = (4.0 + 2.0 * prior) / (1 + 2.0)
+    np.testing.assert_allclose(out["ETE_e_y"].iloc[1], exp_tied)
+    np.testing.assert_allclose(out["ETE_e_y"].iloc[2], exp_tied)
+    # rid 3 sees all three earlier rows
+    exp3 = (28.0 + 2.0 * prior) / (3 + 2.0)
+    np.testing.assert_allclose(out["ETE_e_y"].iloc[3], exp3)
+
+
+def test_expanding_te_psmooth_zero_and_nan_target(spark):
+    """p_smooth=0 → raw expanding mean, NULL when no history; NaN
+    targets are missing (never poison the running sum)."""
+    pdf = pd.DataFrame({
+        "e": ["a", "a", "a"],
+        "ts": pd.to_datetime([10, 20, 30], unit="s"),
+        "y": [5.0, np.nan, 7.0],
+        "rid": range(3)})
+    df = spark.createDataFrame(pdf)
+    ete = ops.ExpandingTargetEncoding(target="y", order_by="ts",
+                                      p_smooth=0.0)
+    out = nvt.Workflow((["e"] >> ete) + ["rid"]) \
+        .fit_transform(df).orderBy("rid").toPandas()
+    assert pd.isna(out["ETE_e_y"].iloc[0])
+    np.testing.assert_allclose(out["ETE_e_y"].iloc[1], 5.0)
+    np.testing.assert_allclose(out["ETE_e_y"].iloc[2], 5.0)  # NaN skipped
+
+
+def test_expanding_te_roundtrip_and_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="gap_seconds"):
+        ops.ExpandingTargetEncoding(target="y", order_by="ts",
+                                    gap_seconds=0)
+    pdf = pd.DataFrame({
+        "e": ["a", "a", "b"],
+        "ts": pd.to_datetime([10, 20, 30], unit="s"),
+        "y": [1.0, 3.0, 5.0],
+        "rid": range(3)})
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow((["e"] >> ops.ExpandingTargetEncoding(
+        target="y", order_by="ts", p_smooth=1.0)) + ["rid"])
+    wf.fit(df)
+    path = str(tmp_path / "ete_wf")
+    wf.save(path)
+    loaded = nvt.Workflow.load(path)
+    a = wf.transform(df).orderBy("rid").toPandas()
+    b = loaded.transform(df).orderBy("rid").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    # fitted prior rides the round-trip (no refit needed)
+    np.testing.assert_allclose(a["ETE_e_y"].iloc[0], 3.0)  # global mean
+
+
+def test_expanding_te_multi_key_and_fused_fit(spark, events_pdf):
+    """Grouped selector = composite entity key; the prior fit fuses
+    into the same single agg job as Normalize's moments (both are
+    AggStatOperators) — assert equivalence, not the job count (the
+    compiler plan-shape tests own that)."""
+    pdf = events_pdf.assign(seg=np.where(events_pdf["rid"] % 2 == 0,
+                                         "x", "y"))
+    df = spark.createDataFrame(pdf)
+    ete = ops.ExpandingTargetEncoding(target="v", order_by="ts",
+                                      p_smooth=5.0)
+    wf = nvt.Workflow(([("entity", "seg")] >> ete)
+                      + (["v"] >> ops.Normalize()) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+    assert "ETE_entity_seg_v" in out.columns
+    prior = pdf["v"].mean()
+    epoch = pdf["ts"].astype("int64") / 1e9
+    for i in [0, 57, 123]:
+        row = pdf.iloc[i]
+        t = epoch.iloc[i]
+        past = pdf.loc[(pdf["entity"] == row["entity"])
+                       & (pdf["seg"] == row["seg"])
+                       & (epoch <= t - 1), "v"]
+        exp = (past.sum() + 5.0 * prior) / (len(past) + 5.0)
+        got = out.loc[out["rid"] == row["rid"],
+                      "ETE_entity_seg_v"].iloc[0]
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
