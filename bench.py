@@ -56,6 +56,7 @@ N_ROWS = int(os.environ.get("BENCH_ROWS", str(int(10_000_000 * SF))))
 
 HEADLINE = ["groupby_agg", "join_groupby", "categorify_freq_oov",
             "target_encoding", "asof_join", "sessionize", "rolling_agg",
+            "expanding_te",
             "minhash_signature", "ngram_jaccard", "ann_cosine_topk",
             "tokens_pipeline", "simhash"]
 

@@ -240,3 +240,54 @@ def drop_exact_duplicates_stream(stream_df: DataFrame,
     else:
         keyed = keyed.dropDuplicates(["__dk__"])
     return keyed.drop("__dk__")
+
+
+def expanding_te_stream(stream_df: DataFrame, key: str, ts_col: str,
+                        target_col: str, prior: float,
+                        p_smooth: float = 20.0,
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Streaming double of the batch ``ExpandingTargetEncoding``: each
+    event is encoded from the entity's PREVIOUSLY-ARRIVED target values
+    only — ``(sum_past + p_smooth*prior) / (count_past + p_smooth)`` —
+    then the state (one (count, sum) pair per entity, O(1) regardless
+    of history length) absorbs the event. ``prior`` is the fitted
+    global mean from the batch fit (the op's ``means[target]``) — the
+    production split: fit offline, encode the live stream.
+
+    In-order per-entity delivery assumed (rows re-sorted within each
+    micro-batch); equivalence with the batch op's range frame holds
+    for timestamps spaced >= gap_seconds apart, the same contract the
+    other streaming doubles in this module document. NULL/NaN targets
+    are emitted but never enter the state (batch NaN≡missing rule).
+    ``p_smooth=0`` on a history-less entity yields NULL (batch
+    try_divide contract)."""
+    import pandas as pd
+
+    key_t = stream_df.schema[key].dataType.simpleString()
+    out_schema = (f"{key} {key_t}, {ts_col} timestamp, "
+                  f"{target_col} double, ete double")
+    state_schema = "cnt long, s double"
+
+    def fn(key_tuple, pdfs, state):
+        cnt, s = (state.get if state.exists else (0, 0.0))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=[ts_col]).sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[target_col]):
+                denom = cnt + p_smooth
+                ete = ((s + p_smooth * prior) / denom) if denom else None
+                missing = v is None or v != v
+                rows.append([key_tuple[0], ts,
+                             None if missing else float(v), ete])
+                if not missing:
+                    cnt, s = cnt + 1, s + float(v)
+        state.update((cnt, s))
+        if not rows:
+            return iter([])
+        return iter([pd.DataFrame(
+            rows, columns=[key, ts_col, target_col, "ete"])])
+
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -479,3 +479,43 @@ def test_asof_stream_state_survives_restart(spark, tmp_path):
     got = spark.read.parquet(out_dir).orderBy("tid").toPandas()
     assert got["tid"].tolist() == [0, 1]
     assert got["quote_asof"].tolist() == [100.0, 100.0]
+
+
+def test_expanding_te_stream_matches_batch_op(spark, tmp_path):
+    """Streaming expanding target encoding (O(1) count/sum state per
+    entity) must equal the batch ExpandingTargetEncoding on in-order
+    per-entity data with timestamps >= 1s apart."""
+    from nvtabular_spark.streaming import expanding_te_stream
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame({
+        "ent": ["a"] * 25 + ["b"] * 15,
+        "ts": pd.to_datetime(
+            np.concatenate([np.arange(25), np.arange(15)]) * 60, unit="s"),
+        "y": rng.rand(40) * 10,
+    })
+    # plant a NaN target: emitted, never enters the running state
+    pdf.loc[5, "y"] = np.nan
+    sdf = spark.createDataFrame(pdf)
+    p = str(tmp_path / "ete_in")
+    sdf.write.parquet(p)
+
+    ete = ops.ExpandingTargetEncoding(target="y", order_by="ts",
+                                      p_smooth=7.0)
+    wf = nvt.Workflow((["ent"] >> ete) + ["ts"])
+    wf.fit(sdf)
+    prior = ete.means["y"]
+    np.testing.assert_allclose(prior, pdf["y"].mean())  # skipna both sides
+
+    stream = spark.readStream.schema(sdf.schema).parquet(p)
+    out = expanding_te_stream(stream, key="ent", ts_col="ts",
+                              target_col="y", prior=prior, p_smooth=7.0)
+    q = (out.writeStream.format("memory").queryName("ete_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from ete_stream") \
+        .orderBy("ent", "ts").toPandas()
+    batch = wf.transform(sdf).orderBy("ent", "ts").toPandas()
+    np.testing.assert_allclose(
+        got["ete"].to_numpy(dtype="float64"),
+        batch["ETE_ent_y"].to_numpy(dtype="float64"),
+        rtol=1e-12, equal_nan=True)
