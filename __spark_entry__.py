@@ -514,6 +514,24 @@ def q_expanding_te(spark, sf_dir):
                       F.round("ETE_user_id_value", 6).alias("ete_value"))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Snapshot-drift gate: PSI + JS-divergence per-bin table between
+    the even-user and odd-user halves of events.value, over 10
+    fixed-width bins anchored to the reference half's [min, max]
+    (Laplace alpha=0.5). The retraining-gate data-quality check."""
+    from nvtabular_spark.functions import drift
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("user_id") % 2 == 0)
+    cur = ev.where(F.col("user_id") % 2 == 1)
+    out = drift.psi(ref, cur, "value", bins=10, alpha=0.5)
+    return out.select(
+        "bin", "n_ref", "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("psi_contrib", 6).alias("psi_contrib"),
+        F.round("js_contrib", 6).alias("js_contrib"))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs).select(
@@ -918,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # duplicate_spans_full). Rows with no prior driver-green record
         # lead, so every key gets a hard CORRECTNESS row this round.
         "expanding_te": q_expanding_te,
+        "psi_drift": q_psi_drift,
         "chunk_sequences": q_chunk_sequences,
         "bpe_word_counts": q_bpe_word_counts,
         "text_signals": q_text_signals,
@@ -1397,6 +1416,38 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS ts_session_id,
                    event_id
             FROM g""",
+        "psi_drift": """
+            WITH ref AS (SELECT value AS v FROM events
+                         WHERE user_id % 2 = 0 AND value IS NOT NULL),
+            cur AS (SELECT value AS v FROM events
+                    WHERE user_id % 2 = 1 AND value IS NOT NULL),
+            p AS (SELECT lo, CASE WHEN (hi - lo) / 10.0 = 0 THEN 1.0
+                                  ELSE (hi - lo) / 10.0 END AS w
+                  FROM (SELECT MIN(v) lo, MAX(v) hi FROM ref)),
+            rh AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - p.lo) / p.w)
+                       AS INT), 0), 9) AS bin, COUNT(*) n
+                   FROM ref, p GROUP BY 1),
+            ch AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - p.lo) / p.w)
+                       AS INT), 0), 9) AS bin, COUNT(*) n
+                   FROM cur, p GROUP BY 1),
+            grid AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+            d AS (SELECT g.bin, COALESCE(rh.n, 0) AS n_ref,
+                         COALESCE(ch.n, 0) AS n_cur
+                  FROM grid g LEFT JOIN rh ON g.bin = rh.bin
+                              LEFT JOIN ch ON g.bin = ch.bin),
+            t AS (SELECT SUM(n_ref) tr, SUM(n_cur) tc FROM d),
+            q AS (SELECT d.bin, d.n_ref, d.n_cur,
+                         (d.n_ref + 0.5) / (t.tr + 5.0) AS pr,
+                         (d.n_cur + 0.5) / (t.tc + 5.0) AS pc
+                  FROM d, t)
+            SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+                   ROUND((pc - pr) * LN(pc / pr), 6) AS psi_contrib,
+                   ROUND((pr * LN(pr / ((pr + pc) / 2))
+                          + pc * LN(pc / ((pr + pc) / 2))) / 2, 6)
+                       AS js_contrib
+            FROM q""",
         "expanding_te": """
             SELECT event_id,
                    ROUND((COALESCE(SUM(value) OVER w, 0)

@@ -1,0 +1,127 @@
+"""Distribution drift between two dataset snapshots — the data-quality
+gate a production feature pipeline runs before retraining: "did this
+week's feature distribution move away from the training snapshot?".
+
+Not in the reference (its closest analog is the data_gen
+``DatasetGen`` KS verification, data_gen.py:441-466, which tests one
+dataset against a THEORETICAL distribution); this compares two
+OBSERVED snapshots — Population Stability Index (the credit-scoring
+standard) and Jensen-Shannon divergence — over a shared,
+reference-anchored binning.
+
+Scale shape (the 100 TB case is "this week" = tens of TB vs a fixed
+training snapshot): the reference scan is ONE min/max aggregate; each
+snapshot then pays ONE map-side-partial groupBy on a computed bin id
+(codegen arithmetic, no UDF); the two ≤``bins``-row histograms
+broadcast-join onto a dense ``bins``-row grid. Nothing quadratic,
+nothing driver-side except the two scalar edges, and the snapshot
+scans read only ``col`` (column-pruned).
+
+Determinism: bin edges come from the REFERENCE snapshot only, so the
+current snapshot's values never move the grid (a drifted max would
+otherwise silently re-bin the reference); probabilities use Laplace
+(add-``alpha``) smoothing so empty bins are defined without ad-hoc
+epsilon clamps, and the whole computation is exact arithmetic — no
+sampling, no sketches — hence reproducible across engines (the oracle
+runs the identical formula in SQL).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _clean(col: str):
+    c = F.col(col).cast("double")
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)  # NaN ≡ missing
+
+
+def _bin_id(col, lo: float, width: float, bins: int):
+    """Fixed-width bin index in [0, bins-1]; values at/above the
+    reference max clamp into the last bin, below the min into bin 0 —
+    the conventional PSI treatment of out-of-range drift (it must
+    COUNT as mass in an edge bin, not vanish)."""
+    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+
+def psi(ref: DataFrame, cur: DataFrame, col: str, bins: int = 10,
+        alpha: float = 0.5,
+        edges: Optional[Tuple[float, float]] = None) -> DataFrame:
+    """Per-bin drift table over ``bins`` fixed-width bins anchored to
+    the REFERENCE snapshot's [min, max] (or explicit ``edges``): one
+    row per bin id in [0, bins), columns ``bin, n_ref, n_cur, p_ref,
+    p_cur, psi_contrib, js_contrib``. NULL/NaN values are excluded
+    from both snapshots.
+
+    With Laplace-smoothed ``p_b = (n_b + alpha) / (N + alpha*bins)``::
+
+        psi_contrib = (p_cur - p_ref) * ln(p_cur / p_ref)
+        js_contrib  = (p_ref*ln(p_ref/m) + p_cur*ln(p_cur/m)) / 2,
+                      m = (p_ref + p_cur) / 2
+
+    ``df.agg(F.sum("psi_contrib"))`` is the PSI (rule of thumb: <0.1
+    stable, 0.1-0.25 moderate, >0.25 action); same for the JS
+    divergence, in nats, bounded by ln 2. The dense grid keeps the
+    smoothing denominators exact and the output shape fixed
+    (``bins`` rows at any data scale).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (zero-count bins would "
+                         "make ln(p/q) undefined)")
+    if edges is None:
+        row = ref.select(F.min(_clean(col)).alias("lo"),
+                         F.max(_clean(col)).alias("hi")).collect()[0]
+        if row["lo"] is None:
+            raise ValueError(f"reference snapshot has no non-null "
+                             f"values in {col!r}")
+        lo, hi = float(row["lo"]), float(row["hi"])
+    else:
+        lo, hi = float(edges[0]), float(edges[1])
+    width = ((hi - lo) / bins) or 1.0    # constant column → one bin
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        # filter nulls BEFORE binning: Spark's greatest/least skip
+        # nulls, so _bin_id would otherwise clamp a NULL into bin 0
+        return (df.select(_clean(col).alias("__v__"))
+                .where(F.col("__v__").isNotNull())
+                .select(_bin_id(F.col("__v__"), lo, width, bins)
+                        .alias("bin"))
+                .groupBy("bin").agg(F.count("*").alias(name)))
+
+    grid = ref.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin"))
+    dense = (grid.join(F.broadcast(counts(ref, "n_ref")), "bin", "left")
+                 .join(F.broadcast(counts(cur, "n_cur")), "bin", "left")
+                 .na.fill({"n_ref": 0, "n_cur": 0}))
+    # totals via an unpartitioned window over the bins-row table —
+    # trivially single-partition at this size, avoids a second scan
+    w = Window.partitionBy()
+    a, ab = F.lit(float(alpha)), F.lit(float(alpha * bins))
+    p_r = (F.col("n_ref") + a) / (F.sum("n_ref").over(w) + ab)
+    p_c = (F.col("n_cur") + a) / (F.sum("n_cur").over(w) + ab)
+    m = (p_r + p_c) / 2
+    return dense.select(
+        "bin", "n_ref", "n_cur",
+        p_r.alias("p_ref"), p_c.alias("p_cur"),
+        ((p_c - p_r) * F.log(p_c / p_r)).alias("psi_contrib"),
+        ((p_r * F.log(p_r / m) + p_c * F.log(p_c / m)) / 2)
+        .alias("js_contrib"))
+
+
+def drift_summary(ref: DataFrame, cur: DataFrame, col: str,
+                  bins: int = 10, alpha: float = 0.5,
+                  edges: Optional[Tuple[float, float]] = None
+                  ) -> DataFrame:
+    """One-row rollup of :func:`psi`: ``psi, js_divergence, n_ref,
+    n_cur`` — the form a retraining gate thresholds on."""
+    t = psi(ref, cur, col, bins=bins, alpha=alpha, edges=edges)
+    return t.agg(F.sum("psi_contrib").alias("psi"),
+                 F.sum("js_contrib").alias("js_divergence"),
+                 F.sum("n_ref").alias("n_ref"),
+                 F.sum("n_cur").alias("n_cur"))

@@ -1439,3 +1439,88 @@ def test_novel_documents_duckdb_equivalence(spark):
         ON f.dk = c.dk WHERE f.doc_id = c.cid ORDER BY f.doc_id""").df()
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["text"].tolist() == exp["text"].tolist()
+
+
+# -- drift: PSI / JS divergence -------------------------------------------------
+
+def test_psi_identical_snapshots_is_zero(spark):
+    from nvtabular_spark.functions import drift
+    pdf = pd.DataFrame({"v": np.linspace(0, 10, 200)})
+    a = spark.createDataFrame(pdf)
+    out = drift.psi(a, a, "v", bins=8).toPandas().sort_values("bin")
+    assert len(out) == 8
+    np.testing.assert_allclose(out["psi_contrib"], 0.0, atol=1e-15)
+    np.testing.assert_allclose(out["js_contrib"], 0.0, atol=1e-15)
+    np.testing.assert_allclose(out["p_ref"], out["p_cur"])
+
+
+def test_psi_brute_force_and_clamping(spark):
+    """PSI/JS vs a numpy recomputation with the same Laplace smoothing;
+    current-snapshot values beyond the reference range clamp into the
+    edge bins (out-of-range drift counts, never vanishes)."""
+    from nvtabular_spark.functions import drift
+    rng = np.random.RandomState(3)
+    ref_v = rng.normal(0, 1, 500)
+    cur_v = np.concatenate([rng.normal(0.8, 1.3, 400),
+                            [-99.0, 99.0]])          # out-of-range
+    bins, alpha = 10, 0.5
+    ref = spark.createDataFrame(pd.DataFrame({"v": ref_v}))
+    cur = spark.createDataFrame(pd.DataFrame({"v": cur_v}))
+    out = drift.psi(ref, cur, "v", bins=bins, alpha=alpha) \
+        .toPandas().sort_values("bin").reset_index(drop=True)
+
+    lo, hi = ref_v.min(), ref_v.max()
+    width = (hi - lo) / bins
+    def hist(v):
+        b = np.clip(np.floor((v - lo) / width).astype(int), 0, bins - 1)
+        return np.bincount(b, minlength=bins)
+    n_r, n_c = hist(ref_v), hist(cur_v)
+    p_r = (n_r + alpha) / (len(ref_v) + alpha * bins)
+    p_c = (n_c + alpha) / (len(cur_v) + alpha * bins)
+    np.testing.assert_array_equal(out["n_ref"], n_r)
+    np.testing.assert_array_equal(out["n_cur"], n_c)
+    np.testing.assert_allclose(out["psi_contrib"],
+                               (p_c - p_r) * np.log(p_c / p_r),
+                               rtol=1e-12)
+    m = (p_r + p_c) / 2
+    np.testing.assert_allclose(
+        out["js_contrib"],
+        (p_r * np.log(p_r / m) + p_c * np.log(p_c / m)) / 2, rtol=1e-12)
+    # the planted outliers live in the edge bins
+    assert out["n_cur"].iloc[0] >= 1 and out["n_cur"].iloc[-1] >= 1
+
+    s = drift.drift_summary(ref, cur, "v", bins=bins,
+                            alpha=alpha).toPandas()
+    np.testing.assert_allclose(s["psi"].iloc[0],
+                               ((p_c - p_r) * np.log(p_c / p_r)).sum(),
+                               rtol=1e-12)
+    assert 0 <= s["js_divergence"].iloc[0] <= np.log(2) + 1e-12
+
+
+def test_psi_nulls_nans_excluded_and_validation(spark):
+    from nvtabular_spark.functions import drift
+    ref = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.0,), (None,)], "v double")
+    cur = spark.createDataFrame(
+        pd.DataFrame({"v": [0.0, 2.0, np.nan]}))
+    out = drift.psi(ref, cur, "v", bins=2).toPandas().sort_values("bin")
+    assert out["n_ref"].sum() == 3 and out["n_cur"].sum() == 2
+    with pytest.raises(ValueError, match="bins"):
+        drift.psi(ref, cur, "v", bins=1)
+    with pytest.raises(ValueError, match="alpha"):
+        drift.psi(ref, cur, "v", alpha=0.0)
+    empty = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        drift.psi(empty, cur, "v")
+
+
+def test_psi_constant_reference_column(spark):
+    """A constant reference column (width 0 → 1.0) puts all mass in
+    bin 0 on both sides; drift shows only if cur moves above lo."""
+    from nvtabular_spark.functions import drift
+    ref = spark.createDataFrame(pd.DataFrame({"v": [5.0] * 10}))
+    cur = spark.createDataFrame(pd.DataFrame({"v": [5.0] * 8 + [7.0] * 2}))
+    out = drift.psi(ref, cur, "v", bins=4).toPandas().sort_values("bin")
+    assert out["n_ref"].iloc[0] == 10
+    assert out["n_cur"].iloc[0] == 8
+    assert out["n_cur"].sum() == 10   # the 7.0s clamp into a later bin
