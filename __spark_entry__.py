@@ -532,6 +532,25 @@ def q_psi_drift(spark, sf_dir):
         F.round("js_contrib", 6).alias("js_contrib"))
 
 
+def q_psi_drift_cat(spark, sf_dir):
+    """Categorical drift gate: PSI/JS over the even-user half's top-3
+    event types + __other__, vs the odd-user half — the
+    vocabulary-shift check (a category that explodes in the current
+    snapshot surfaces as __other__ drift)."""
+    from nvtabular_spark.functions import drift
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("user_id") % 2 == 0)
+    cur = ev.where(F.col("user_id") % 2 == 1)
+    out = drift.psi_categorical(ref, cur, "event_type", top_k=3,
+                                alpha=0.5)
+    return out.select(
+        "category", "n_ref", "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("psi_contrib", 6).alias("psi_contrib"),
+        F.round("js_contrib", 6).alias("js_contrib"))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs).select(
@@ -937,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lead, so every key gets a hard CORRECTNESS row this round.
         "expanding_te": q_expanding_te,
         "psi_drift": q_psi_drift,
+        "psi_drift_cat": q_psi_drift_cat,
         "chunk_sequences": q_chunk_sequences,
         "bpe_word_counts": q_bpe_word_counts,
         "text_signals": q_text_signals,
@@ -1416,6 +1436,43 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS ts_session_id,
                    event_id
             FROM g""",
+        "psi_drift_cat": """
+            WITH rh AS (SELECT event_type AS category, COUNT(*) n
+                        FROM events WHERE user_id % 2 = 0
+                          AND event_type IS NOT NULL GROUP BY 1),
+            ch AS (SELECT event_type AS category, COUNT(*) n
+                   FROM events WHERE user_id % 2 = 1
+                     AND event_type IS NOT NULL GROUP BY 1),
+            top AS (SELECT category FROM rh
+                    ORDER BY n DESC, category ASC LIMIT 3),
+            rb AS (SELECT COALESCE(t.category, '__other__') AS category,
+                          SUM(rh.n) AS n
+                   FROM rh LEFT JOIN top t ON rh.category = t.category
+                   GROUP BY 1),
+            cb AS (SELECT COALESCE(t.category, '__other__') AS category,
+                          SUM(ch.n) AS n
+                   FROM ch LEFT JOIN top t ON ch.category = t.category
+                   GROUP BY 1),
+            grid AS (SELECT category FROM top
+                     UNION ALL SELECT '__other__'),
+            d AS (SELECT g.category, COALESCE(rb.n, 0) AS n_ref,
+                         COALESCE(cb.n, 0) AS n_cur
+                  FROM grid g LEFT JOIN rb ON g.category = rb.category
+                              LEFT JOIN cb ON g.category = cb.category),
+            t AS (SELECT SUM(n_ref) tr, SUM(n_cur) tc,
+                         COUNT(*) nb FROM d),
+            q AS (SELECT d.category, d.n_ref, d.n_cur,
+                         (d.n_ref + 0.5) / (t.tr + 0.5 * t.nb) AS pr,
+                         (d.n_cur + 0.5) / (t.tc + 0.5 * t.nb) AS pc
+                  FROM d, t)
+            SELECT category, CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+                   ROUND((pc - pr) * LN(pc / pr), 6) AS psi_contrib,
+                   ROUND((pr * LN(pr / ((pr + pc) / 2))
+                          + pc * LN(pc / ((pr + pc) / 2))) / 2, 6)
+                       AS js_contrib
+            FROM q""",
         "psi_drift": """
             WITH ref AS (SELECT value AS v FROM events
                          WHERE user_id % 2 = 0 AND value IS NOT NULL),

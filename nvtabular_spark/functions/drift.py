@@ -125,3 +125,69 @@ def drift_summary(ref: DataFrame, cur: DataFrame, col: str,
                  F.sum("js_contrib").alias("js_divergence"),
                  F.sum("n_ref").alias("n_ref"),
                  F.sum("n_cur").alias("n_cur"))
+
+
+def psi_categorical(ref: DataFrame, cur: DataFrame, col: str,
+                    top_k: int = 100, alpha: float = 0.5,
+                    other: str = "__other__") -> DataFrame:
+    """Categorical drift table: per-category ``category, n_ref, n_cur,
+    p_ref, p_cur, psi_contrib, js_contrib`` over the reference
+    snapshot's ``top_k`` most frequent categories plus one ``other``
+    bucket absorbing everything else (on BOTH sides — a category that
+    exploded into the current snapshot but wasn't top-k in the
+    reference shows up as ``other`` drift, which is exactly the signal
+    a vocabulary-shift gate needs). NULLs are excluded, matching
+    :func:`psi`.
+
+    Scale shape: one groupBy per snapshot on the RAW column (map-side
+    partial → ≤cardinality rows), then every later step operates on
+    histograms, never rows: the top-k cut is a distributed
+    TakeOrdered (orderBy freq desc, category asc, LIMIT k — no
+    single-partition window), the bucketing is a broadcast left join
+    of histogram onto the k-row top table, and the final table is
+    ≤k+1 rows. Ties at the top-k boundary break lexicographically, so
+    the bucket set is deterministic across engines.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+
+    def hist(df: DataFrame) -> DataFrame:
+        c = F.col(col).cast("string")
+        return (df.select(c.alias("category"))
+                .where(F.col("category").isNotNull())
+                .groupBy("category").agg(F.count("*").alias("n")))
+
+    h_ref, h_cur = hist(ref), hist(cur)
+    top = (h_ref.orderBy(F.desc("n"), F.asc("category")).limit(top_k)
+           .select(F.col("category").alias("__top__")))
+
+    def bucket(h: DataFrame, name: str) -> DataFrame:
+        b = h.join(F.broadcast(top),
+                   h["category"] == F.col("__top__"), "left")
+        return (b.select(F.coalesce(F.col("__top__"), F.lit(other))
+                         .alias("category"), "n")
+                .groupBy("category").agg(F.sum("n").alias(name)))
+
+    # dense bucket grid: top-k categories + other, so Laplace
+    # denominators are exact even for buckets absent from one side
+    grid = top.select(F.col("__top__").alias("category")).union(
+        top.sparkSession.createDataFrame([(other,)], "category string"))
+    dense = (grid.join(F.broadcast(bucket(h_ref, "n_ref")),
+                       "category", "left")
+                 .join(F.broadcast(bucket(h_cur, "n_cur")),
+                       "category", "left")
+                 .na.fill({"n_ref": 0, "n_cur": 0}))
+    w = Window.partitionBy()
+    nb = F.count("*").over(w)             # actual bucket count (≤ k+1)
+    a = F.lit(float(alpha))
+    p_r = (F.col("n_ref") + a) / (F.sum("n_ref").over(w) + a * nb)
+    p_c = (F.col("n_cur") + a) / (F.sum("n_cur").over(w) + a * nb)
+    m = (p_r + p_c) / 2
+    return dense.select(
+        "category", "n_ref", "n_cur",
+        p_r.alias("p_ref"), p_c.alias("p_cur"),
+        ((p_c - p_r) * F.log(p_c / p_r)).alias("psi_contrib"),
+        ((p_r * F.log(p_r / m) + p_c * F.log(p_c / m)) / 2)
+        .alias("js_contrib"))

@@ -150,3 +150,34 @@ def token_vocab_stats(df: DataFrame, tokens_col: str = "tokens",
         out = (out.orderBy(F.col("freq").desc(), F.col("token").asc())
                .limit(int(top_k)))
     return out
+
+
+def split_time_holdout(df: DataFrame, ts_col: str, cutoff,
+                       embargo_seconds: int = 0):
+    """(train, holdout) TEMPORAL split: train = rows strictly before
+    ``cutoff`` minus a trailing ``embargo_seconds`` purge gap, holdout
+    = rows at/after ``cutoff``. The embargo discards rows in
+    ``[cutoff - embargo, cutoff)`` so features computed over trailing
+    windows of train rows (RollingAgg, TimeDecay, AsOfJoin state)
+    cannot overlap the holdout period — the purged time-series split
+    used to keep windowed features from leaking across the boundary
+    (de Prado's purging/embargo, public method). ``embargo_seconds=0``
+    is a plain cutoff split.
+
+    ``cutoff`` is an epoch-seconds number or an ISO timestamp string.
+    Row-local predicates on the timestamp — zero shuffle, partition-
+    prunable when the table is date-partitioned, disjoint by
+    construction (rows inside the embargo belong to NEITHER split;
+    NULL timestamps are dropped from both, they have no place on a
+    time axis)."""
+    from ..operators.temporal import Sessionize
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    if isinstance(cutoff, str):
+        cut = F.unix_micros(F.to_timestamp(F.lit(cutoff))) / F.lit(1e6)
+    else:
+        cut = F.lit(float(cutoff))
+    sec = Sessionize._seconds(df, ts_col)
+    train = df.filter(sec < cut - F.lit(float(embargo_seconds)))
+    holdout = df.filter(sec >= cut)
+    return train, holdout

@@ -1524,3 +1524,77 @@ def test_psi_constant_reference_column(spark):
     assert out["n_ref"].iloc[0] == 10
     assert out["n_cur"].iloc[0] == 8
     assert out["n_cur"].sum() == 10   # the 7.0s clamp into a later bin
+
+
+def test_psi_categorical_brute_force(spark):
+    """Top-k + __other__ bucketing vs a pandas recomputation, with a
+    tie at the k boundary (lexicographic break) and a category that
+    exists only in the current snapshot (must fold into __other__)."""
+    from nvtabular_spark.functions import drift
+    ref_v = ["a"] * 50 + ["b"] * 30 + ["c"] * 10 + ["d"] * 10 + ["e"] * 5
+    cur_v = ["a"] * 20 + ["b"] * 40 + ["zz"] * 30 + ["c"] * 5
+    ref = spark.createDataFrame(pd.DataFrame({"cat": ref_v}))
+    cur = spark.createDataFrame(pd.DataFrame({"cat": cur_v}))
+    k, alpha = 3, 0.5
+    out = drift.psi_categorical(ref, cur, "cat", top_k=k, alpha=alpha) \
+        .toPandas().sort_values("category").reset_index(drop=True)
+
+    # ref freq: a50 b30 c10 d10 e5 → top3 = a, b, c (c beats d lexic.)
+    assert sorted(out["category"]) == ["__other__", "a", "b", "c"]
+    exp_ref = {"a": 50, "b": 30, "c": 10, "__other__": 15}
+    exp_cur = {"a": 20, "b": 40, "c": 5, "__other__": 30}
+    got_r = dict(zip(out["category"], out["n_ref"]))
+    got_c = dict(zip(out["category"], out["n_cur"]))
+    assert got_r == exp_ref and got_c == exp_cur
+
+    nb = 4
+    for _, row in out.iterrows():
+        pr = (exp_ref[row["category"]] + alpha) / (105 + alpha * nb)
+        pc = (exp_cur[row["category"]] + alpha) / (95 + alpha * nb)
+        np.testing.assert_allclose(row["p_ref"], pr, rtol=1e-12)
+        np.testing.assert_allclose(row["p_cur"], pc, rtol=1e-12)
+        np.testing.assert_allclose(row["psi_contrib"],
+                                   (pc - pr) * np.log(pc / pr),
+                                   rtol=1e-12)
+
+
+def test_psi_categorical_identical_and_validation(spark):
+    from nvtabular_spark.functions import drift
+    pdf = pd.DataFrame({"cat": ["x", "y", "z", "x", None]})
+    a = spark.createDataFrame(pdf)
+    out = drift.psi_categorical(a, a, "cat", top_k=2).toPandas()
+    # top2 = x + (y or z lexic. → y); z folds to __other__; NULL dropped
+    assert out["n_ref"].sum() == 4
+    np.testing.assert_allclose(out["psi_contrib"], 0.0, atol=1e-15)
+    with pytest.raises(ValueError, match="top_k"):
+        drift.psi_categorical(a, a, "cat", top_k=0)
+    with pytest.raises(ValueError, match="alpha"):
+        drift.psi_categorical(a, a, "cat", alpha=-1)
+
+
+def test_split_time_holdout_embargo(spark):
+    """Purged temporal split: train strictly before cutoff-embargo,
+    holdout at/after cutoff, the embargo band in NEITHER; NULL ts in
+    neither; string cutoff ≡ numeric cutoff."""
+    from nvtabular_spark.functions import sampling
+    pdf = pd.DataFrame({
+        "rid": range(6),
+        "ts": pd.to_datetime([100, 200, 290, 295, 300, 310], unit="s"),
+    })
+    df = spark.createDataFrame(pdf)
+    df = df.union(spark.createDataFrame(
+        [(99, None)], schema=df.schema))           # NULL ts row
+    tr, ho = sampling.split_time_holdout(df, "ts", 300,
+                                         embargo_seconds=20)
+    assert sorted(r.rid for r in tr.collect()) == [0, 1]      # <280
+    assert sorted(r.rid for r in ho.collect()) == [4, 5]      # >=300
+    # zero embargo: plain cutoff
+    tr0, ho0 = sampling.split_time_holdout(df, "ts", 300)
+    assert sorted(r.rid for r in tr0.collect()) == [0, 1, 2, 3]
+    # ISO-string cutoff equals the numeric one
+    trs, hos = sampling.split_time_holdout(
+        df, "ts", "1970-01-01 00:05:00", embargo_seconds=20)
+    assert sorted(r.rid for r in trs.collect()) \
+        == sorted(r.rid for r in tr.collect())
+    with pytest.raises(ValueError, match="embargo"):
+        sampling.split_time_holdout(df, "ts", 300, embargo_seconds=-1)
