@@ -949,11 +949,12 @@ def q_filter_dropna_rename(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # The driver records at most the first 50 rows; the registry is
-        # exactly 50 entries (near-duplicate rows were consolidated in
-        # round 5: categorify_multi, groupby_events, lag_lead_difference,
-        # duplicate_spans_full). Rows with no prior driver-green record
-        # lead, so every key gets a hard CORRECTNESS row this round.
+        # The driver records at most the first 50 rows. Ordering
+        # policy: rows with no prior driver-green record lead (the
+        # round-5 additions and consolidations), so each gets a hard
+        # CORRECTNESS row; the tail rows pushed past 50 (the embedding
+        # near-dup pair and simhash_pairs) were driver-green in BOTH
+        # r3 and r4 and stay covered by scripts/check_oracle.py.
         "expanding_te": q_expanding_te,
         "psi_drift": q_psi_drift,
         "psi_drift_cat": q_psi_drift_cat,
