@@ -551,6 +551,36 @@ def q_psi_drift_cat(spark, sf_dir):
         F.round("js_contrib", 6).alias("js_contrib"))
 
 
+def q_woe_encoding(spark, sf_dir):
+    """Weight-of-Evidence categorical encoding: per event_type, the
+    Laplace-smoothed log-odds of the binary high-value target
+    (value > 150) relative to the global prior log-odds."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hi", F.when(F.col("value").isNull(), F.lit(None))
+              .otherwise((F.col("value") > 150).cast("double")))
+    woe = ops.WoEEncoding(target="hi", alpha=0.5)
+    out = nvt.Workflow((["event_type"] >> woe) + ["event_id"]) \
+        .fit_transform(ev)
+    return out.select("event_id", "event_type",
+                      F.round("WOE_event_type_hi", 6).alias("woe"))
+
+
+def q_mutual_info(spark, sf_dir):
+    """Feature-selection association: plug-in mutual information (and
+    marginal entropies + sqrt-NMI) between event_type and the binary
+    high-value target — contingency groupBy + broadcast-joined
+    marginals, raw rows scanned once."""
+    from nvtabular_spark.functions import drift
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hi", F.when(F.col("value").isNull(), F.lit(None))
+              .otherwise((F.col("value") > 150).cast("int")))
+    out = drift.mutual_information(ev, "event_type", "hi")
+    return out.select(F.round("mi", 6).alias("mi"),
+                      F.round("h_x", 6).alias("h_x"),
+                      F.round("h_y", 6).alias("h_y"),
+                      F.round("nmi", 6).alias("nmi"), "n")
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs).select(
@@ -958,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_te": q_expanding_te,
         "psi_drift": q_psi_drift,
         "psi_drift_cat": q_psi_drift_cat,
+        "woe_encoding": q_woe_encoding,
+        "mutual_info": q_mutual_info,
         "chunk_sequences": q_chunk_sequences,
         "bpe_word_counts": q_bpe_word_counts,
         "text_signals": q_text_signals,
@@ -1437,6 +1469,47 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS ts_session_id,
                    event_id
             FROM g""",
+        "mutual_info": """
+            WITH b AS (SELECT CAST(event_type AS VARCHAR) AS x,
+                              CAST(value > 150 AS VARCHAR) AS y
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
+            cont AS (SELECT x, y, COUNT(*) nxy FROM b GROUP BY 1, 2),
+            tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) n FROM cont),
+            mx AS (SELECT x, SUM(nxy) nx FROM cont GROUP BY 1),
+            my AS (SELECT y, SUM(nxy) ny FROM cont GROUP BY 1),
+            mi AS (SELECT SUM((c.nxy / t.n)
+                       * LN(c.nxy * t.n / (m1.nx * m2.ny))) v
+                   FROM cont c, tot t, mx m1, my m2
+                   WHERE c.x = m1.x AND c.y = m2.y),
+            hx AS (SELECT -SUM((nx / t.n) * LN(nx / t.n)) v
+                   FROM mx, tot t),
+            hy AS (SELECT -SUM((ny / t.n) * LN(ny / t.n)) v
+                   FROM my, tot t)
+            SELECT ROUND(mi.v, 6) AS mi, ROUND(hx.v, 6) AS h_x,
+                   ROUND(hy.v, 6) AS h_y,
+                   ROUND(CASE WHEN hx.v > 0 AND hy.v > 0
+                              THEN mi.v / SQRT(hx.v * hy.v)
+                              ELSE 0.0 END, 6) AS nmi,
+                   CAST(t.n AS BIGINT) AS n
+            FROM mi, hx, hy, tot t""",
+        "woe_encoding": """
+            WITH b AS (SELECT event_id, event_type,
+                              CASE WHEN value IS NULL THEN NULL
+                                   ELSE CAST(value > 150 AS DOUBLE)
+                              END AS hi
+                       FROM events),
+            g AS (SELECT event_type, SUM(hi) pos, COUNT(hi) cnt
+                  FROM b GROUP BY 1),
+            t AS (SELECT SUM(pos) pt, SUM(cnt) ct FROM g)
+            SELECT b.event_id, b.event_type,
+                   ROUND(LN((g.pos + 0.5)
+                            / (g.cnt - g.pos + 0.5))
+                         - LN((t.pt + 0.5) / (t.ct - t.pt + 0.5)), 6)
+                       AS woe
+            FROM b LEFT JOIN g
+              ON b.event_type IS NOT DISTINCT FROM g.event_type, t""",
         "psi_drift_cat": """
             WITH rh AS (SELECT event_type AS category, COUNT(*) n
                         FROM events WHERE user_id % 2 = 0

@@ -191,3 +191,47 @@ def psi_categorical(ref: DataFrame, cur: DataFrame, col: str,
         ((p_c - p_r) * F.log(p_c / p_r)).alias("psi_contrib"),
         ((p_r * F.log(p_r / m) + p_c * F.log(p_c / m)) / 2)
         .alias("js_contrib"))
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Feature-selection association score: one-row DataFrame ``mi,
+    h_x, h_y, nmi, n`` — the plug-in (MLE) mutual information between
+    two categorical columns in nats, their marginal entropies, and the
+    sqrt-normalized NMI ``mi / sqrt(h_x * h_y)`` (0 when either
+    marginal is constant). Rows with a NULL on either side are
+    excluded — a NULL category pairs with nothing.
+
+    Scale shape: ONE map-side-partial groupBy builds the contingency
+    table (≤ |X|·|Y| cells — categorical cardinalities, not row
+    count); every later step (marginals, entropies, the MI fold) runs
+    over that table with broadcast joins. The raw rows are scanned
+    exactly once reading exactly two columns. MLE needs no smoothing:
+    unobserved cells carry zero mass and contribute exactly zero.
+    """
+    x = F.col(x_col).cast("string").alias("x")
+    y = F.col(y_col).cast("string").alias("y")
+    cont = (df.select(x, y)
+            .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+            .groupBy("x", "y").agg(F.count("*").alias("nxy")))
+    tot = cont.agg(F.sum("nxy").cast("double").alias("n"))
+    mx = cont.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = cont.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    j = (cont.join(F.broadcast(mx), "x")
+             .join(F.broadcast(my), "y")
+             .crossJoin(F.broadcast(tot)))
+    mi = j.agg(F.sum((F.col("nxy") / F.col("n"))
+                     * F.log(F.col("nxy") * F.col("n")
+                             / (F.col("nx") * F.col("ny"))))
+               .alias("mi"))
+    hx = (mx.crossJoin(F.broadcast(tot))
+          .agg((-F.sum((F.col("nx") / F.col("n"))
+                       * F.log(F.col("nx") / F.col("n")))).alias("h_x")))
+    hy = (my.crossJoin(F.broadcast(tot))
+          .agg((-F.sum((F.col("ny") / F.col("n"))
+                       * F.log(F.col("ny") / F.col("n")))).alias("h_y")))
+    out = mi.crossJoin(hx).crossJoin(hy).crossJoin(tot)
+    nmi = F.when((F.col("h_x") > 0) & (F.col("h_y") > 0),
+                 F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y"))) \
+        .otherwise(F.lit(0.0))
+    return out.select("mi", "h_x", "h_y", nmi.alias("nmi"),
+                      F.col("n").cast("long").alias("n"))

@@ -19,7 +19,7 @@ from .normalize import Normalize, NormalizeMinMax
 from .rowops import (AddMetadata, AddProperties, AddTags, DropLowCardinality,
                      Dropna, Filter, ReduceDtypeSize, Rename, TagAsItemFeatures,
                      TagAsItemID, TagAsUserFeatures, TagAsUserID)
-from .target_encoding import TargetEncoding
+from .target_encoding import TargetEncoding, WoEEncoding
 from .text_ops import (BPETokenize, LangId, QualityScore, ScrubPII,
                        TokenCount)
 from .temporal import (AsOfJoin, ExpandingTargetEncoding, Lag, Lead, RollingAgg,
@@ -38,7 +38,7 @@ __all__ = [
     "AddMetadata", "AddProperties", "AddTags", "DropLowCardinality",
     "Dropna", "Filter", "ReduceDtypeSize", "Rename",
     "TagAsItemFeatures", "TagAsItemID", "TagAsUserFeatures", "TagAsUserID",
-    "TargetEncoding",
+    "TargetEncoding", "WoEEncoding",
     "AsOfJoin", "ExpandingTargetEncoding", "Lag", "Lead", "RollingAgg",
     "RollingBackfill", "TimeDecay", "Sessionize",
     "Subgraph",

@@ -389,3 +389,159 @@ class TargetEncoding(StatOperator):
 
     def output_tags(self):
         return ["continuous"]
+
+
+class WoEEncoding(StatOperator):
+    """Weight-of-Evidence encoding — the credit-scoring categorical
+    encoder (public method; not in the reference, whose closest analog
+    is TargetEncoding's smoothed mean, target_encoding.py:54-61): per
+    category ``c`` of a BINARY 0/1 target::
+
+        WOE_c = ln((pos_c + alpha) / (neg_c + alpha))
+              - ln((pos_tot + alpha) / (neg_tot + alpha))
+
+    i.e. the category's Laplace-smoothed log-odds relative to the
+    global prior log-odds — positive where the category skews toward
+    target=1, negative toward 0, exactly 0 for a category that matches
+    the prior. Unseen categories at transform time encode to 0.0 (the
+    prior), mirroring TargetEncoding's global-mean fill. NaN targets
+    are missing (excluded from both counts).
+
+    Selector columns are the categorical keys (grouped selectors =
+    multi-column keys); output ``WOE_<key>_<target>``, keys pass
+    through. Unlike TargetEncoding there is no fold machinery: WoE's
+    leakage control is the smoothing prior (the classic formulation) —
+    for strict out-of-time hygiene fit on the train split only
+    (``functions.sampling.split_time_holdout``).
+
+    Scale shape: fit is ONE map-side-partial groupBy per key group
+    (pos-sum + count); totals re-aggregate driver-side from the small
+    materialized table; transform is a broadcast left join (forced
+    off above ``broadcast_limit`` rows, matching TargetEncoding).
+    """
+
+    cheap_transform = False  # broadcast-join-backed transform
+
+    def __init__(self, target: str, alpha: float = 0.5,
+                 out_dtype: str = "double", name_sep: str = "_",
+                 out_path: Optional[str] = None,
+                 broadcast: Optional[bool] = None,
+                 broadcast_limit: int = 5_000_000):
+        super().__init__()
+        self.target = target
+        self.alpha = float(alpha)
+        if self.alpha <= 0:
+            raise ValueError("alpha must be > 0 (empty categories "
+                             "would make the log-odds undefined)")
+        self.out_dtype = out_dtype
+        self.name_sep = name_sep
+        self.out_path = out_path
+        self.broadcast = broadcast
+        self.broadcast_limit = broadcast_limit
+        self.totals: Dict[str, List[float]] = {}   # key -> [pos, neg]
+        self._tables: Dict[str, DataFrame] = {}
+        self._table_rows: Dict[str, int] = {}
+
+    def dependencies(self):
+        return [self.target]
+
+    def _groups(self, selector: ColumnSelector) -> List[tuple]:
+        return [g if isinstance(g, tuple) else (g,)
+                for g in selector.grouped_names]
+
+    def _woe_name(self, g: tuple) -> str:
+        return f"WOE_{self.name_sep.join(g)}_{self.target}"
+
+    def output_column_names(self, selector: ColumnSelector):
+        return list(selector.names) + [self._woe_name(g)
+                                       for g in self._groups(selector)]
+
+    def _target_expr(self) -> Column:
+        tc = F.col(self.target).cast("double")
+        return F.when(F.isnan(tc), F.lit(None)).otherwise(tc)
+
+    def fit(self, ctx: TransformContext, df: DataFrame) -> None:
+        from ..sources.artifacts import (materialize, parquet_rows,
+                                         small_parquet_pandas)
+        self._tables, self.totals, self._table_rows = {}, {}, {}
+        tc = self._target_expr()
+        for g in self._groups(ctx.selector):
+            key = self.name_sep.join(g)
+            acts = [ctx.inputs.get(c, c) for c in g]
+            keys = [F.col(a).alias(f"__woe_{c}")
+                    for a, c in zip(acts, g)]
+            tbl = df.groupBy(*keys).agg(
+                F.sum(tc).alias("__pos__"),
+                F.count(tc).alias("__cnt__"))
+            self._tables[key], fpath = materialize(
+                tbl, f"woe_{key}", self.out_path)
+            self._table_rows[key] = parquet_rows(
+                fpath, fallback_df=self._tables[key])
+            pdf = small_parquet_pandas(fpath)
+            if pdf is not None:
+                pos = float(pdf["__pos__"].sum())
+                cnt = float(pdf["__cnt__"].sum())
+            else:
+                row = self._tables[key].agg(
+                    F.sum("__pos__").alias("p"),
+                    F.sum("__cnt__").alias("c")).collect()[0]
+                pos = float(row["p"] or 0.0)
+                cnt = float(row["c"] or 0.0)
+            self.totals[key] = [pos, cnt - pos]
+        self.fitted = True
+
+    def _should_broadcast(self, key: str) -> bool:
+        if self.broadcast is not None:
+            return self.broadcast
+        rows = self._table_rows.get(key)
+        return rows is None or rows <= self.broadcast_limit
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        import math
+        self._require_fitted()
+        a = self.alpha
+        for g in self._groups(ctx.selector):
+            key = self.name_sep.join(g)
+            acts = [ctx.inputs.get(c, c) for c in g]
+            tbl = self._tables[key]
+            if self._should_broadcast(key):
+                tbl = F.broadcast(tbl)
+            cond = None
+            for act, c in zip(acts, g):
+                e = df[act].eqNullSafe(tbl[f"__woe_{c}"])
+                cond = e if cond is None else (cond & e)
+            df = df.join(tbl, cond, "left") \
+                .drop(*[f"__woe_{c}" for c in g])
+            pos_t, neg_t = self.totals[key]
+            prior = math.log((pos_t + a) / (neg_t + a))
+            pos = F.coalesce(F.col("__pos__"), F.lit(0.0))
+            neg = (F.coalesce(F.col("__cnt__"), F.lit(0)) - pos)
+            woe = (F.log((pos + F.lit(a)) / (neg + F.lit(a)))
+                   - F.lit(prior))
+            # unseen category (no fitted row) → the prior, i.e. 0.0
+            woe = F.when(F.col("__cnt__").isNull(), F.lit(0.0)) \
+                .otherwise(woe)
+            df = df.withColumn(ctx.out(self._woe_name(g)),
+                               woe.cast(self.out_dtype)) \
+                .drop("__pos__", "__cnt__")
+        passthrough = {ctx.out(pub): F.col(act)
+                       for pub, act in ctx.pairs()}
+        return df.withColumns(passthrough)
+
+    def artifacts(self):
+        return {f"woe::{k}": v for k, v in self._tables.items()}
+
+    def load_artifacts(self, spark, paths):
+        for name, p in paths.items():
+            _, key = name.split("::", 1)
+            self._tables[key] = spark.read.parquet(p)
+        self.fitted = True
+
+    def save_state(self):
+        return {"totals": self.totals, "table_rows": self._table_rows}
+
+    def load_state(self, state):
+        self.totals = state["totals"]
+        self._table_rows = {k: int(v) for k, v in
+                            state.get("table_rows", {}).items()}
+        self.fitted = True

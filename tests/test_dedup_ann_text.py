@@ -1598,3 +1598,43 @@ def test_split_time_holdout_embargo(spark):
         == sorted(r.rid for r in tr.collect())
     with pytest.raises(ValueError, match="embargo"):
         sampling.split_time_holdout(df, "ts", 300, embargo_seconds=-1)
+
+
+def test_mutual_information_brute_force(spark):
+    """MI/entropies/NMI vs a numpy contingency recomputation; NULLs on
+    either side excluded; independent columns → MI ~ 0 exactly for a
+    product-form table."""
+    from nvtabular_spark.functions import drift
+    pdf = pd.DataFrame({
+        "x": ["a", "a", "a", "b", "b", "c", None, "a"],
+        "y": ["p", "p", "q", "q", "q", "p", "p", None],
+    })
+    df = spark.createDataFrame(pdf)
+    out = drift.mutual_information(df, "x", "y").toPandas()
+    sub = pdf.dropna()
+    n = len(sub)
+    cells = sub.groupby(["x", "y"]).size()
+    nx = sub.groupby("x").size()
+    ny = sub.groupby("y").size()
+    mi = sum((c / n) * np.log(c * n / (nx[i[0]] * ny[i[1]]))
+             for i, c in cells.items())
+    hx = -sum((v / n) * np.log(v / n) for v in nx)
+    hy = -sum((v / n) * np.log(v / n) for v in ny)
+    np.testing.assert_allclose(out["mi"].iloc[0], mi, rtol=1e-12)
+    np.testing.assert_allclose(out["h_x"].iloc[0], hx, rtol=1e-12)
+    np.testing.assert_allclose(out["h_y"].iloc[0], hy, rtol=1e-12)
+    np.testing.assert_allclose(out["nmi"].iloc[0],
+                               mi / np.sqrt(hx * hy), rtol=1e-12)
+    assert out["n"].iloc[0] == n
+
+    # exact independence: product-form 2x2 table → MI exactly 0
+    ind = pd.DataFrame({"x": ["a"] * 4 + ["b"] * 4,
+                        "y": ["p", "p", "q", "q"] * 2})
+    out2 = drift.mutual_information(spark.createDataFrame(ind),
+                                    "x", "y").toPandas()
+    np.testing.assert_allclose(out2["mi"].iloc[0], 0.0, atol=1e-15)
+    # constant column → zero entropy → NMI contract 0
+    const = pd.DataFrame({"x": ["a", "b"], "y": ["k", "k"]})
+    out3 = drift.mutual_information(spark.createDataFrame(const),
+                                    "x", "y").toPandas()
+    assert out3["nmi"].iloc[0] == 0.0

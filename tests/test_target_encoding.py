@@ -134,3 +134,82 @@ def test_te_nan_target_treated_as_missing(spark):
     assert out["TE_cat_y"].notna().all()
     # row 1 (cat=a, fold=1): other folds hold y=1,3 -> mean 2.0
     assert abs(out["TE_cat_y"].iloc[1] - 2.0) < 1e-9
+
+
+# -- WoEEncoding ----------------------------------------------------------------
+
+def test_woe_brute_force(spark):
+    """WoE per category vs a pandas recomputation of the smoothed
+    log-odds-vs-prior formula; unseen-at-transform category → 0.0."""
+    import math
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({
+        "cat": rng.choice(["a", "b", "c"], 300),
+        "y": rng.binomial(1, 0.3, 300).astype("float64"),
+        "rid": np.arange(300, dtype="int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    woe = ops.WoEEncoding(target="y", alpha=0.5)
+    wf = nvt.Workflow((["cat"] >> woe) + ["rid"])
+    out = wf.fit_transform(df).orderBy("rid").toPandas()
+
+    a = 0.5
+    pos_t, neg_t = pdf["y"].sum(), (1 - pdf["y"]).sum()
+    prior = math.log((pos_t + a) / (neg_t + a))
+    for c in ["a", "b", "c"]:
+        sub = pdf[pdf["cat"] == c]
+        exp = math.log((sub["y"].sum() + a)
+                       / ((1 - sub["y"]).sum() + a)) - prior
+        got = out.loc[out["cat"] == c, "WOE_cat_y"].unique()
+        assert len(got) == 1
+        np.testing.assert_allclose(got[0], exp, rtol=1e-12)
+
+    # unseen category at transform → exactly 0.0 (the prior)
+    new = spark.createDataFrame(pd.DataFrame(
+        {"cat": ["zz"], "y": [0.0], "rid": [999]}))
+    got = wf.transform(new).toPandas()
+    assert got["WOE_cat_y"].iloc[0] == 0.0
+
+
+def test_woe_nan_target_roundtrip_and_validation(spark, tmp_path):
+    import math
+    with pytest.raises(ValueError, match="alpha"):
+        ops.WoEEncoding(target="y", alpha=0.0)
+    pdf = pd.DataFrame({
+        "cat": ["a", "a", "a", "b"],
+        "y": [1.0, 0.0, np.nan, 1.0],     # NaN excluded from counts
+        "rid": range(4)})
+    df = spark.createDataFrame(pdf)
+    wf = nvt.Workflow((["cat"] >> ops.WoEEncoding(target="y", alpha=1.0))
+                      + ["rid"])
+    wf.fit(df)
+    # a: pos=1 neg=1; totals pos=2 neg=1
+    exp_a = math.log((1 + 1) / (1 + 1)) - math.log((2 + 1) / (1 + 1))
+    out = wf.transform(df).orderBy("rid").toPandas()
+    np.testing.assert_allclose(out["WOE_cat_y"].iloc[0], exp_a,
+                               rtol=1e-12)
+    path = str(tmp_path / "woe_wf")
+    wf.save(path)
+    loaded = nvt.Workflow.load(path)
+    pd.testing.assert_frame_equal(
+        out, loaded.transform(df).orderBy("rid").toPandas())
+
+
+def test_woe_multi_key_group(spark):
+    """Grouped selector = composite key: WoE over (cat, seg) pairs."""
+    pdf = pd.DataFrame({
+        "cat": ["a", "a", "b", "b", "a", "b"],
+        "seg": ["x", "y", "x", "y", "x", "x"],
+        "y": [1.0, 0.0, 1.0, 1.0, 1.0, 0.0],
+        "rid": range(6)})
+    df = spark.createDataFrame(pdf)
+    out = nvt.Workflow(([("cat", "seg")] >> ops.WoEEncoding(
+        target="y", alpha=0.5)) + ["rid"]) \
+        .fit_transform(df).orderBy("rid").toPandas()
+    import math
+    a = 0.5
+    prior = math.log((4 + a) / (2 + a))
+    sub = pdf[(pdf["cat"] == "a") & (pdf["seg"] == "x")]
+    exp = math.log((2 + a) / (0 + a)) - prior
+    np.testing.assert_allclose(out["WOE_cat_seg_y"].iloc[0], exp,
+                               rtol=1e-12)
