@@ -581,6 +581,17 @@ def q_mutual_info(spark, sf_dir):
                       F.round("nmi", 6).alias("nmi"), "n")
 
 
+def q_correlation_matrix(spark, sf_dir):
+    """Feature-redundancy screen: all-pairs Pearson correlation of
+    lineitem's numeric measures from ONE aggregate pass."""
+    from nvtabular_spark.functions import drift
+    li = _t(spark, sf_dir, "lineitem")
+    out = drift.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return out.select("col_x", "col_y",
+                      F.round("corr", 6).alias("corr"))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs).select(
@@ -990,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_cat": q_psi_drift_cat,
         "woe_encoding": q_woe_encoding,
         "mutual_info": q_mutual_info,
+        "correlation_matrix": q_correlation_matrix,
         "chunk_sequences": q_chunk_sequences,
         "bpe_word_counts": q_bpe_word_counts,
         "text_signals": q_text_signals,
@@ -1469,6 +1481,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS ts_session_id,
                    event_id
             FROM g""",
+        "correlation_matrix": """
+            SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y,
+                   ROUND(CORR(l_discount, l_extendedprice), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_quantity',
+                   ROUND(CORR(l_discount, l_quantity), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_tax',
+                   ROUND(CORR(l_discount, l_tax), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_quantity',
+                   ROUND(CORR(l_extendedprice, l_quantity), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax',
+                   ROUND(CORR(l_extendedprice, l_tax), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax',
+                   ROUND(CORR(l_quantity, l_tax), 6) FROM lineitem""",
         "mutual_info": """
             WITH b AS (SELECT CAST(event_type AS VARCHAR) AS x,
                               CAST(value > 150 AS VARCHAR) AS y

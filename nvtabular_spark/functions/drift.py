@@ -235,3 +235,35 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .otherwise(F.lit(0.0))
     return out.select("mi", "h_x", "h_y", nmi.alias("nmi"),
                       F.col("n").cast("long").alias("n"))
+
+
+def correlation_matrix(df: DataFrame, cols) -> DataFrame:
+    """Pairwise Pearson correlations of the given numeric columns as a
+    long-form DataFrame ``(col_x, col_y, corr)`` — one row per
+    unordered pair, lexicographic order, diagonal omitted. The
+    feature-redundancy screen run before training.
+
+    Scale shape: ALL k·(k-1)/2 correlations come from ONE ``df.agg``
+    pass (Spark's streaming Pearson aggregate, whole-stage codegen) —
+    a single scan reading exactly ``cols``, one 1-row result reshaped
+    to long form with ``stack``; no join, no second pass, no driver
+    arithmetic. NaN targets are nulled first so a stray NaN poisons
+    nothing (pairs with a NULL on either side are skipped by ``corr``
+    on both Spark and the SQL oracle twin).
+    """
+    cols = sorted(cols)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    def clean(c: str):
+        col = F.col(c).cast("double")
+        return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+
+    aggs = [F.corr(clean(a), clean(b)).alias(f"__c{i}__")
+            for i, (a, b) in enumerate(pairs)]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c{i}__" for i, (a, b) in enumerate(pairs))
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr)")

@@ -1638,3 +1638,35 @@ def test_mutual_information_brute_force(spark):
     out3 = drift.mutual_information(spark.createDataFrame(const),
                                     "x", "y").toPandas()
     assert out3["nmi"].iloc[0] == 0.0
+
+
+def test_correlation_matrix_brute_force(spark):
+    """All-pairs Pearson vs numpy; NaN cells excluded pairwise; plan
+    is ONE aggregate over the input (no join, no Python)."""
+    from nvtabular_spark.functions import drift
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame({
+        "a": rng.rand(200),
+        "b": rng.rand(200),
+        "c": rng.rand(200),
+    })
+    pdf["b"] = pdf["a"] * 2 + rng.rand(200) * 0.1     # strongly corr
+    pdf.loc[3, "c"] = np.nan                           # pairwise skip
+    df = spark.createDataFrame(pdf)
+    out = drift.correlation_matrix(df, ["c", "a", "b"]) \
+        .toPandas().set_index(["col_x", "col_y"])
+    assert list(out.index) == [("a", "b"), ("a", "c"), ("b", "c")]
+    np.testing.assert_allclose(
+        out.loc[("a", "b"), "corr"],
+        np.corrcoef(pdf["a"], pdf["b"])[0, 1], rtol=1e-9)
+    mask = pdf["c"].notna()
+    np.testing.assert_allclose(
+        out.loc[("a", "c"), "corr"],
+        np.corrcoef(pdf.loc[mask, "a"], pdf.loc[mask, "c"])[0, 1],
+        rtol=1e-9)
+    with pytest.raises(ValueError, match=">= 2"):
+        drift.correlation_matrix(df, ["a"])
+    # single-scan plan: no Exchange before the partial aggregate, no join
+    plan = drift.correlation_matrix(df, ["a", "b", "c"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
