@@ -152,6 +152,26 @@ def curate(spark, sf_dir, capacity=4096):
                      F.avg("fill_frac").alias("avg_fill")).collect()[0]
     counts["token_bins"] = int(row["bins"])
     counts["token_avg_fill"] = round(float(row["avg_fill"]), 3)
+
+    # 9: release gates — (a) snapshot drift between the train and
+    # holdout splits (length distribution + source mix must match, or
+    # the stable-key split is broken); (b) the incremental-ingest
+    # ledger: persist exact_keys once, and tomorrow's crawl anti-joins
+    # against 16-byte fingerprints instead of re-reading corpus text.
+    from nvtabular_spark.functions import drift
+    srow = drift.drift_summary(train, holdout, "text_n_tok",
+                               bins=10).collect()[0]
+    counts["split_psi"] = round(float(srow["psi"]), 4)
+    crow = drift.psi_categorical(train, holdout, "source", top_k=5) \
+        .agg(F.sum("psi_contrib").alias("p")).collect()[0]
+    counts["split_psi_source"] = round(float(crow["p"]), 4)
+    ledger = dedup.exact_keys(train_raw)
+    increment = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")) \
+        .filter(F.col("doc_id") % 89 == 1)
+    counts["increment"] = increment.count()
+    counts["novel_in_increment"] = dedup.novel_documents(
+        increment, ledger, seen_is_keys=True).count()
     return counts
 
 

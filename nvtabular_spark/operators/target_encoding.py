@@ -528,6 +528,37 @@ class WoEEncoding(StatOperator):
                        for pub, act in ctx.pairs()}
         return df.withColumns(passthrough)
 
+    def merge_precheck(self, other: "WoEEncoding") -> None:
+        from ..plans.merge import WorkflowMergeError
+        self._require_fitted(), other._require_fitted()
+        if self.target != other.target:
+            raise WorkflowMergeError(
+                f"WoEEncoding targets differ: {self.target!r} vs "
+                f"{other.target!r}")
+        if set(self._tables) != set(other._tables):
+            raise WorkflowMergeError(
+                f"WoEEncoding key sets differ: {sorted(self._tables)} "
+                f"vs {sorted(other._tables)}")
+
+    def merge_fitted(self, other: "WoEEncoding") -> None:
+        """Exact partition-wise merge (plans/merge.py): per-category
+        (pos, cnt) pairs are additive, so summing the two fitted
+        tables reproduces the union-fit state exactly; totals sum
+        element-wise."""
+        from ..sources.artifacts import materialize, parquet_rows
+        for key, ta in self._tables.items():
+            tb = other._tables[key]
+            keys = [c for c in ta.columns if c.startswith("__woe_")]
+            merged = ta.unionByName(tb).groupBy(*keys).agg(
+                F.sum("__pos__").alias("__pos__"),
+                F.sum("__cnt__").alias("__cnt__"))
+            self._tables[key], fpath = materialize(
+                merged, f"woe_merged_{key}", self.out_path)
+            self._table_rows[key] = parquet_rows(
+                fpath, fallback_df=self._tables[key])
+            pa, pb = self.totals[key], other.totals[key]
+            self.totals[key] = [pa[0] + pb[0], pa[1] + pb[1]]
+
     def artifacts(self):
         return {f"woe::{k}": v for k, v in self._tables.items()}
 
@@ -545,3 +576,4 @@ class WoEEncoding(StatOperator):
         self._table_rows = {k: int(v) for k, v in
                             state.get("table_rows", {}).items()}
         self.fitted = True
+

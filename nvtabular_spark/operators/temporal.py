@@ -642,10 +642,15 @@ class ExpandingTargetEncoding(AggStatOperator):
 
     # -- fit: the global prior, one fused aggregate ---------------------------
     def agg_requests(self, ctx: TransformContext, df: DataFrame):
-        return [F.avg(self._clean(t)).alias(self._alias(f"mean_{t}"))
-                for t in self.targets]
+        # count rides along for exact delta-fit merges (merge_fitted's
+        # weighted mean); it costs nothing extra in the fused agg job
+        return [e for t in self.targets for e in
+                (F.avg(self._clean(t)).alias(self._alias(f"mean_{t}")),
+                 F.count(self._clean(t)).alias(self._alias(f"cnt_{t}")))]
 
     def consume_agg(self, row) -> None:
+        self._counts = {t: int(row[self._alias(f"cnt_{t}")])
+                        for t in self.targets}
         if self.target_mean is not None:
             self.means = {t: float(self.target_mean) for t in self.targets}
             return
@@ -656,11 +661,41 @@ class ExpandingTargetEncoding(AggStatOperator):
                 is not None else 0.0)
             for t in self.targets}
 
+    def merge_precheck(self, other: "ExpandingTargetEncoding") -> None:
+        from ..plans.merge import WorkflowMergeError
+        self._require_fitted(), other._require_fitted()
+        if self.targets != other.targets:
+            raise WorkflowMergeError(
+                f"ExpandingTargetEncoding targets differ: "
+                f"{self.targets} vs {other.targets}")
+        if (self.target_mean is None) != (other.target_mean is None):
+            raise WorkflowMergeError(
+                "ExpandingTargetEncoding: one side fixes target_mean, "
+                "the other fitted it — priors are not mergeable")
+        if not getattr(self, "_counts", None) \
+                or not getattr(other, "_counts", None):
+            raise WorkflowMergeError(
+                "ExpandingTargetEncoding: fitted state predates count "
+                "tracking (re-fit to enable merges)")
+
+    def merge_fitted(self, other: "ExpandingTargetEncoding") -> None:
+        """Exact delta-fit merge: the prior is a global mean, so the
+        union prior is the count-weighted mean of the two."""
+        for t in self.targets:
+            ca, cb = self._counts[t], other._counts[t]
+            if self.target_mean is None and (ca or cb):
+                self.means[t] = ((self.means[t] * ca
+                                  + other.means[t] * cb) / (ca + cb))
+            self._counts[t] = ca + cb
+
     def save_state(self):
-        return {"means": self.means}
+        return {"means": self.means,
+                "counts": getattr(self, "_counts", {})}
 
     def load_state(self, state):
         self.means = state["means"]
+        self._counts = {k: int(v) for k, v in
+                        state.get("counts", {}).items()}
         self.fitted = True
 
     # -- transform: one range window per key group -----------------------------

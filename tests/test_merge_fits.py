@@ -5,6 +5,7 @@ finalize precision), not approximation."""
 
 import math
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -243,3 +244,55 @@ def test_merge_randomized_partitions_equal_union(spark):
                     got_pdf[c].to_numpy("float64"),
                     want_pdf[c].to_numpy("float64"),
                     rtol=1e-8, atol=1e-8, equal_nan=True), (trial, c)
+
+
+def test_merge_woe_and_expanding_te_equal_union_fit(spark):
+    """WoE tables (pos, cnt per category) and the expanding-TE prior
+    (count-weighted global mean) both merge EXACTLY: fit-per-partition
+    + merge_fits must transform identically to the union fit."""
+    rng = np.random.RandomState(31)
+    def mk(start, n):
+        return pd.DataFrame({
+            "cat": rng.choice(["a", "b", "c"], n),
+            "ent": rng.choice(["e1", "e2"], n),
+            "ts": pd.to_datetime(
+                np.arange(start, start + n) * 60, unit="s"),
+            "y": rng.binomial(1, 0.4, n).astype("float64"),
+            "rid": np.arange(start, start + n, dtype="int64"),
+        })
+    pa, pb = mk(0, 70), mk(70, 50)
+    a, b = spark.createDataFrame(pa), spark.createDataFrame(pb)
+    union = a.unionByName(b)
+
+    def dag():
+        return ((["cat"] >> ops.WoEEncoding(target="y", alpha=0.5))
+                + (["ent"] >> ops.ExpandingTargetEncoding(
+                    target="y", order_by="ts", p_smooth=3.0))
+                + ["rid"])
+
+    wf_a = nvt.Workflow(dag()).fit(a)
+    wf_b = nvt.Workflow(dag()).fit(b)
+    merged = nvt.merge_fits(wf_a, wf_b)
+    wf_u = nvt.Workflow(dag()).fit(union)
+    probe = spark.createDataFrame(mk(500, 40))
+    got = merged.transform(probe).orderBy("rid").toPandas()
+    want = wf_u.transform(probe).orderBy("rid").toPandas()
+    for c in ("WOE_cat_y", "ETE_ent_y"):
+        np.testing.assert_allclose(got[c].to_numpy("float64"),
+                                   want[c].to_numpy("float64"),
+                                   rtol=1e-12, err_msg=c)
+
+
+def test_merge_woe_target_mismatch_refused(spark):
+    pdf = pd.DataFrame({"cat": ["a", "b"], "y": [1.0, 0.0],
+                        "z": [0.0, 1.0], "rid": [0, 1]})
+    df = spark.createDataFrame(pdf)
+    wf_a = nvt.Workflow((["cat"] >> ops.WoEEncoding(target="y"))
+                        + ["rid"]).fit(df)
+    wf_b = nvt.Workflow((["cat"] >> ops.WoEEncoding(target="z"))
+                        + ["rid"]).fit(df)
+    # the workflow-level param comparison rejects before the op-level
+    # precheck (which guards direct op merges) gets a chance
+    with pytest.raises(nvt.WorkflowMergeError,
+                       match="params differ|targets differ"):
+        nvt.merge_fits(wf_a, wf_b)

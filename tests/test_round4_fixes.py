@@ -493,6 +493,14 @@ def test_curation_pipeline_end_to_end(spark):
     assert counts["sequences"] >= counts["train"]
     assert counts["token_bins"] > 0
     assert 0 < counts["token_avg_fill"] <= 1.0
+    # stage 9: release gates — a stable-key split must NOT drift
+    # (PSI well under the 0.1 stability rule of thumb on both the
+    # length distribution and the source mix), and the ingest ledger
+    # must find novel docs in the synthetic increment without
+    # re-reading corpus text
+    assert abs(counts["split_psi"]) < 0.1
+    assert abs(counts["split_psi_source"]) < 0.1
+    assert 0 <= counts["novel_in_increment"] <= counts["increment"]
 
 
 def test_components_with_disk_checkpoint(spark, tmp_path):
