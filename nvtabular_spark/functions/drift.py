@@ -267,3 +267,64 @@ def correlation_matrix(df: DataFrame, cols) -> DataFrame:
         f"'{a}', '{b}', __c{i}__" for i, (a, b) in enumerate(pairs))
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr)")
+
+
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double",
+            "decimal")
+
+
+def schema_drift(ref: DataFrame, cur: DataFrame, cols=None) -> DataFrame:
+    """Column-level profile drift between two snapshots: one row per
+    shared column — ``null_frac_ref/cur`` and, for numeric columns,
+    ``mean/std`` on both sides plus the Welch standardized mean shift
+    ``z_mean = (mean_cur - mean_ref) / sqrt(std_ref²/n_ref +
+    std_cur²/n_cur)`` (NULL for non-numeric columns or degenerate
+    denominators). The cheap always-on companion to :func:`psi`: run
+    this over EVERY column each ingest, escalate to the binned PSI
+    gate only where it flags.
+
+    Scale shape: ONE ``df.agg`` pass per snapshot computes every
+    column's count/mean/std together (whole-stage codegen, single
+    scan); the two 1-row results assemble driver-side into the
+    ≤#columns-row report. NaNs are nulled first, so null_frac counts
+    them as missing and moments never poison.
+    """
+    import math
+    shared = [c for c in (cols or ref.columns) if c in cur.columns]
+    if not shared:
+        raise ValueError("no shared columns to compare")
+    types = {f.name: f.dataType.simpleString() for f in ref.schema.fields}
+    numeric = [c for c in shared
+               if types.get(c, "").startswith(_NUMERIC)]
+
+    def profile(df):
+        aggs = [F.count(F.lit(1)).alias("__rows__")]
+        for c in shared:
+            cc = F.col(c)
+            if c in numeric:
+                cc = cc.cast("double")
+                cc = F.when(F.isnan(cc), F.lit(None)).otherwise(cc)
+            aggs.append(F.count(cc).alias(f"n_{c}"))
+            if c in numeric:
+                aggs += [F.avg(cc).alias(f"m_{c}"),
+                         F.stddev_samp(cc).alias(f"s_{c}")]
+        return df.agg(*aggs).collect()[0]
+
+    a, b = profile(ref), profile(cur)
+    rows = []
+    for c in shared:
+        nr, nc = a[f"n_{c}"], b[f"n_{c}"]
+        nfr = 1.0 - nr / a["__rows__"] if a["__rows__"] else None
+        nfc = 1.0 - nc / b["__rows__"] if b["__rows__"] else None
+        mr = ms = cr = cs = z = None
+        if c in numeric:
+            mr, cr = a[f"m_{c}"], a[f"s_{c}"]
+            ms, cs = b[f"m_{c}"], b[f"s_{c}"]
+            if None not in (mr, ms, cr, cs) and nr > 1 and nc > 1:
+                den = math.sqrt(cr * cr / nr + cs * cs / nc)
+                z = (ms - mr) / den if den > 0 else None
+        rows.append((c, types.get(c), nfr, nfc, mr, ms, cr, cs, z))
+    return ref.sparkSession.createDataFrame(
+        rows, "column string, dtype string, null_frac_ref double, "
+              "null_frac_cur double, mean_ref double, mean_cur double, "
+              "std_ref double, std_cur double, z_mean double")

@@ -291,3 +291,81 @@ def expanding_te_stream(stream_df: DataFrame, key: str, ts_col: str,
             .groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def psi_stream(stream_df: DataFrame, ref: DataFrame, col: str,
+               ts_col: str = "ts", window: str = "10 minutes",
+               bins: int = 10, alpha: float = 0.5,
+               watermark: str = "30 minutes", edges=None) -> DataFrame:
+    """Streaming drift monitor: per event-time window, the PSI and JS
+    divergence of the live stream's ``col`` distribution against a
+    STATIC reference snapshot (the training data) — the production
+    alarm wired after :mod:`..functions.drift`'s batch gate passes at
+    release time.
+
+    The reference is folded driver-side into ``bins`` smoothed
+    probabilities and inlined as literals, so the streaming side is
+    ONE windowed aggregation (``bins`` conditional sums — no join, no
+    second stateful operator, append-mode safe on any Spark version)
+    followed by a stateless projection that evaluates the PSI/JS sums
+    over those ``bins`` columns. State per window is O(bins) longs.
+    Bin edges are the reference's [min, max] (or explicit ``edges``) —
+    identical clamping and Laplace smoothing to the batch
+    :func:`~nvtabular_spark.functions.drift.psi`, so a window's
+    (psi, js) equals the batch function run on that window's rows.
+    """
+    import math
+
+    from ..functions.drift import _bin_id, _clean
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    if edges is None:
+        row = ref.select(F.min(_clean(col)).alias("lo"),
+                         F.max(_clean(col)).alias("hi")).collect()[0]
+        if row["lo"] is None:
+            raise ValueError(f"reference snapshot has no non-null "
+                             f"values in {col!r}")
+        lo, hi = float(row["lo"]), float(row["hi"])
+    else:
+        lo, hi = float(edges[0]), float(edges[1])
+    width = ((hi - lo) / bins) or 1.0
+    counts = (ref.select(_clean(col).alias("__v__"))
+              .where(F.col("__v__").isNotNull())
+              .select(_bin_id(F.col("__v__"), lo, width, bins)
+                      .alias("bin"))
+              .groupBy("bin").count().collect())
+    n_ref = [0] * bins
+    for r in counts:
+        n_ref[int(r["bin"])] = int(r["count"])
+    tot_ref = sum(n_ref)
+    p_ref = [(n + alpha) / (tot_ref + alpha * bins) for n in n_ref]
+
+    cleaned = (stream_df
+               .withColumn("__v__", _clean(col))
+               .where(F.col("__v__").isNotNull())
+               .withColumn("__bin__",
+                           _bin_id(F.col("__v__"), lo, width, bins)))
+    aggs = [F.sum(F.when(F.col("__bin__") == i, 1).otherwise(0))
+            .cast("long").alias(f"__n{i}__") for i in range(bins)]
+    windowed = (cleaned.withWatermark(ts_col, watermark)
+                .groupBy(F.window(F.col(ts_col), window).alias("window"))
+                .agg(*aggs))
+    total = None
+    for i in range(bins):
+        total = F.col(f"__n{i}__") if total is None \
+            else total + F.col(f"__n{i}__")
+    a, ab = F.lit(float(alpha)), F.lit(float(alpha * bins))
+    psi_terms, js_terms = [], []
+    for i in range(bins):
+        p_c = (F.col(f"__n{i}__") + a) / (total + ab)
+        p_r = F.lit(p_ref[i])
+        m = (p_r + p_c) / 2
+        psi_terms.append((p_c - p_r) * F.log(p_c / p_r))
+        js_terms.append((p_r * F.log(p_r / m)
+                         + p_c * F.log(p_c / m)) / 2)
+    psi = sum(psi_terms[1:], psi_terms[0])
+    js = sum(js_terms[1:], js_terms[0])
+    return windowed.select("window", total.alias("n_cur"),
+                           psi.alias("psi"), js.alias("js_divergence"))

@@ -1670,3 +1670,38 @@ def test_correlation_matrix_brute_force(spark):
     plan = drift.correlation_matrix(df, ["a", "b", "c"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_schema_drift_brute_force(spark):
+    """Per-column null fractions, moments and the Welch z shift vs a
+    pandas recomputation; strings profile nulls only; NaN ≡ missing."""
+    from nvtabular_spark.functions import drift
+    rng = np.random.RandomState(8)
+    ref_pdf = pd.DataFrame({
+        "x": rng.normal(10, 2, 300),
+        "s": ["a"] * 298 + [None, None],
+    })
+    cur_pdf = pd.DataFrame({
+        "x": np.concatenate([rng.normal(11, 2, 195), [np.nan] * 5]),
+        "s": ["a"] * 180 + [None] * 20,
+    })
+    ref = spark.createDataFrame(ref_pdf)
+    cur = spark.createDataFrame(cur_pdf)
+    out = drift.schema_drift(ref, cur).toPandas().set_index("column")
+
+    np.testing.assert_allclose(out.loc["s", "null_frac_ref"], 2 / 300)
+    np.testing.assert_allclose(out.loc["s", "null_frac_cur"], 0.1)
+    assert pd.isna(out.loc["s", "z_mean"])
+    np.testing.assert_allclose(out.loc["x", "null_frac_cur"], 5 / 200)
+    np.testing.assert_allclose(out.loc["x", "mean_ref"],
+                               ref_pdf["x"].mean(), rtol=1e-12)
+    cx = cur_pdf["x"].dropna()
+    np.testing.assert_allclose(out.loc["x", "mean_cur"], cx.mean(),
+                               rtol=1e-12)
+    z = (cx.mean() - ref_pdf["x"].mean()) / np.sqrt(
+        ref_pdf["x"].std(ddof=1) ** 2 / 300 + cx.std(ddof=1) ** 2 / 195)
+    np.testing.assert_allclose(out.loc["x", "z_mean"], z, rtol=1e-9)
+    # the planted +1 shift must flag loudly
+    assert abs(out.loc["x", "z_mean"]) > 3
+    with pytest.raises(ValueError, match="shared"):
+        drift.schema_drift(ref.select("x"), cur.select("s"))

@@ -519,3 +519,56 @@ def test_expanding_te_stream_matches_batch_op(spark, tmp_path):
         got["ete"].to_numpy(dtype="float64"),
         batch["ETE_ent_y"].to_numpy(dtype="float64"),
         rtol=1e-12, equal_nan=True)
+
+
+def test_psi_stream_matches_batch_per_window(spark, tmp_path):
+    """Each streamed window's (psi, js) must equal the batch drift.psi
+    rollup computed on exactly that window's rows against the same
+    static reference (same edges, clamping, Laplace smoothing)."""
+    from nvtabular_spark.functions import drift
+    from nvtabular_spark.streaming import psi_stream
+    rng = np.random.RandomState(17)
+    ref_pdf = pd.DataFrame({"v": rng.normal(0, 1, 400)})
+    ref = spark.createDataFrame(ref_pdf)
+    # two 10-minute windows with different distributions + a NULL/NaN
+    cur_pdf = pd.DataFrame({
+        "ts": pd.to_datetime(
+            np.concatenate([np.arange(0, 300, 2),
+                            np.arange(600, 900, 2)]), unit="s"),
+        "v": np.concatenate([rng.normal(0, 1, 150),
+                             rng.normal(1.5, 2.0, 150)]),
+    })
+    cur_pdf.loc[5, "v"] = np.nan
+    sdf = spark.createDataFrame(cur_pdf)
+    p = str(tmp_path / "psi_in")
+    sdf.write.parquet(p)
+
+    stream = spark.readStream.schema(sdf.schema).parquet(p)
+    out = psi_stream(stream, ref, "v", ts_col="ts",
+                     window="10 minutes", bins=8, alpha=0.5)
+    # complete mode: append would hold every window until the
+    # watermark passes its END, which never happens for the last
+    # window of a finite replay — production monitors run append with
+    # a real watermark, tests need the windows now
+    q = (out.writeStream.format("memory").queryName("psi_stream")
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from psi_stream") \
+        .orderBy("window").toPandas()
+    assert len(got) == 2
+
+    for i, lo_s in enumerate([0, 600]):
+        mask = (cur_pdf["ts"] >= pd.Timestamp(lo_s, unit="s")) & \
+               (cur_pdf["ts"] < pd.Timestamp(lo_s + 600, unit="s"))
+        window_df = spark.createDataFrame(cur_pdf[mask])
+        want = drift.drift_summary(ref, window_df, "v",
+                                   bins=8, alpha=0.5).collect()[0]
+        np.testing.assert_allclose(got["psi"].iloc[i],
+                                   float(want["psi"]), rtol=1e-9)
+        np.testing.assert_allclose(got["js_divergence"].iloc[i],
+                                   float(want["js_divergence"]),
+                                   rtol=1e-9)
+        assert got["n_cur"].iloc[i] == int(want["n_cur"])
+    # the second (shifted) window must read as drifted vs the first
+    assert got["psi"].iloc[1] > got["psi"].iloc[0]
