@@ -80,7 +80,11 @@ def curate(spark, sf_dir, capacity=4096):
     kept_docs = docs.join(kept.select("doc_id"), "doc_id")
     model = lm.unigram_lm_fit(kept_docs, vocab_size=10_000)
     scores = lm.perplexity_score(kept_docs, model)
-    head_mid = lm.perplexity_partition(scores, 1 / 3, 1 / 3) \
+    # exact=True: bucket membership feeds every later stage, and the
+    # approximate thresholds are run-order dependent (task-completion
+    # order changes boundary docs run to run)
+    head_mid = lm.perplexity_partition(scores, 1 / 3, 1 / 3,
+                                       exact=True) \
         .filter(F.col("ppl_bucket") != "tail").select("doc_id")
     kept = kept.join(head_mid, "doc_id")
     counts["after_ppl_filter"] = kept.count()

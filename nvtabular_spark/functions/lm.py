@@ -166,7 +166,8 @@ def perplexity_score(df: DataFrame, lm: UnigramLM,
 def perplexity_partition(scores: DataFrame,
                          head_frac: float = 1 / 3,
                          middle_frac: float = 1 / 3,
-                         ppl_col: str = "perplexity") -> DataFrame:
+                         ppl_col: str = "perplexity",
+                         exact: bool = False) -> DataFrame:
     """CCNet's head/middle/tail split by perplexity: the lowest
     ``head_frac`` of scored documents → ``'head'``, the next
     ``middle_frac`` → ``'middle'``, the rest → ``'tail'``; unscored
@@ -175,11 +176,20 @@ def perplexity_partition(scores: DataFrame,
     Thresholds come from ``approx_quantile`` epsilon-exact percentiles
     (one pass, driver receives two doubles) — at 100 TB an exact
     global sort for two cut points would be a pointless full shuffle.
+    CAVEAT the approximation is run-order dependent: the
+    Greenwald-Khanna summaries merge in task-completion order, so two
+    runs over identical data can place boundary documents in different
+    buckets (observed: a downstream gate flaking on exactly this).
+    ``exact=True`` switches to relativeError=0 (exact percentiles,
+    deterministic membership) — the right setting whenever bucket
+    membership feeds a reproducibility-sensitive step at a scale where
+    the extra pass is affordable.
     """
     if not 0 < head_frac + middle_frac <= 1:
         raise ValueError("head_frac + middle_frac must be in (0, 1]")
     cuts = scores.filter(F.col(ppl_col).isNotNull()).approxQuantile(
-        ppl_col, [head_frac, head_frac + middle_frac], 1e-4)
+        ppl_col, [head_frac, head_frac + middle_frac],
+        0.0 if exact else 1e-4)
     if not cuts:
         return scores.withColumn(
             "ppl_bucket", F.lit(None).cast("string"))

@@ -1705,3 +1705,20 @@ def test_schema_drift_brute_force(spark):
     assert abs(out.loc["x", "z_mean"]) > 3
     with pytest.raises(ValueError, match="shared"):
         drift.schema_drift(ref.select("x"), cur.select("s"))
+
+
+def test_perplexity_partition_exact_deterministic(spark, lm_corpus):
+    """exact=True pins the cut points to the true percentiles: bucket
+    membership is identical across repeated runs AND across input
+    repartitionings (the approximate path's merge order can move
+    boundary docs)."""
+    from nvtabular_spark.functions import lm
+    model = lm.unigram_lm_fit(lm_corpus, vocab_size=50)
+    scores = lm.perplexity_score(lm_corpus, model)
+    ref = lm.perplexity_partition(scores, 1 / 3, 1 / 3, exact=True) \
+        .orderBy("doc_id").toPandas()
+    for parts in (1, 7):
+        again = lm.perplexity_partition(
+            scores.repartition(parts), 1 / 3, 1 / 3, exact=True) \
+            .orderBy("doc_id").toPandas()
+        assert again["ppl_bucket"].tolist() == ref["ppl_bucket"].tolist()
