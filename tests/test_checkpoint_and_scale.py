@@ -241,3 +241,34 @@ def test_iceberg_snapshot_parsing_via_metadata_double(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS iceberg_double.snapshots")
         spark.sql("DROP DATABASE IF EXISTS iceberg_double")
+
+
+def test_temporal_feature_stack_single_exchange(spark):
+    """The full temporal feature stack over ONE entity key — lag,
+    rolling, time-decay AND the expanding target encoding — must plan
+    with exactly one hash Exchange (they all share the entity×ts
+    window partitioning); WoE rides the same plan as a broadcast
+    join, never a shuffle join."""
+    from nvtabular_spark.sources import tokenized_sequences
+    df = tokenized_sequences(spark, 5000, seed=42) \
+        .withColumn("hi", (F.col("n_tok") > 20).cast("double"))
+    stack = ((["n_tok"] >> ops.Lag("entity_id", "ts", 1))
+             + (["n_tok"] >> ops.RollingAgg("entity_id", "ts",
+                                            window_seconds=3600,
+                                            aggs=["mean"]))
+             + (["n_tok"] >> ops.TimeDecay("entity_id", "ts",
+                                           half_life_seconds=1800,
+                                           window_seconds=3600))
+             + (["entity_id"] >> ops.ExpandingTargetEncoding(
+                 target="n_tok", order_by="ts", p_smooth=20))
+             + (["source"] >> ops.WoEEncoding(target="hi"))
+             + ["doc_id"])
+    out = nvt.Workflow(stack).fit_transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan     # the WoE category table
+    assert "SortMergeJoin" not in plan
+    # and exactly one Window covering all four window-backed features
+    assert plan.count("Window") >= 1
