@@ -49,7 +49,8 @@ class AsOfJoin(Operator):
                  value_cols: Optional[List[str]] = None,
                  allow_exact_matches: bool = False, suffix: str = "",
                  bucket_seconds: Optional[float] = None,
-                 broadcast_carry: Optional[bool] = None):
+                 broadcast_carry: Optional[bool] = None,
+                 tolerance_seconds: Optional[float] = None):
         self.on = [on] if isinstance(on, str) else list(on)
         self.ts_col = ts_col
         self.right_ts_col = right_ts_col or ts_col
@@ -71,6 +72,17 @@ class AsOfJoin(Operator):
         #: the materialized side is under autoBroadcastJoinThreshold.
         #: True forces the hint (small-entity workloads), False never.
         self.broadcast_carry = broadcast_carry
+        #: pandas merge_asof ``tolerance``: a matched value older than
+        #: this many seconds is discarded (NULL) — "use the last quote,
+        #: but never one staler than 5 minutes". Implemented by carrying
+        #: each non-null right value as a (right_ts, value) STRUCT
+        #: through the SAME fill window (the struct is null exactly when
+        #: the value is, so the ignorenulls fallback semantics are
+        #: unchanged) and unwrapping with the staleness predicate after
+        #: the fill — zero extra shuffles on either fill path.
+        if tolerance_seconds is not None and tolerance_seconds <= 0:
+            raise ValueError("tolerance_seconds must be > 0")
+        self.tolerance_seconds = tolerance_seconds
 
     def dependencies(self):
         return self.on + [self.ts_col]
@@ -93,11 +105,35 @@ class AsOfJoin(Operator):
         payload = list(df.columns)
         on_set = set(self.on)
 
+        tol = self.tolerance_seconds
+        if tol is not None:
+            from pyspark.sql.types import (DoubleType, StructField,
+                                           StructType)
+            rsec = Sessionize._seconds(right, self.right_ts_col)
+
+            def _rv_type(c):
+                return StructType([
+                    StructField("t", DoubleType()),
+                    StructField("v", right.schema[c].dataType)])
+
+            def _rv_right(c):
+                # null struct exactly when the value is null, so the
+                # ignorenulls fill still skips null right values
+                return F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(rsec.alias("t"), F.col(c).alias("v")))
+        else:
+            def _rv_type(c):
+                return right.schema[c].dataType
+
+            def _rv_right(c):
+                return F.col(c)
+
         left_tagged = df.select(
             *[F.col(c) for c in payload],
             F.col(self.ts_col).alias("__ts__"),
             F.lit(1).alias("__side__"),   # left sorts AFTER right at equal ts
-            *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
+            *[F.lit(None).cast(_rv_type(c)).alias(f"__rv_{c}")
               for c in self.value_cols],
         )
         right_tagged = right.select(
@@ -106,7 +142,7 @@ class AsOfJoin(Operator):
               for c in payload],
             F.col(self.right_ts_col).alias("__ts__"),
             F.lit(0).alias("__side__"),
-            *[F.col(c).alias(f"__rv_{c}") for c in self.value_cols],
+            *[_rv_right(c).alias(f"__rv_{c}") for c in self.value_cols],
         )
         unioned = left_tagged.unionByName(right_tagged)
 
@@ -135,8 +171,15 @@ class AsOfJoin(Operator):
             ).filter(F.col("__side__") == 1).drop("__side__")
 
         cols = {ctx.out(pub): F.col(act) for pub, act in ctx.pairs()}
-        for c in self.value_cols:
-            cols[ctx.out(f"{c}{self.suffix}")] = F.col(f"__rv_{c}")
+        if tol is None:
+            for c in self.value_cols:
+                cols[ctx.out(f"{c}{self.suffix}")] = F.col(f"__rv_{c}")
+        else:
+            lsec = Sessionize._seconds(filled, self.ts_col)
+            for c in self.value_cols:
+                s = F.col(f"__rv_{c}")
+                cols[ctx.out(f"{c}{self.suffix}")] = F.when(
+                    lsec - s["t"] <= F.lit(float(tol)), s["v"])
         return filled.withColumns(cols).drop(
             *[f"__rv_{c}" for c in self.value_cols])
 

@@ -545,3 +545,60 @@ def test_expanding_te_multi_key_and_fused_fit(spark, events_pdf):
         got = out.loc[out["rid"] == row["rid"],
                       "ETE_entity_seg_v"].iloc[0]
         np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_asof_tolerance_staleness(spark, events_pdf):
+    """merge_asof-style tolerance: the matched value is NULLed when
+    its own timestamp is more than tolerance_seconds before the left
+    row — brute-forced per row, default and bucketed paths, and the
+    ignorenulls contract (staleness judged on the ts of the last
+    NON-NULL right value)."""
+    left = events_pdf.iloc[::2].reset_index(drop=True)
+    right = events_pdf.iloc[1::2].reset_index(drop=True)
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    tol = 40_000.0
+
+    for bucket in (None, 30_000.0):
+        asof = ops.AsOfJoin(rdf.select("entity", "ts", "v"),
+                            on="entity", ts_col="ts",
+                            allow_exact_matches=False, suffix="_asof",
+                            tolerance_seconds=tol,
+                            bucket_seconds=bucket)
+        out = nvt.Workflow(["rid"] >> asof).transform(ldf) \
+            .orderBy("rid").toPandas()
+        for _, row in left.iterrows():
+            prefix = right[(right["entity"] == row["entity"])
+                           & (right["ts"] < row["ts"])]
+            exp = None
+            if len(prefix):
+                last = prefix.sort_values("ts").iloc[-1]
+                age = (row["ts"] - last["ts"]).total_seconds()
+                exp = last["v"] if age <= tol else None
+            got = out.loc[out["rid"] == row["rid"], "v_asof"].iloc[0]
+            if exp is None:
+                assert pd.isna(got), (bucket, row["rid"])
+            else:
+                assert got == exp, (bucket, row["rid"])
+
+    # ignorenulls + tolerance: a null right value is skipped and the
+    # OLDER non-null match is judged by its own (stale) timestamp
+    rdf2 = spark.createDataFrame(
+        [("e", 10, 100.0), ("e", 500, None)],
+        "entity string, sec long, quote double") \
+        .selectExpr("entity", "timestamp_seconds(sec) AS ts", "quote")
+    ldf2 = spark.createDataFrame(
+        pd.DataFrame({"entity": ["e"], "rid": [1],
+                      "ts": pd.to_datetime([600], unit="s")}))
+    strict = ops.AsOfJoin(rdf2, on="entity", ts_col="ts",
+                          tolerance_seconds=200.0)
+    got = nvt.Workflow(["rid"] >> strict).transform(ldf2).toPandas()
+    assert pd.isna(got["quote"].iloc[0])   # 100.0 is 590s stale
+    loose = ops.AsOfJoin(rdf2, on="entity", ts_col="ts",
+                         tolerance_seconds=1000.0)
+    got2 = nvt.Workflow(["rid"] >> loose).transform(ldf2).toPandas()
+    assert got2["quote"].iloc[0] == 100.0
+
+    with pytest.raises(ValueError, match="tolerance"):
+        ops.AsOfJoin(rdf2, on="entity", ts_col="ts",
+                     tolerance_seconds=0)
