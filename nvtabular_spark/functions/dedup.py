@@ -70,6 +70,26 @@ _MASK32 = (1 << 32) - 1
 SHINGLE_P = 524287            # 2^19 - 1 (Mersenne)
 _MASK44 = (1 << 44) - 1
 
+#: corpus size at which ngram_jaccard_pairs switches from the naive
+#: posting self-join to the AllPairs/PPJoin prefix plan. Re-measured in
+#: round 6 with the positional filter + broadcast verify: the prefix
+#: plan wins from ~20k docs up (50k-doc corpus: 19.3s naive vs ~3s
+#: prefix on local[32]); below that the naive single-shuffle plan's
+#: lower fixed cost wins.
+PREFIX_CROSSOVER = 20_000
+#: docs-table row bound under which the verify joins broadcast the
+#: (id, shingle-array, size) table instead of shuffling candidates —
+#: ~450 B/doc at typical shingle counts keeps 300k docs ~135 MB,
+#: far under the 8 GB broadcast cap; beyond it the shuffled verify
+#: join (with distinct-before-verify) is the scale-safe shape.
+VERIFY_BROADCAST_MAX = 300_000
+#: 64-bit words in the shingle-set Bloom bitmap used by the verify
+#: pre-filter (256 bits total): sized so that at typical shingle
+#: counts (tens to low hundreds) a non-qualifying pair's xor-popcount
+#: lower bound on |A(+)B| exceeds the threshold-implied maximum with
+#: many sigmas of margin.
+_BM_WORDS = 4
+
 
 def word_shingle_hashes(col: Column, n: int = 3,
                         family: str = "md5") -> Column:
@@ -335,21 +355,51 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     t = float(threshold)
     if prefix_filter == "auto":
         if approx_count is not None:
-            prefix_filter = approx_count >= 200_000
+            prefix_filter = approx_count >= PREFIX_CROSSOVER
         else:
             est = planning.estimate_row_count(df)
             # stats estimate can be off by the compression ratio —
             # only trust it far from the crossover, else probe exactly
-            if est is not None and not (20_000 < est < 2_000_000):
-                prefix_filter = est >= 200_000
+            if est is not None and not (PREFIX_CROSSOVER // 10 < est
+                                        < PREFIX_CROSSOVER * 10):
+                prefix_filter = est >= PREFIX_CROSSOVER
             else:
-                prefix_filter = planning.at_least_n_rows(df, 200_000)
+                prefix_filter = planning.at_least_n_rows(
+                    df, PREFIX_CROSSOVER)
     df = planning.ensure_min_parallelism(df)  # shingling is CPU-bound
     arr = F.array_sort(F.array_distinct(
         word_shingle_hashes(F.col(text_col), n, family)))
     docs = (df.select(F.col(id_col).alias("doc"), arr.alias("arr"))
             .withColumn("sz", F.size("arr"))
             .filter(F.col("sz") > 0))
+    if prefix_filter:
+        # 256-bit one-probe Bloom bitmap of the shingle set, used by the
+        # verify stage as an EXACT symmetric-difference pre-filter:
+        # every bit set in A's bitmap but not B's needs >= 1 shingle in
+        # A\B (each shingle sets exactly ONE bit slot), so
+        # |A(+)B| >= sum_k bit_count(bmA_k ^ bmB_k), and J >= t forces
+        # |A(+)B| <= (1-t)/(1+t)*(|A|+|B|). No false negatives; at very
+        # large shingle counts the bitmap saturates and the filter
+        # passes everything (graceful, still exact).
+        bits = F.transform(F.col("arr"),
+                           lambda x: F.pmod(x, F.lit(_BM_WORDS * 64))
+                           .cast("int"))
+        pow2 = F.array(*[F.lit(_bit_mask(i)).cast("long")
+                         for i in range(64)])
+        docs = docs.withColumn("__bits__", bits)
+
+        def _bm_word(k):
+            # closure factory, not a default-arg lambda — PySpark reads
+            # the lambda's arity from its signature
+            return lambda a, b: a.bitwiseOR(
+                F.when((b >= k * 64) & (b < (k + 1) * 64),
+                       pow2[b - k * 64])
+                .otherwise(F.lit(0).cast("long")))
+
+        for k in range(_BM_WORDS):
+            docs = docs.withColumn(f"bm{k}", F.aggregate(
+                F.col("__bits__"), F.lit(0).cast("long"), _bm_word(k)))
+        docs = docs.drop("__bits__")
     if prefix_filter or not max_posting:
         # the prefix plan fans docs out to 3-4 consumers (posting
         # explode + both verify joins) and the UNCAPPED naive plan's
@@ -361,30 +411,53 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     if prefix_filter:
         plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        # pos is KEPT: the PPJoin positional filter (Xiao et al.
+        # WWW'08) prunes candidates whose match positions already
+        # bound the overlap below the required minimum
         posting = (docs.select("doc", "sz",
                                F.posexplode("arr").alias("pos", "sh"))
-                   .filter(F.col("pos") < plen).drop("pos"))
+                   .filter(F.col("pos") < plen))
     else:
         posting = docs.select("doc", "sz", F.explode("arr").alias("sh"))
+
+    def _pos_ok(x, y):
+        # required overlap a = ceil(t/(1+t) * (|A|+|B|)) (minus an
+        # epsilon so double rounding can never OVER-prune); at the
+        # FIRST shared shingle no earlier elements are shared, so
+        # |A.B| <= 1 + min(remaining_A, remaining_B). A pair whose
+        # EVERY shared prefix position fails this bound fails it at
+        # the first one, hence cannot reach Jaccard t — exact.
+        alpha = F.ceil(F.lit(t / (1.0 + t)) * (x["sz"] + y["sz"])
+                       - F.lit(1e-9))
+        ub = 1 + F.least(x["sz"] - x["pos"] - 1, y["sz"] - y["pos"] - 1)
+        return ub >= alpha
 
     length_ok = (F.col("a.sz") >= F.lit(t) * F.col("b.sz")) \
         & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
     if max_posting:
         # capped: group-by-shingle + in-array pair expansion — one
         # shuffle replaces [cap groupBy + anti-join + self-join]; the
-        # length filter runs INSIDE the array so incompatible pairs
-        # never reach the explode
-        pairs = _group_pairs(
-            posting, ["sh"], max_posting,
-            pair_filter=lambda x, y:
-                (x["sz"] >= F.lit(t) * y["sz"])
-                & (y["sz"] >= F.lit(t) * x["sz"]))
+        # length (and, under prefix, positional) filter runs INSIDE
+        # the array so incompatible pairs never reach the explode
+        def _pair_filter(x, y):
+            ok = (x["sz"] >= F.lit(t) * y["sz"]) \
+                & (y["sz"] >= F.lit(t) * x["sz"])
+            if prefix_filter:
+                ok = ok & _pos_ok(x, y)
+            return ok
+        pairs = _group_pairs(posting, ["sh"], max_posting,
+                             pair_filter=_pair_filter)
     else:
         # uncapped: per-shingle lists are unbounded — keep the join
         # formulation (no collect_list memory risk)
         a, b = posting.alias("a"), posting.alias("b")
-        pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                        & (F.col("a.doc") < F.col("b.doc")) & length_ok)
+        cond = (F.col("a.sh") == F.col("b.sh")) \
+            & (F.col("a.doc") < F.col("b.doc")) & length_ok
+        if prefix_filter:
+            ax = {"sz": F.col("a.sz"), "pos": F.col("a.pos")}
+            bx = {"sz": F.col("b.sz"), "pos": F.col("b.pos")}
+            cond = cond & _pos_ok(ax, bx)
+        pairs = (a.join(b, cond)
                  .select(F.col("a.doc").alias("doc_x"),
                          F.col("a.sz").alias("sz_x"),
                          F.col("b.doc").alias("doc_y"),
@@ -395,24 +468,54 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                   F.col("sz_y").alias("sz")).alias("b")))
 
     if prefix_filter:
-        cand = (pairs.select(F.col("a.doc").alias("id_a"),
-                             F.col("b.doc").alias("id_b"))
-                .distinct())
+        # verify WITHOUT a distinct-before-verify shuffle: candidates
+        # go straight into the (broadcast when the corpus fits) doc-
+        # array joins; the same pair may be verified once per shared
+        # prefix shingle (multiplicity ~1 on high-entropy corpora),
+        # and the final distinct runs on the tiny SURVIVOR set only.
+        # Above the broadcast guard the old shape (distinct first,
+        # shuffled verify joins) is kept — docs arrays at corpus
+        # scale must not be broadcast.
+        cand = pairs.select(F.col("a.doc").alias("id_a"),
+                            F.col("b.doc").alias("id_b"))
+        est = approx_count if approx_count is not None \
+            else planning.estimate_row_count(df)
+        small_corpus = est is not None and est <= VERIFY_BROADCAST_MAX
+        if not small_corpus:
+            cand = cand.distinct()
         va = docs.select(F.col("doc").alias("id_a"),
                          F.col("arr").alias("arr_a"),
-                         F.col("sz").alias("sz_a"))
+                         F.col("sz").alias("sz_a"),
+                         *[F.col(f"bm{k}").alias(f"bma{k}")
+                           for k in range(_BM_WORDS)])
         vb = docs.select(F.col("doc").alias("id_b"),
                          F.col("arr").alias("arr_b"),
-                         F.col("sz").alias("sz_b"))
+                         F.col("sz").alias("sz_b"),
+                         *[F.col(f"bm{k}").alias(f"bmb{k}")
+                           for k in range(_BM_WORDS)])
+        if small_corpus:
+            va, vb = F.broadcast(va), F.broadcast(vb)
+        # exact bitmap pre-filter (see bitmap construction above): a
+        # pair can reach J >= t only if its bitmap xor-popcount — a
+        # lower bound on |A(+)B| — stays within the threshold-implied
+        # maximum. Pure codegen (xor + bit_count), so the expensive
+        # array_intersect below runs on true near-pairs only.
+        xor_pop = sum(
+            F.bit_count(F.col(f"bma{k}").bitwiseXOR(F.col(f"bmb{k}")))
+            for k in range(_BM_WORDS))
+        d_max = F.floor(F.lit((1.0 - t) / (1.0 + t))
+                        * (F.col("sz_a") + F.col("sz_b")) + F.lit(1e-9))
         inter = F.size(F.array_intersect("arr_a", "arr_b"))
-        return (cand.join(va, "id_a").join(vb, "id_b")
-                .withColumn("inter", inter)
-                .withColumn("jaccard",
-                            F.col("inter").cast("double")
-                            / (F.col("sz_a") + F.col("sz_b")
-                               - F.col("inter")))
-                .filter(F.col("jaccard") >= t)
-                .select("id_a", "id_b", "jaccard"))
+        out = (cand.join(va, "id_a").join(vb, "id_b")
+               .filter(xor_pop <= d_max)
+               .withColumn("inter", inter)
+               .withColumn("jaccard",
+                           F.col("inter").cast("double")
+                           / (F.col("sz_a") + F.col("sz_b")
+                              - F.col("inter")))
+               .filter(F.col("jaccard") >= t)
+               .select("id_a", "id_b", "jaccard"))
+        return out.distinct() if small_corpus else out
 
     inter = (pairs
              .groupBy(F.col("a.doc").alias("id_a"),
