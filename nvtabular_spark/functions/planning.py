@@ -16,6 +16,7 @@ expensive operation in the job.  These helpers replace it:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -66,6 +67,83 @@ def ensure_min_parallelism(df: DataFrame,
     except Exception:
         return df
     return df.repartition(target) if cur < target else df
+
+
+#: per-reduce-partition byte target for window shuffles (guide §2.2:
+#: size partitions so per-task sort state fits execution memory). The
+#: session default partition count is kept for anything smaller —
+#: only genuinely large inputs fan out wider. Env-overridable so a
+#: cluster profile can retune without code changes.
+WINDOW_TARGET_BYTES = int(os.environ.get(
+    "NVTS_WINDOW_TARGET_BYTES", 32 << 20))
+
+
+def scale_window_partitions(df: DataFrame, keys) -> DataFrame:
+    """Pre-partition a window op's input ADAPTIVELY when the session
+    default shuffle-partition count would make per-task sort state
+    spill.
+
+    A ``partitionBy(keys)`` window shuffles the FULL row — payload
+    columns included — into ``spark.sql.shuffle.partitions`` reduce
+    partitions; with wide rows (token arrays, documents) each task's
+    sort buffer then exceeds its execution-memory share and spills
+    (measured on the 10M-row tokenized workload: 15.8s at the session
+    default of 32 partitions vs 5.6s at 256). This helper derives the
+    partition count from the plan-statistics input size (no job) and
+    repartitions by the window keys — consecutive window ops collapse
+    onto that single Exchange (CollapseRepartition), so chained ops
+    pay it once.
+
+    No-ops when: the estimate stays under target x session-partitions
+    (every test/small-sf input — plan shapes there are pinned by
+    tests), statistics are unavailable, or the input scan is already
+    hash-clustered on the keys (bucketed tables keep their
+    zero-Exchange plans). The count is capped at 8x the session
+    setting so a wildly inflated join-stats estimate cannot fan out
+    unboundedly.
+    """
+    if not keys:
+        return df
+    try:
+        sess = df.sparkSession
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+        parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return df
+    needed = size // WINDOW_TARGET_BYTES
+    if needed <= parts:
+        return df
+    if _scan_bucketed_on(df, keys):
+        return df
+    return df.repartition(int(min(needed, parts * 8)), *keys)
+
+
+def _scan_bucketed_on(df: DataFrame, keys) -> bool:
+    """True when some scan feeding ``df`` is a bucketed table whose
+    bucket columns are exactly the window keys — repartitioning such
+    input would ADD the shuffle the bucketing exists to avoid."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        want = sorted(str(k) for k in keys)
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "LogicalRelation":
+                rel = node.relation()
+                if rel.getClass().getSimpleName() == "HadoopFsRelation":
+                    bs = rel.bucketSpec()
+                    if bs.isDefined():
+                        names = bs.get().bucketColumnNames()
+                        cols = sorted(str(names.apply(i))
+                                      for i in range(names.size()))
+                        if cols == want:
+                            return True
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+    except Exception:
+        return False
+    return False
 
 
 def at_least_n_rows(df: DataFrame, n: int) -> bool:

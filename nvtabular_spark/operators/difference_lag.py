@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .base import Operator, TransformContext
+from ..functions.planning import scale_window_partitions
 from ..plans.graph import ColumnSelector
 
 
@@ -40,6 +41,7 @@ class DifferenceLag(Operator):
                 for s in self.shifts]
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
         order = self.order_by or self.partition_cols
         w = Window.partitionBy(*self.partition_cols).orderBy(*order)
         cols = {}

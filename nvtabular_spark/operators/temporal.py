@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .base import AggStatOperator, Operator, TransformContext
+from ..functions.planning import scale_window_partitions
 from ..plans.graph import ColumnSelector
 
 
@@ -300,6 +301,7 @@ class Lag(Operator):
         return [f"{c}_lag_{s}" for c in selector.names for s in self.shifts]
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
         w = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
         cols = {}
         for pub, act in ctx.pairs():
@@ -328,6 +330,7 @@ class Lead(Operator):
         return [f"{c}_lead_{s}" for c in selector.names for s in self.shifts]
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
         w = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
         cols = {}
         for pub, act in ctx.pairs():
@@ -358,6 +361,7 @@ class RollingBackfill(Operator):
         return self.partition_cols + self.order_by
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
         base = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
         cols = {}
         for pub, act in ctx.pairs():
@@ -401,6 +405,7 @@ class Sessionize(Operator):
         return F.col(act).cast("double")
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
         cols = {}
         for pub, act in ctx.pairs():
             ts = self._seconds(df, act)
@@ -493,6 +498,7 @@ class RollingAgg(Operator):
                 for a in self.aggs]
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
         base = Window.partitionBy(*self.partition_cols)
         if self.window_seconds is not None:
             # range frame [ts - window_seconds, ts - gap_seconds] over
@@ -584,6 +590,7 @@ class TimeDecay(Operator):
                 for a in self.aggs]
 
     def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
         sec = Sessionize._seconds(df, self.order_by[0])
         w = (Window.partitionBy(*self.partition_cols)
              .orderBy(sec)
