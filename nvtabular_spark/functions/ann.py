@@ -51,6 +51,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the per-query top-k (which AQE keeps small)."""
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
+    from . import planning
+    # the scoring pass is pure per-row compute (|Q| cosines per corpus
+    # row); a single-row-group corpus would otherwise score on ONE core
+    corpus = planning.ensure_min_parallelism(corpus)
     q = queries.select(F.col(qid).alias("query_id"),
                        F.col(qvec).alias("__qv__"))
     joined = corpus.select(F.col(id_col).alias("neighbor_id"),

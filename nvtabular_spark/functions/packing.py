@@ -99,11 +99,17 @@ def _greedy_pack_arrays(toks, cap):
     returns (bin_id, bin_offset) int64 arrays. Semantics of the naive
     per-row recurrence ``if fill + t > cap and fill > 0: new bin``
     (oversize sequences occupy a bin alone; zero-token rows never open
-    a bin), but computed as a cumsum + one searchsorted per BIN —
-    O(bins log rows) Python iterations, so cost scales with how many
-    bins the shard fills, not its row count. Assumes non-negative
-    token counts (cumsum monotonicity), which ``n_tok`` is by
-    construction."""
+    a bin).
+
+    Fully vectorized: ONE batch ``searchsorted`` (C speed, all rows at
+    once) precomputes, for every row i taken as a hypothetical bin
+    start, where that bin would end — a jump table ``nxt``. Walking the
+    table from row 0 then visits one entry per BIN with plain integer
+    indexing (~0.1 us/hop), so the Python-level cost is O(bins) trivial
+    hops instead of O(bins) numpy searchsorted calls (the round-5 shape
+    whose ~20 us/call dominated the 1M-row shard wall). Assumes
+    non-negative token counts (cumsum monotonicity), which ``n_tok`` is
+    by construction."""
     import numpy as np
     n = len(toks)
     bins = np.zeros(n, dtype="int64")
@@ -111,28 +117,27 @@ def _greedy_pack_arrays(toks, cap):
     if n == 0:
         return bins, offs
     csum = np.cumsum(toks, dtype="int64")
-    starts = []
-    i = 0
-    base = 0                       # csum just before the bin's first row
+    prev = np.concatenate(([0], csum[:-1]))          # tokens before row
+    # bin starting at row i has base prev[i]; it ends at the maximal j
+    # with csum[j] <= prev[i] + cap ...
+    j = np.searchsorted(csum, prev + cap, side="right") - 1
+    idx = np.arange(n, dtype="int64")
+    # ... but an oversize first row still occupies the bin alone ...
+    j = np.maximum(j, idx)
+    # ... and a bin holding only zero-token rows (fill still 0) admits
+    # the next row regardless of its size
+    grow = (csum[j] == prev[idx]) & (j + 1 < n)
+    j[grow] += 1
+    nxt = j + 1                                      # next bin's start
+    starts = [0]
+    i = int(nxt[0])
     while i < n:
         starts.append(i)
-        # maximal j >= i with csum[j] - base <= cap; an oversize first
-        # row (csum[i] - base > cap) still occupies this bin alone
-        j = int(np.searchsorted(csum, base + cap, side="right")) - 1
-        if j < i:
-            j = i           # first row itself oversize: bin of one
-        elif csum[j] == base and j + 1 < n:
-            # bin holds only zero-token rows so far → fill is still 0,
-            # so the next row joins regardless of size (it is
-            # necessarily oversize, else searchsorted had included it)
-            j += 1
-        base = int(csum[j])
-        i = j + 1
+        i = int(nxt[i])
     starts = np.asarray(starts, dtype="int64")
     marks = np.zeros(n, dtype="int64")
     marks[starts[1:]] = 1
     bins = np.cumsum(marks)
-    prev = np.concatenate(([0], csum[:-1]))          # tokens before row
     offs = prev - prev[starts[bins]]                 # minus bin's base
     return bins, offs
 

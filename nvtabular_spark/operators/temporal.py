@@ -269,12 +269,14 @@ class AsOfJoin(Operator):
                 "allow_exact_matches": self.allow_exact_matches,
                 "suffix": self.suffix,
                 "bucket_seconds": self.bucket_seconds,
-                "broadcast_carry": self.broadcast_carry}
+                "broadcast_carry": self.broadcast_carry,
+                "tolerance_seconds": self.tolerance_seconds}
 
     @classmethod
     def load_params(cls, params):
         op = cls.__new__(cls)
         op.broadcast_carry = None  # default for pre-r2 saved graphs
+        op.tolerance_seconds = None  # default for pre-r5 saved graphs
         for k, v in params.items():
             setattr(op, k, v)
         op._right = None

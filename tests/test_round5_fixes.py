@@ -51,13 +51,24 @@ def test_greedy_block_scan_million_row_shard_wall():
     rng = np.random.default_rng(3)
     toks = rng.integers(0, 2048, size=1_000_000).astype("int64")
     import time
-    t0 = time.time()
+    # best-of-3 so one co-tenant contention burst cannot fail the gate
+    # (the round-5 single-shot 5s bound failed twice under load); the
+    # vectorized pack idles at ~30ms, so 2s still has ~60x margin
+    wall = min(
+        _timed(lambda: packing._greedy_pack_arrays(toks, 8192))
+        for _ in range(3))
+    assert wall < 2.0, f"1M-row shard took {wall:.2f}s (best of 3)"
     bins, offs = packing._greedy_pack_arrays(toks, 8192)
-    wall = time.time() - t0
-    assert wall < 5.0, f"1M-row shard took {wall:.2f}s"
     # capacity respected (no oversize rows in this draw)
     fills = pd.DataFrame({"b": bins, "t": toks}).groupby("b")["t"].sum()
     assert (fills <= 8192).all()
+
+
+def _timed(fn):
+    import time
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 def test_ckpt_lock_released_on_bad_checkpoint_dir(spark):
@@ -69,6 +80,28 @@ def test_ckpt_lock_released_on_bad_checkpoint_dir(spark):
             checkpoint_dir="nosuchscheme://bad/path")
     # the lock must be free again: a no-checkpoint run and a second
     # failing run must both proceed without deadlock
+    assert dedup._CKPT_LOCK.acquire(timeout=5)
+    dedup._CKPT_LOCK.release()
+    out = dedup.connected_components(df, "src", "dst").toPandas()
+    assert out["component"].nunique() == 1
+
+
+def test_ckpt_lock_released_when_set_checkpoint_dir_raises(
+        spark, monkeypatch, tmp_path):
+    """Pin the narrower leak path: a failure in the FIRST statements
+    inside the guarded setup (setCheckpointDir itself raising) must
+    still release the module lock."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2], "dst": [2, 3]}))
+
+    def boom(_d):
+        raise RuntimeError("setCheckpointDir refused")
+
+    monkeypatch.setattr(spark.sparkContext, "setCheckpointDir", boom)
+    with pytest.raises(RuntimeError, match="refused"):
+        dedup.connected_components(
+            df, "src", "dst", checkpoint_dir=str(tmp_path / "cc"))
+    monkeypatch.undo()
     assert dedup._CKPT_LOCK.acquire(timeout=5)
     dedup._CKPT_LOCK.release()
     out = dedup.connected_components(df, "src", "dst").toPandas()

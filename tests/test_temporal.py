@@ -602,3 +602,34 @@ def test_asof_tolerance_staleness(spark, events_pdf):
     with pytest.raises(ValueError, match="tolerance"):
         ops.AsOfJoin(rdf2, on="entity", ts_col="ts",
                      tolerance_seconds=0)
+
+
+def test_asof_save_load_round_trip_with_tolerance(spark, tmp_path):
+    """AsOfJoin params (including tolerance_seconds) must survive
+    save/load: the loaded workflow transforms identically, and a
+    configured tolerance keeps NULLing stale matches after reload."""
+    left = pd.DataFrame({"entity": ["e", "e"],
+                         "ts": pd.to_datetime([100, 5000], unit="s"),
+                         "rid": [1, 2]})
+    right = pd.DataFrame({"entity": ["e"],
+                          "ts": pd.to_datetime([50], unit="s"),
+                          "v": [3.0]})
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    asof = ops.AsOfJoin(rdf, on="entity", ts_col="ts",
+                        allow_exact_matches=False, suffix="_asof",
+                        tolerance_seconds=600)
+    wf = nvt.Workflow(["rid"] >> asof)
+    before = wf.transform(ldf).orderBy("rid").toPandas()
+    p = str(tmp_path / "wf_asof")
+    wf.save(p)
+    wf2 = nvt.Workflow.load(p, spark)
+    after = wf2.transform(ldf).orderBy("rid").toPandas()
+    pd.testing.assert_frame_equal(before, after)
+    # rid=1: match at ts=50 is 50s stale (within 600s) -> value kept;
+    # rid=2: 4950s stale -> NULLed by tolerance
+    assert after.loc[after["rid"] == 1, "v_asof"].iloc[0] == 3.0
+    assert pd.isna(after.loc[after["rid"] == 2, "v_asof"].iloc[0])
+
+    # an op saved WITHOUT tolerance (pre-r5 graph) must default to None
+    legacy = ops.AsOfJoin.load_params({"on": ["entity"], "ts_col": "ts"})
+    assert legacy.tolerance_seconds is None
