@@ -991,11 +991,18 @@ def q_filter_dropna_rename(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver records at most the first 50 rows. Ordering
-        # policy: rows with no prior driver-green record lead (the
-        # round-5 additions and consolidations), so each gets a hard
-        # CORRECTNESS row; the tail rows pushed past 50 (the embedding
-        # near-dup pair and simhash_pairs) were driver-green in BOTH
-        # r3 and r4 and stay covered by scripts/check_oracle.py.
+        # policy (rotation promised in round 5): the 6 rows the r5
+        # 50-cap pushed past the record window lead this round so each
+        # gets a hard driver CORRECTNESS row; everything else keeps its
+        # r5 relative order and the 6 rows that now fall past 50 were
+        # driver-green in r5 and stay covered by
+        # scripts/check_oracle.py.
+        "dedup_components": q_dedup_components,
+        "near_dedup_survivors": q_near_dedup_survivors,
+        "random_projection": q_random_projection,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "expanding_te": q_expanding_te,
         "psi_drift": q_psi_drift,
         "psi_drift_cat": q_psi_drift_cat,
@@ -1047,12 +1054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_components": q_dedup_components,
-        "near_dedup_survivors": q_near_dedup_survivors,
-        "random_projection": q_random_projection,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     }
 
 

@@ -1140,8 +1140,16 @@ def novel_documents(increment: DataFrame, seen: DataFrame,
     fresh = keyed.join(ledger.withColumnRenamed("dup_key", "__dk__"),
                        "__dk__", "left_anti")
     if dedup_within:
-        canon = fresh.groupBy("__dk__").agg(
+        # NULL-text rows have a NULL fingerprint: they are not
+        # duplicates of each other (and an equi-join on the NULL key
+        # would silently drop them) — pass them through and dedup only
+        # the keyed rows
+        nulls = fresh.filter(F.col("__dk__").isNull())
+        keyed_rows = fresh.filter(F.col("__dk__").isNotNull())
+        canon = keyed_rows.groupBy("__dk__").agg(
             F.min(id_col).alias("__cid__"))
-        fresh = (fresh.join(canon, "__dk__")
-                 .filter(F.col(id_col) == F.col("__cid__")))
+        fresh = (keyed_rows.join(canon, "__dk__")
+                 .filter(F.col(id_col) == F.col("__cid__"))
+                 .select(*keyed_rows.columns)
+                 .unionByName(nulls.select(*keyed_rows.columns)))
     return fresh.select(*cols)

@@ -83,6 +83,11 @@ def psi(ref: DataFrame, cur: DataFrame, col: str, bins: int = 10,
         lo, hi = float(row["lo"]), float(row["hi"])
     else:
         lo, hi = float(edges[0]), float(edges[1])
+        if hi <= lo:
+            raise ValueError(
+                f"edges must satisfy lo < hi, got ({lo}, {hi}) — a "
+                f"reversed range would silently garbage the bin "
+                f"assignments")
     width = ((hi - lo) / bins) or 1.0    # constant column → one bin
 
     def counts(df: DataFrame, name: str) -> DataFrame:
@@ -294,14 +299,24 @@ def schema_drift(ref: DataFrame, cur: DataFrame, cols=None) -> DataFrame:
     if not shared:
         raise ValueError("no shared columns to compare")
     types = {f.name: f.dataType.simpleString() for f in ref.schema.fields}
-    numeric = [c for c in shared
-               if types.get(c, "").startswith(_NUMERIC)]
+    types_cur = {f.name: f.dataType.simpleString()
+                 for f in cur.schema.fields}
+    # numeric-ness is decided PER SIDE: a column whose type drifted to
+    # non-numeric in the current snapshot (the exact condition this
+    # function exists to surface) must not be cast by the reference's
+    # type — under ANSI that job errors, otherwise failed casts would
+    # silently count as nulls. Moments are computed only where BOTH
+    # sides are numeric; the dtype column reports the mismatch.
+    num_ref = {c for c in shared if types.get(c, "").startswith(_NUMERIC)}
+    num_cur = {c for c in shared
+               if types_cur.get(c, "").startswith(_NUMERIC)}
+    numeric = num_ref & num_cur
 
-    def profile(df):
+    def profile(df, num_side):
         aggs = [F.count(F.lit(1)).alias("__rows__")]
         for c in shared:
             cc = F.col(c)
-            if c in numeric:
+            if c in num_side:
                 cc = cc.cast("double")
                 cc = F.when(F.isnan(cc), F.lit(None)).otherwise(cc)
             aggs.append(F.count(cc).alias(f"n_{c}"))
@@ -310,7 +325,7 @@ def schema_drift(ref: DataFrame, cur: DataFrame, cols=None) -> DataFrame:
                          F.stddev_samp(cc).alias(f"s_{c}")]
         return df.agg(*aggs).collect()[0]
 
-    a, b = profile(ref), profile(cur)
+    a, b = profile(ref, num_ref), profile(cur, num_cur)
     rows = []
     for c in shared:
         nr, nc = a[f"n_{c}"], b[f"n_{c}"]
@@ -323,7 +338,10 @@ def schema_drift(ref: DataFrame, cur: DataFrame, cols=None) -> DataFrame:
             if None not in (mr, ms, cr, cs) and nr > 1 and nc > 1:
                 den = math.sqrt(cr * cr / nr + cs * cs / nc)
                 z = (ms - mr) / den if den > 0 else None
-        rows.append((c, types.get(c), nfr, nfc, mr, ms, cr, cs, z))
+        dtype = types.get(c)
+        if types_cur.get(c) != types.get(c):
+            dtype = f"{types.get(c)}!={types_cur.get(c)}"
+        rows.append((c, dtype, nfr, nfc, mr, ms, cr, cs, z))
     return ref.sparkSession.createDataFrame(
         rows, "column string, dtype string, null_frac_ref double, "
               "null_frac_cur double, mean_ref double, mean_cur double, "

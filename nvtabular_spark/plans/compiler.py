@@ -80,6 +80,51 @@ class CompiledPlan:
         deferred_cols: set = set()    # actual output names not yet created
         bridged: Dict[str, str] = {}  # dependency pub -> actual already aliased
 
+        # -- sinkable cheap projections -----------------------------------
+        # A cheap (pure-expression) row-preserving non-stat op whose
+        # outputs no OTHER op consumes only feeds the final select; its
+        # projection is applied LAST so derived payload columns (padded
+        # token arrays, renamed copies) are computed ABOVE any window/
+        # aggregation Exchange instead of being shuffled through it
+        # (guide §2.3 "project before the exchange" — measured 19.7s vs
+        # 15.8s on the 10M-row tokenized workload's window stage).
+        # Values are unchanged: the op is row-aligned and nothing
+        # downstream reads its outputs. Deferred projections are
+        # applied before any row-cardinality-changing op (whose output
+        # frame would drop their input columns).
+        from .graph import Node as _Node
+
+        def _op_sources(n: _Node) -> set:
+            out, stack = set(), list(n.parents) + list(n.dependency_nodes)
+            while stack:
+                p = stack.pop()
+                if p.op is not None:
+                    out.add(id(p))
+                elif not p.is_selection:
+                    stack.extend(p.parents)
+                    stack.extend(p.dependency_nodes)
+            return out
+
+        consumed_ops: set = set()
+        for n in self.order:
+            if n.op is not None:
+                consumed_ops |= _op_sources(n)
+
+        def _sinkable(n: _Node) -> bool:
+            return (n.op is not None
+                    and getattr(n.op, "cheap_transform", False)
+                    and n.op.row_preserving
+                    and not isinstance(n.op, StatOperator)
+                    and id(n) not in consumed_ops)
+
+        sinkable_pending: list = []   # [(op, ctx)] projections applied last
+
+        def apply_sinkable():
+            nonlocal df_work
+            for op_, ctx_ in sinkable_pending:
+                df_work = op_.transform(ctx_, df_work)
+            sinkable_pending.clear()
+
         def apply_lean(op, ctx):
             nonlocal df_lean, lean_cols
             needs = set(ctx.inputs.values()) | set(op.dependencies())
@@ -293,6 +338,13 @@ class CompiledPlan:
                     lean_cols |= set(dep_alias)
                 bridged.update(dep_alias)
 
+            if _sinkable(node) and not node.dependency_nodes:
+                out_publics = op.output_column_names(selector)
+                ctx.outputs = {p: f"_n{idx}__{p}" for p in out_publics}
+                sinkable_pending.append((op, ctx))
+                maps[id(node)] = ctx.outputs
+                continue
+
             needs_fit = isinstance(op, StatOperator) and (fit or refit) \
                 and (refit or not op.fitted)
 
@@ -321,6 +373,10 @@ class CompiledPlan:
             out_publics = op.output_column_names(selector)
             ctx.outputs = {p: f"_n{idx}__{p}" for p in out_publics}
 
+            if not op.row_preserving:
+                # sinked projections' input columns live in THIS frame —
+                # apply them before the row-set change replaces it
+                apply_sinkable()
             df_work = op.transform(ctx, df_work)
             if op.row_preserving:
                 apply_lean(op, ctx)
@@ -331,6 +387,7 @@ class CompiledPlan:
             maps[id(node)] = ctx.outputs
 
         flush()
+        apply_sinkable()
         final_map = maps[id(self.root)]
         return df_work.select(
             *[F.col(act).alias(pub) for pub, act in final_map.items()]

@@ -192,6 +192,16 @@ def load_workflow(path: str, spark=None):
     wf = Workflow(root)
     with open(os.path.join(path, "metadata.json")) as fh:
         meta = json.load(fh)
+    saved_v = meta.get("pyspark_version")
+    import pyspark
+    if saved_v and saved_v != pyspark.__version__:
+        # reference behavior (workflow.py load): a version skew warns
+        # but still loads — only an incompatible FORMAT hard-errors
+        import warnings
+        warnings.warn(
+            f"Workflow saved with pyspark {saved_v}, loading with "
+            f"{pyspark.__version__}; transforms may differ across "
+            f"engine versions")
     if meta.get("input_schema"):
         wf.input_schema = Schema.from_dict(meta["input_schema"])
     if meta.get("output_schema"):

@@ -93,6 +93,11 @@ def read_dataset(spark: SparkSession, paths, engine: str = "parquet",
         return spark.read.options(**options).json(paths)
     if engine == "orc":
         return spark.read.options(**options).orc(*paths)
+    if engine == "avro":
+        # needs the spark-avro package on the classpath (external, like
+        # the reference's avro engine needs uavro); absence surfaces as
+        # AnalysisException FAILED_TO_FIND_DATA_SOURCE at read time
+        return spark.read.options(**options).format("avro").load(paths)
     if engine == "table":  # Iceberg/catalog table name
         return spark.table(paths[0])
     raise ValueError(f"unknown engine {engine!r}")

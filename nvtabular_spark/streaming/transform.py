@@ -260,7 +260,13 @@ def expanding_te_stream(stream_df: DataFrame, key: str, ts_col: str,
     other streaming doubles in this module document. NULL/NaN targets
     are emitted but never enter the state (batch NaN≡missing rule).
     ``p_smooth=0`` on a history-less entity yields NULL (batch
-    try_divide contract)."""
+    try_divide contract).
+
+    OUTPUT IS PROJECTED, unlike the batch op: the stateful function's
+    fixed schema emits only ``(key, ts_col, target_col, te)`` — any
+    other stream columns are dropped, so callers needing their payload
+    must re-join on (key, ts) downstream (or carry a composite key).
+    The batch ``ExpandingTargetEncoding`` passes payload through."""
     import pandas as pd
 
     key_t = stream_df.schema[key].dataType.simpleString()

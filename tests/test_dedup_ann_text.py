@@ -1407,6 +1407,17 @@ def test_novel_documents_incremental(spark):
         .orderBy("doc_id").toPandas()
     assert 10 in out4["doc_id"].tolist()
 
+    # NULL-text rows are not duplicates of each other: every one
+    # passes through the within-increment dedup instead of collapsing
+    # on the NULL fingerprint (or being dropped by the equi-join)
+    inc_nulls = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [20, 21, 22, 23],
+        "text": [None, None, "delta doc body", "alpha doc body"],
+    }))
+    out5 = dedup.novel_documents(inc_nulls, seen).orderBy("doc_id") \
+        .toPandas()
+    assert out5["doc_id"].tolist() == [20, 21, 22]
+
 
 def test_novel_documents_duckdb_equivalence(spark):
     """Cross-engine: anti-join + min-id-within on md5(lower/trimmed

@@ -142,6 +142,26 @@ def test_read_dataset_json_and_orc(spark, tmp_path):
     assert back_o.count() == 2 and set(back_o.columns) == {"k", "v"}
 
 
+def test_read_dataset_avro_when_package_available(spark, tmp_path):
+    """engine="avro" round-trip, mirroring the reference's engine
+    parametrization; skipped when the external spark-avro package is
+    absent (this sandbox ships without it, like scipy)."""
+    import pandas as pd
+    import pytest
+    from nvtabular_spark.sources import read_dataset
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    df = spark.createDataFrame(pdf)
+    ap = str(tmp_path / "a")
+    try:
+        df.write.format("avro").save(ap)
+    except Exception as e:
+        if "FAILED_TO_FIND_DATA_SOURCE" in str(e) or "avro" in str(e):
+            pytest.skip("spark-avro package not on the classpath")
+        raise
+    back = read_dataset(spark, ap, engine="avro")
+    assert back.count() == 2 and set(back.columns) == {"k", "v"}
+
+
 def test_verify_distribution_datagen(spark):
     # ported intent: reference tests/unit/test_tools.py:50-92
     # (test_powerlaw / test_uniform) — the generator's columns fit

@@ -312,3 +312,35 @@ def test_packing_stats_global_bins(spark):
                                "fill_frac"}
     assert st["n_seqs"].sum() == 50
     assert (st["fill_frac"] <= 1.0).all()
+
+
+def test_unconsumed_cheap_projection_sinks_above_window_exchange(spark):
+    """Compiler sinks a cheap projection no other op consumes to the
+    end of the plan: the derived (possibly wide) column is computed
+    ABOVE the window's Exchange instead of being shuffled through it,
+    and the values are unchanged."""
+    import nvtabular_spark as nvt
+    from nvtabular_spark import ops
+    from nvtabular_spark.sources import tokenized_sequences
+    data = tokenized_sequences(spark, 500, seed=42)
+    pipe = ((["tokens"] >> ops.ListSlice(0, 8, pad=True, pad_value=0))
+            + (["n_tok"] >> ops.Lag("entity_id", "ts", 1))
+            + ["doc_id", "n_tok", "ts"])
+    out = nvt.Workflow(pipe).fit_transform(data)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    ex = [i for i, l in enumerate(lines) if "Exchange" in l]
+    sl = [i for i, l in enumerate(lines) if "slice(" in l]
+    assert sl and ex and max(sl) < min(ex), \
+        "slice projection must sit above the window Exchange"
+    got = out.orderBy("doc_id").toPandas()
+    # value check vs the unsunk shape (slice consumed by a Rename is
+    # not sinkable, so it computes below the window as before)
+    ref_pipe = ((["tokens"] >> ops.ListSlice(0, 8, pad=True, pad_value=0)
+                 >> ops.Rename(name="tokens"))
+                + (["n_tok"] >> ops.Lag("entity_id", "ts", 1))
+                + ["doc_id", "n_tok", "ts"])
+    ref = nvt.Workflow(ref_pipe).fit_transform(data) \
+        .orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], ref[sorted(ref.columns)])

@@ -166,3 +166,51 @@ def test_double_save_overwrites_artifact_paths(spark, tmp_path):
     art_root = _os.path.join(p, "artifacts")
     for root, _d, _f in _os.walk(art_root):
         assert ":" not in _os.path.basename(root)
+
+
+def test_load_warns_on_pyspark_version_skew(spark, tmp_path):
+    """Reference port (tests/unit/workflow/test_workflow.py version-
+    mismatch case): a workflow saved under a different engine version
+    loads with a WARNING, not an error; only an unknown format raises."""
+    import warnings
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cat": ["a", "b", "a"], "k": [0, 1, 2]}))
+    wf = nvt.Workflow((["cat"] >> ops.Categorify()) + ["k"])
+    wf.fit(df)
+    p = str(tmp_path / "wf")
+    wf.save(p)
+    meta_path = os.path.join(p, "metadata.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["pyspark_version"] = "0.0.1-test"
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        wf2 = nvt.Workflow.load(p, spark)
+    assert any("0.0.1-test" in str(w.message) for w in rec)
+    got = wf2.transform(df).toPandas().sort_values("k")
+    want = wf.transform(df).toPandas().sort_values("k")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+def test_load_after_artifacts_dir_relocation(spark, tmp_path):
+    """Reference port (artifacts-dir relocation): artifact paths are
+    stored RELATIVE to the save dir, so moving the whole directory
+    keeps the loaded workflow transformable."""
+    import shutil
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cat": ["a", "b", "a", "c"], "k": [0, 1, 2, 3]}))
+    wf = nvt.Workflow((["cat"] >> ops.Categorify()) + ["k"])
+    wf.fit(df)
+    p1 = str(tmp_path / "orig" / "wf")
+    wf.save(p1)
+    want = wf.transform(df).toPandas().sort_values("k")
+    p2 = str(tmp_path / "moved" / "wf")
+    os.makedirs(os.path.dirname(p2), exist_ok=True)
+    shutil.move(p1, p2)
+    wf2 = nvt.Workflow.load(p2, spark)
+    got = wf2.transform(df).toPandas().sort_values("k")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
