@@ -369,9 +369,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     df = planning.ensure_min_parallelism(df)  # shingling is CPU-bound
     arr = F.array_sort(F.array_distinct(
         word_shingle_hashes(F.col(text_col), n, family)))
-    docs = (df.select(F.col(id_col).alias("doc"), arr.alias("arr"))
-            .withColumn("sz", F.size("arr"))
-            .filter(F.col("sz") > 0))
+    # filter on the WORD count (cheap expression), not on size(arr):
+    # size(shingles) > 0 <=> #words >= n, and a filter phrased on the
+    # shingle array would be pushed below the projection, duplicating
+    # the whole shingle-hash expression tree into the generated code —
+    # measured ~3 s of driver-side codegen compilation PER invocation.
+    # The checkpoint then materializes the bare (doc, arr) pair once;
+    # sz and the verify bitmaps are derived from the materialized
+    # column afterwards, so every downstream plan stays small.
+    docs = (df.filter(F.size(words(F.col(text_col))) >= n)
+            .select(F.col(id_col).alias("doc"), arr.alias("arr"))
+            .localCheckpoint(eager=False)
+            .withColumn("sz", F.size("arr")))
     if prefix_filter:
         # 256-bit one-probe Bloom bitmap of the shingle set, used by the
         # verify stage as an EXACT symmetric-difference pre-filter:
@@ -400,84 +409,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             docs = docs.withColumn(f"bm{k}", F.aggregate(
                 F.col("__bits__"), F.lit(0).cast("long"), _bm_word(k)))
         docs = docs.drop("__bits__")
-    if prefix_filter or not max_posting:
-        # the prefix plan fans docs out to 3-4 consumers (posting
-        # explode + both verify joins) and the UNCAPPED naive plan's
-        # self-join consumes the posting set twice — checkpoint so the
-        # text is shingled once. The capped naive plan (_group_pairs)
-        # consumes docs exactly once; there the checkpoint would be
-        # pure materialization overhead
-        docs = docs.localCheckpoint(eager=False)
 
     if prefix_filter:
-        plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        # ---- candidate generation: fully-codegen posting self-join ----
         # pos is KEPT: the PPJoin positional filter (Xiao et al.
         # WWW'08) prunes candidates whose match positions already
-        # bound the overlap below the required minimum
+        # bound the overlap below the required minimum; the doc
+        # bitmaps RIDE the postings so the exact symmetric-difference
+        # pre-filter runs as a JOIN RESIDUAL (xor + bit_count,
+        # whole-stage codegen) — the round-5 in-array expansion
+        # evaluated its pair filters through interpreted higher-order
+        # functions, ~4x slower per candidate slot.
+        plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        bm_cols = [f"bm{k}" for k in range(_BM_WORDS)]
         posting = (docs.select("doc", "sz",
-                               F.posexplode("arr").alias("pos", "sh"))
+                               F.posexplode("arr").alias("pos", "sh"),
+                               *bm_cols)
                    .filter(F.col("pos") < plen))
-    else:
-        posting = docs.select("doc", "sz", F.explode("arr").alias("sh"))
-
-    def _pos_ok(x, y):
-        # required overlap a = ceil(t/(1+t) * (|A|+|B|)) (minus an
+        if max_posting:
+            # occupancy cap, same semantics as _group_pairs: (prefix)
+            # shingles hotter than the cap are dropped entirely. The
+            # grouped list is cap-bounded (~48 B/entry), and the
+            # re-exploded postings stay hash-partitioned by sh, so the
+            # self-join below adds NO further Exchange.
+            g = (posting.groupBy("sh")
+                 .agg(F.collect_list(
+                     F.struct("doc", "sz", "pos", *bm_cols)).alias("ps"))
+                 .filter(F.size("ps").between(2, max_posting)))
+            posting = g.select("sh", F.explode("ps").alias("p")) \
+                .select("sh", "p.*")
+        a, b = posting.alias("a"), posting.alias("b")
+        # required overlap alpha = ceil(t/(1+t) * (|A|+|B|)) (minus an
         # epsilon so double rounding can never OVER-prune); at the
         # FIRST shared shingle no earlier elements are shared, so
-        # |A.B| <= 1 + min(remaining_A, remaining_B). A pair whose
-        # EVERY shared prefix position fails this bound fails it at
+        # |A.B| <= 1 + min(remaining_A, remaining_B): a pair whose
+        # every shared prefix position fails this bound fails it at
         # the first one, hence cannot reach Jaccard t — exact.
-        alpha = F.ceil(F.lit(t / (1.0 + t)) * (x["sz"] + y["sz"])
-                       - F.lit(1e-9))
-        ub = 1 + F.least(x["sz"] - x["pos"] - 1, y["sz"] - y["pos"] - 1)
-        return ub >= alpha
+        alpha = F.ceil(F.lit(t / (1.0 + t))
+                       * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9))
+        pos_ok = (1 + F.least(F.col("a.sz") - F.col("a.pos") - 1,
+                              F.col("b.sz") - F.col("b.pos") - 1)) >= alpha
+        length_ok = (F.col("a.sz") >= F.lit(t) * F.col("b.sz")) \
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+        # exact bitmap pre-filter (see bitmap construction above): a
+        # pair can reach J >= t only if its bitmap xor-popcount — a
+        # lower bound on |A(+)B| — stays within the threshold-implied
+        # maximum. No false negatives; kills ~everything but true
+        # near-pairs before any row materializes.
+        xor_pop = sum(
+            F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+            for c in bm_cols)
+        d_max = F.floor(F.lit((1.0 - t) / (1.0 + t))
+                        * (F.col("a.sz") + F.col("b.sz")) + F.lit(1e-9))
+        cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                       & (F.col("a.doc") < F.col("b.doc"))
+                       & length_ok & pos_ok & (xor_pop <= d_max))
+                .select(F.col("a.doc").alias("id_a"),
+                        F.col("b.doc").alias("id_b")))
 
-    length_ok = (F.col("a.sz") >= F.lit(t) * F.col("b.sz")) \
-        & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
-    if max_posting:
-        # capped: group-by-shingle + in-array pair expansion — one
-        # shuffle replaces [cap groupBy + anti-join + self-join]; the
-        # length (and, under prefix, positional) filter runs INSIDE
-        # the array so incompatible pairs never reach the explode
-        def _pair_filter(x, y):
-            ok = (x["sz"] >= F.lit(t) * y["sz"]) \
-                & (y["sz"] >= F.lit(t) * x["sz"])
-            if prefix_filter:
-                ok = ok & _pos_ok(x, y)
-            return ok
-        pairs = _group_pairs(posting, ["sh"], max_posting,
-                             pair_filter=_pair_filter)
-    else:
-        # uncapped: per-shingle lists are unbounded — keep the join
-        # formulation (no collect_list memory risk)
-        a, b = posting.alias("a"), posting.alias("b")
-        cond = (F.col("a.sh") == F.col("b.sh")) \
-            & (F.col("a.doc") < F.col("b.doc")) & length_ok
-        if prefix_filter:
-            ax = {"sz": F.col("a.sz"), "pos": F.col("a.pos")}
-            bx = {"sz": F.col("b.sz"), "pos": F.col("b.pos")}
-            cond = cond & _pos_ok(ax, bx)
-        pairs = (a.join(b, cond)
-                 .select(F.col("a.doc").alias("doc_x"),
-                         F.col("a.sz").alias("sz_x"),
-                         F.col("b.doc").alias("doc_y"),
-                         F.col("b.sz").alias("sz_y"))
-                 .select(F.struct(F.col("doc_x").alias("doc"),
-                                  F.col("sz_x").alias("sz")).alias("a"),
-                         F.struct(F.col("doc_y").alias("doc"),
-                                  F.col("sz_y").alias("sz")).alias("b")))
-
-    if prefix_filter:
-        # verify WITHOUT a distinct-before-verify shuffle: candidates
-        # go straight into the (broadcast when the corpus fits) doc-
-        # array joins; the same pair may be verified once per shared
-        # prefix shingle (multiplicity ~1 on high-entropy corpora),
-        # and the final distinct runs on the tiny SURVIVOR set only.
-        # Above the broadcast guard the old shape (distinct first,
-        # shuffled verify joins) is kept — docs arrays at corpus
-        # scale must not be broadcast.
-        cand = pairs.select(F.col("a.doc").alias("id_a"),
-                            F.col("b.doc").alias("id_b"))
+        # ---- verification on the (tiny) bitmap-surviving set ----
+        # the same pair may surface once per shared prefix shingle;
+        # dedup AFTER verification (survivors only). Broadcast the
+        # doc-array sides when the corpus fits; above the guard the
+        # shuffled join + distinct-before-verify is the scale-safe
+        # shape (docs arrays at corpus scale must not be broadcast).
         est = approx_count if approx_count is not None \
             else planning.estimate_row_count(df)
         small_corpus = est is not None and est <= VERIFY_BROADCAST_MAX
@@ -485,29 +480,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             cand = cand.distinct()
         va = docs.select(F.col("doc").alias("id_a"),
                          F.col("arr").alias("arr_a"),
-                         F.col("sz").alias("sz_a"),
-                         *[F.col(f"bm{k}").alias(f"bma{k}")
-                           for k in range(_BM_WORDS)])
+                         F.col("sz").alias("sz_a"))
         vb = docs.select(F.col("doc").alias("id_b"),
                          F.col("arr").alias("arr_b"),
-                         F.col("sz").alias("sz_b"),
-                         *[F.col(f"bm{k}").alias(f"bmb{k}")
-                           for k in range(_BM_WORDS)])
+                         F.col("sz").alias("sz_b"))
         if small_corpus:
             va, vb = F.broadcast(va), F.broadcast(vb)
-        # exact bitmap pre-filter (see bitmap construction above): a
-        # pair can reach J >= t only if its bitmap xor-popcount — a
-        # lower bound on |A(+)B| — stays within the threshold-implied
-        # maximum. Pure codegen (xor + bit_count), so the expensive
-        # array_intersect below runs on true near-pairs only.
-        xor_pop = sum(
-            F.bit_count(F.col(f"bma{k}").bitwiseXOR(F.col(f"bmb{k}")))
-            for k in range(_BM_WORDS))
-        d_max = F.floor(F.lit((1.0 - t) / (1.0 + t))
-                        * (F.col("sz_a") + F.col("sz_b")) + F.lit(1e-9))
         inter = F.size(F.array_intersect("arr_a", "arr_b"))
         out = (cand.join(va, "id_a").join(vb, "id_b")
-               .filter(xor_pop <= d_max)
                .withColumn("inter", inter)
                .withColumn("jaccard",
                            F.col("inter").cast("double")
@@ -516,6 +496,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                .filter(F.col("jaccard") >= t)
                .select("id_a", "id_b", "jaccard"))
         return out.distinct() if small_corpus else out
+
+    # ---- naive plan (small corpora): full postings + pair counting ----
+    posting = docs.select("doc", "sz", F.explode("arr").alias("sh"))
+    length_ok = (F.col("a.sz") >= F.lit(t) * F.col("b.sz")) \
+        & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+    if max_posting:
+        # capped: group-by-shingle + in-array pair expansion — one
+        # shuffle replaces [cap groupBy + anti-join + self-join]; the
+        # length filter runs INSIDE the array so incompatible pairs
+        # never reach the explode
+        pairs = _group_pairs(
+            posting, ["sh"], max_posting,
+            pair_filter=lambda x, y:
+                (x["sz"] >= F.lit(t) * y["sz"])
+                & (y["sz"] >= F.lit(t) * x["sz"]))
+    else:
+        # uncapped: per-shingle lists are unbounded — keep the join
+        # formulation (no collect_list memory risk)
+        a, b = posting.alias("a"), posting.alias("b")
+        pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                        & (F.col("a.doc") < F.col("b.doc")) & length_ok)
+                 .select(F.col("a.doc").alias("doc_x"),
+                         F.col("a.sz").alias("sz_x"),
+                         F.col("b.doc").alias("doc_y"),
+                         F.col("b.sz").alias("sz_y"))
+                 .select(F.struct(F.col("doc_x").alias("doc"),
+                                  F.col("sz_x").alias("sz")).alias("a"),
+                         F.struct(F.col("doc_y").alias("doc"),
+                                  F.col("sz_y").alias("sz")).alias("b")))
 
     inter = (pairs
              .groupBy(F.col("a.doc").alias("id_a"),
