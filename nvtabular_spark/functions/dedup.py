@@ -359,9 +359,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         else:
             est = planning.estimate_row_count(df)
             # stats estimate can be off by the compression ratio —
-            # only trust it far from the crossover, else probe exactly
-            if est is not None and not (PREFIX_CROSSOVER // 10 < est
-                                        < PREFIX_CROSSOVER * 10):
+            # only trust it away from the crossover, else probe
+            # exactly. The distrust band is 3x (was 10x): a measured
+            # text-table estimate lands within ~1.5x of truth, and a
+            # mis-pick near the crossover costs a fraction of a second
+            # either way while the LIMIT probe costs ~0.5 s per call.
+            if est is not None and not (PREFIX_CROSSOVER // 3 < est
+                                        < PREFIX_CROSSOVER * 3):
                 prefix_filter = est >= PREFIX_CROSSOVER
             else:
                 prefix_filter = planning.at_least_n_rows(
