@@ -106,8 +106,7 @@ def scale_window_partitions(df: DataFrame, keys) -> DataFrame:
         return df
     try:
         sess = df.sparkSession
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        size = int(str(stats.sizeInBytes()))
+        size = _leaf_scan_bytes(df)
         parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         return df
@@ -117,6 +116,26 @@ def scale_window_partitions(df: DataFrame, keys) -> DataFrame:
     if _scan_bucketed_on(df, keys):
         return df
     return df.repartition(int(min(needed, parts * 8)), *keys)
+
+
+def _leaf_scan_bytes(df: DataFrame) -> int:
+    """Sum of the LEAF relations' sizeInBytes — the true input volume.
+    The full plan's stats are useless here: Catalyst's join estimation
+    without CBO multiplies child sizes, so any frame downstream of a
+    (broadcast) join reports absurd totals and a gate keyed on them
+    would fire on kilobyte test inputs."""
+    total, stack = 0, [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        ch = node.children()
+        if ch.size() == 0:
+            total += int(str(node.stats().sizeInBytes()))
+        else:
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        # subqueries/joins hide scans under both sides — children()
+        # covers them; broadcast/hint wrappers are unary pass-throughs
+    return total
 
 
 def _scan_bucketed_on(df: DataFrame, keys) -> bool:

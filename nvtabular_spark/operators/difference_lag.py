@@ -40,8 +40,7 @@ class DifferenceLag(Operator):
         return [f"{c}_difference_lag_{s}" for c in selector.names
                 for s in self.shifts]
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        df = scale_window_partitions(df, self.partition_cols)
+    def window_fusion(self, ctx, df):
         order = self.order_by or self.partition_cols
         w = Window.partitionBy(*self.partition_cols).orderBy(*order)
         cols = {}
@@ -51,7 +50,11 @@ class DifferenceLag(Operator):
                 shifted = F.lag(F.col(act), s).over(w) if s >= 0 \
                     else F.lead(F.col(act), -s).over(w)
                 cols[name] = F.col(act) - shifted
-        return df.withColumns(cols)
+        return cols
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
+        return df.withColumns(self.window_fusion(ctx, df))
 
     def output_tags(self):
         return ["continuous"]

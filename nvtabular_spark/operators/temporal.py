@@ -302,14 +302,17 @@ class Lag(Operator):
     def output_column_names(self, selector: ColumnSelector):
         return [f"{c}_lag_{s}" for c in selector.names for s in self.shifts]
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        df = scale_window_partitions(df, self.partition_cols)
+    def window_fusion(self, ctx, df):
         w = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
         cols = {}
         for pub, act in ctx.pairs():
             for s in self.shifts:
                 cols[ctx.out(f"{pub}_lag_{s}")] = F.lag(F.col(act), s).over(w)
-        return df.withColumns(cols)
+        return cols
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
+        return df.withColumns(self.window_fusion(ctx, df))
 
 
 class Lead(Operator):
@@ -331,14 +334,17 @@ class Lead(Operator):
     def output_column_names(self, selector: ColumnSelector):
         return [f"{c}_lead_{s}" for c in selector.names for s in self.shifts]
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        df = scale_window_partitions(df, self.partition_cols)
+    def window_fusion(self, ctx, df):
         w = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
         cols = {}
         for pub, act in ctx.pairs():
             for s in self.shifts:
                 cols[ctx.out(f"{pub}_lead_{s}")] = F.lead(F.col(act), s).over(w)
-        return df.withColumns(cols)
+        return cols
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
+        return df.withColumns(self.window_fusion(ctx, df))
 
 
 class RollingBackfill(Operator):
@@ -362,8 +368,7 @@ class RollingBackfill(Operator):
     def dependencies(self):
         return self.partition_cols + self.order_by
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        df = scale_window_partitions(df, self.partition_cols)
+    def window_fusion(self, ctx, df):
         base = Window.partitionBy(*self.partition_cols).orderBy(*self.order_by)
         cols = {}
         for pub, act in ctx.pairs():
@@ -376,7 +381,11 @@ class RollingBackfill(Operator):
             else:
                 w = base.rowsBetween(0, Window.unboundedFollowing)
                 cols[ctx.out(pub)] = F.first(c, ignorenulls=True).over(w)
-        return df.withColumns(cols)
+        return cols
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
+        return df.withColumns(self.window_fusion(ctx, df))
 
 
 class Sessionize(Operator):
@@ -406,8 +415,7 @@ class Sessionize(Operator):
             return F.unix_micros(F.col(act).cast("timestamp")) / F.lit(1e6)
         return F.col(act).cast("double")
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        df = scale_window_partitions(df, self.partition_cols)
+    def window_fusion(self, ctx, df):
         cols = {}
         for pub, act in ctx.pairs():
             ts = self._seconds(df, act)
@@ -419,9 +427,15 @@ class Sessionize(Operator):
             wsum = (Window.partitionBy(*self.partition_cols)
                     .orderBy(F.col(act))
                     .rowsBetween(Window.unboundedPreceding, 0))
+            # the nested lag inside the running sum is extracted by
+            # Catalyst into its own Window level automatically
             cols[ctx.out(f"{pub}_session_id")] = F.sum(boundary).over(wsum) \
                 .cast("long")
-        return df.withColumns(cols)
+        return cols
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
+        return df.withColumns(self.window_fusion(ctx, df))
 
 
 class RollingAgg(Operator):
@@ -499,8 +513,7 @@ class RollingAgg(Operator):
         return [f"{c}_rolling_{a}_{n}" for c in selector.names
                 for a in self.aggs]
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        df = scale_window_partitions(df, self.partition_cols)
+    def window_fusion(self, ctx, df):
         base = Window.partitionBy(*self.partition_cols)
         if self.window_seconds is not None:
             # range frame [ts - window_seconds, ts - gap_seconds] over
@@ -531,7 +544,11 @@ class RollingAgg(Operator):
                     if a == "count":
                         out = out.cast("long")
                 cols[ctx.out(f"{pub}_rolling_{a}_{n}")] = out
-        return df.withColumns(cols)
+        return cols
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
+        return df.withColumns(self.window_fusion(ctx, df))
 
 
 class TimeDecay(Operator):
@@ -591,8 +608,7 @@ class TimeDecay(Operator):
         return [f"{c}_decay_{a}_h{h}s" for c in selector.names
                 for a in self.aggs]
 
-    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
-        df = scale_window_partitions(df, self.partition_cols)
+    def window_fusion(self, ctx, df):
         sec = Sessionize._seconds(df, self.order_by[0])
         w = (Window.partitionBy(*self.partition_cols)
              .orderBy(sec)
@@ -616,7 +632,11 @@ class TimeDecay(Operator):
                     * F.pow(half, (cur - x["t"]) / h))
                 name = f"{pub}_decay_{a}_h{int(self.half_life_seconds)}s"
                 cols[ctx.out(name)] = out
-        return df.withColumns(cols)
+        return cols
+
+    def transform(self, ctx: TransformContext, df: DataFrame) -> DataFrame:
+        df = scale_window_partitions(df, self.partition_cols)
+        return df.withColumns(self.window_fusion(ctx, df))
 
 
 class ExpandingTargetEncoding(AggStatOperator):
